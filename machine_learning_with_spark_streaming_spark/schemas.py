@@ -1,0 +1,99 @@
+"""Canonical schemas.
+
+The reference pipeline converges every feed onto one 8-column "demand fact"
+row (``EXPECTED_COLS``, reference ``pipeline/SqlUpload.py:26-29`` /
+``pipeline/Staging.py:22-26``); here that is a fixed ``StructType`` with
+proper types instead of all-string (the reference reads ``dtype=str`` and
+coerces ad hoc — ``pipeline/lib.py:95-99``).
+
+Also: explicit schemas for the driver's testdata star schema so reads never
+rely on inference, and the streaming feature-payload schema
+(``Dataset/stream.py:150-177``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# --- canonical demand fact (reference pipeline/SqlUpload.py:26-29) -------
+FACT_COLUMNS = [
+    "source",
+    "snapshot",
+    "material",
+    "sales_organization",
+    "country",
+    "attribute",
+    "value",
+    "bu",
+]
+
+FACT_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType(), False),
+        T.StructField("snapshot", T.DateType(), False),  # versioning key
+        T.StructField("material", T.StringType(), False),
+        T.StructField("sales_organization", T.StringType(), True),
+        T.StructField("country", T.StringType(), True),
+        T.StructField("attribute", T.DateType(), True),  # month bucket
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("bu", T.StringType(), True),
+    ]
+)
+
+# --- testdata star schema (TESTDATA.md) ----------------------------------
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimensions small enough to always broadcast in joins.
+BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Parquet carries its schema; no inference."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register testdata tables as temp views for the SQL API."""
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)
+
+
+# --- streaming payload (reference Dataset/stream.py:150-177) -------------
+def feature_payload_schema(n_features: int, with_label: bool = True) -> T.StructType:
+    """Schema of one row inside the micro-batch JSON payload:
+    ``{"<row_idx>": {"feature0": .., ..., "label": ..}}``.
+    """
+    fields = [
+        T.StructField(f"feature{i}", T.DoubleType(), True) for i in range(n_features)
+    ]
+    if with_label:
+        fields.append(T.StructField("label", T.DoubleType(), True))
+    return T.StructType(fields)
+
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
