@@ -1,0 +1,326 @@
+"""Join operators (SURVEY.md §2.3, J1-J9).
+
+All reference joins are equi-joins of a big fact against small lookup
+tables; here every dimension side is broadcast (no shuffle of the fact) and
+the "unmatched key" side-outputs are anti-joins sharing the same scan.
+
+Scale notes: ``guarded_join``'s duplicate-key check is one extra aggregate
+on the (small) dimension only — never on the fact. Enrichment defaults via
+``coalesce`` keep everything inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from machine_learning_with_spark_streaming_spark.registry import register
+from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+
+class DuplicateJoinKeyError(ValueError):
+    """Right side of a guarded join has duplicate keys (the reference's
+    Err=99 fan-out protection, myConversionsClass.py:188-203)."""
+
+
+def guarded_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "left",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """J1: left equi-join that refuses to fan out.
+
+    The duplicate check is an aggregate over the dimension side only (cheap
+    — dimensions are small); the fact table is never scanned for the check.
+    """
+    if how == "left":
+        dup = (
+            right.groupBy(*on)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key = {c: dup[0][c] for c in on}
+            raise DuplicateJoinKeyError(
+                f"duplicate keys on right side of guarded join: {key}"
+            )
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=on, how=how)
+
+
+def enrich(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    enriched_cols: dict[str, str],
+    not_mapped: str = "NotMapped",
+    blank_sentinel: str = "Blank",
+) -> tuple[DataFrame, DataFrame]:
+    """J2: dimension enrichment with sentinel defaults + error side-output.
+
+    Returns ``(enriched, errors)`` where ``errors`` is the distinct set of
+    unmapped keys (the reference writes these to ``*Errors.csv`` and emails
+    — myConversionsClass.py:265-302; the sink is the caller's choice).
+    """
+    f = fact
+    for k in on:
+        f = f.withColumn(
+            k,
+            F.when(F.col(k).isNull() | (F.trim(F.col(k).cast("string")) == ""), F.lit(blank_sentinel)).otherwise(
+                F.col(k)
+            ),
+        )
+    joined = f.join(F.broadcast(dim), on=on, how="left")
+    out = joined
+    for src, dst in enriched_cols.items():
+        out = out.withColumn(dst, F.coalesce(F.col(src), F.lit(not_mapped)))
+    first_enriched = next(iter(enriched_cols))
+    errors = (
+        joined.filter(F.col(first_enriched).isNull()).select(*on).distinct()
+    )
+    return out, errors
+
+
+def two_pass_factor_join(
+    fact: DataFrame,
+    conv: DataFrame,
+    key: str,
+    conv_key: str,
+    factor_col: str,
+    pass1_pred: Column,
+    pass2_pred: Column,
+    default: float = 1.0,
+) -> DataFrame:
+    """J5: two-pass conversion-factor join (UOM semantics,
+    myConversionsClass.py:627-666): try the forward factor, then the
+    inverse, then a default — a cascaded ``coalesce`` over two broadcast
+    left joins."""
+    c1 = conv.filter(pass1_pred).select(
+        F.col(conv_key).alias(key), F.col(factor_col).alias("__f1")
+    )
+    c2 = conv.filter(pass2_pred).select(
+        F.col(conv_key).alias(key), F.col(factor_col).alias("__f2")
+    )
+    return (
+        fact.join(F.broadcast(c1), key, "left")
+        .join(F.broadcast(c2), key, "left")
+        .withColumn(
+            "conv_factor",
+            F.coalesce(
+                F.col("__f1"),
+                F.when(F.col("__f2") != 0, F.lit(1.0) / F.col("__f2")),
+                F.lit(default),
+            ),
+        )
+        .drop("__f1", "__f2")
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+_J1_ORACLE = """
+SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l.l_extendedprice), 2) AS total_price
+FROM lineitem l
+LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("j1_guarded_join", oracle=_J1_ORACLE)
+def q_guarded_join(spark, sf_dir):
+    """J1: guarded left joins fact->supplier->nation (both dims verified
+    duplicate-free, then broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
+    nation = load_table(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "s_nationkey")
+    df = guarded_join(li, supp, ["l_suppkey"])
+    df = guarded_join(df, nation, ["s_nationkey"])
+    return (
+        df.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("nation")
+    )
+
+
+_J2_ORACLE = """
+WITH dim AS (
+  SELECT s_suppkey, s_name FROM supplier WHERE s_acctbal > 0
+)
+SELECT coalesce(d.s_name, 'NotMapped') AS supplier_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l.l_quantity), 2) AS sum_qty
+FROM lineitem l
+LEFT JOIN dim d ON l.l_suppkey = d.s_suppkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("j2_enrichment", oracle=_J2_ORACLE)
+def q_enrichment(spark, sf_dir):
+    """J2: broadcast enrichment with NotMapped default
+    (myConversionsClass.py:265-302)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"), "s_name")
+    )
+    enriched, _errors = enrich(li, dim, ["l_suppkey"], {"s_name": "supplier_name"})
+    return (
+        enriched.groupBy("supplier_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("supplier_name")
+    )
+
+
+_J2E_ORACLE = """
+SELECT DISTINCT l.l_suppkey
+FROM lineitem l
+LEFT JOIN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 0) d
+  ON l.l_suppkey = d.s_suppkey
+WHERE d.s_suppkey IS NULL
+ORDER BY 1
+"""
+
+
+@register("j2_unmapped_side_output", oracle=_J2E_ORACLE)
+def q_unmapped_keys(spark, sf_dir):
+    """J2/K8: unmapped-key error side-output (anti-join on the same scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"), "s_name")
+    )
+    _enriched, errors = enrich(li, dim, ["l_suppkey"], {"s_name": "supplier_name"})
+    return errors.orderBy("l_suppkey")
+
+
+_J5_ORACLE = """
+WITH c1 AS (SELECT p_partkey, p_retailprice FROM part WHERE p_size > 25),
+     c2 AS (SELECT p_partkey, p_retailprice FROM part WHERE p_size <= 25)
+SELECT l.l_partkey,
+       round(sum(l.l_quantity * coalesce(
+         c1.p_retailprice,
+         CASE WHEN c2.p_retailprice <> 0 THEN 1.0 / c2.p_retailprice END,
+         1.0)), 4) AS converted_qty
+FROM lineitem l
+LEFT JOIN c1 ON l.l_partkey = c1.p_partkey
+LEFT JOIN c2 ON l.l_partkey = c2.p_partkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("j5_two_pass_factor", oracle=_J5_ORACLE)
+def q_two_pass_factor(spark, sf_dir):
+    """J5: cascaded factor / inverse-factor / default conversion join
+    (prepareUOM, myConversionsClass.py:627-666)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    df = two_pass_factor_join(
+        li,
+        part,
+        key="l_partkey",
+        conv_key="p_partkey",
+        factor_col="p_retailprice",
+        pass1_pred=F.col("p_size") > 25,
+        pass2_pred=F.col("p_size") <= 25,
+    )
+    return (
+        df.groupBy("l_partkey")
+        .agg(F.round(F.sum(F.col("l_quantity") * F.col("conv_factor")), 4).alias("converted_qty"))
+        .orderBy("l_partkey")
+    )
+
+
+_J8_ORACLE = """
+SELECT o.o_orderkey, o.o_orderpriority
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48
+)
+ORDER BY 1
+"""
+
+
+@register("j8_semi_join", oracle=_J8_ORACLE)
+def q_semi_join(spark, sf_dir):
+    """J8: semi-join filter (DAX TREATAS value-set filters,
+    ActUnknown.ps1:36-71)."""
+    orders = load_table(spark, sf_dir, "orders")
+    big = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    return (
+        orders.join(
+            big.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey", "left_semi"
+        )
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+_J9_ORACLE = """
+WITH a AS (
+  SELECT o_orderpriority AS priority, round(sum(o_totalprice), 2) AS rev_1994
+  FROM orders WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+  GROUP BY 1
+), b AS (
+  SELECT o_orderpriority AS priority, round(sum(o_totalprice), 2) AS rev_1995
+  FROM orders WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+  GROUP BY 1
+)
+SELECT coalesce(a.priority, b.priority) AS priority,
+       coalesce(a.rev_1994, 0) AS rev_1994,
+       coalesce(b.rev_1995, 0) AS rev_1995,
+       round(coalesce(b.rev_1995, 0) - coalesce(a.rev_1994, 0), 2) AS delta
+FROM a FULL OUTER JOIN b ON a.priority = b.priority
+ORDER BY 1
+"""
+
+
+@register("j9_compare_join", oracle=_J9_ORACLE)
+def q_compare_join(spark, sf_dir):
+    """J9: before/after full-outer comparison join with zero-fill
+    (myConversionsClass.py:385, datavalidation.py:357)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_rev(y: int, alias: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01"))
+            )
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(F.round(F.sum("o_totalprice"), 2).alias(alias))
+        )
+
+    a = year_rev(1994, "rev_1994")
+    b = year_rev(1995, "rev_1995")
+    return (
+        a.join(b, "priority", "full_outer")
+        .select(
+            "priority",
+            F.coalesce("rev_1994", F.lit(0.0)).alias("rev_1994"),
+            F.coalesce("rev_1995", F.lit(0.0)).alias("rev_1995"),
+            F.round(
+                F.coalesce("rev_1995", F.lit(0.0)) - F.coalesce("rev_1994", F.lit(0.0)),
+                2,
+            ).alias("delta"),
+        )
+        .orderBy("priority")
+    )

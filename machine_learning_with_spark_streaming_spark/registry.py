@@ -1,0 +1,66 @@
+"""Query registry — the bridge between operator modules and the driver
+contract (``__spark_entry__.py``).
+
+Each operator module registers its demonstration queries with
+``@register(name, oracle=SQL)``; ``collect()`` imports every module so the
+registry is fully populated, then ``__spark_entry__`` exposes it.
+
+Naming convention: query names carry the SURVEY.md §2 operator id they
+demonstrate (e.g. ``w1_abc_classify`` covers W1).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Modules whose import populates the registry.
+_QUERY_MODULES = [
+    "machine_learning_with_spark_streaming_spark.operators.filters",
+    "machine_learning_with_spark_streaming_spark.operators.joins",
+    "machine_learning_with_spark_streaming_spark.operators.aggregates",
+    "machine_learning_with_spark_streaming_spark.operators.windows",
+    "machine_learning_with_spark_streaming_spark.operators.reshape",
+    "machine_learning_with_spark_streaming_spark.operators.setops",
+    "machine_learning_with_spark_streaming_spark.operators.validation",
+    "machine_learning_with_spark_streaming_spark.operators.dedup",
+    "machine_learning_with_spark_streaming_spark.operators.similarity",
+    "machine_learning_with_spark_streaming_spark.operators.text",
+    "machine_learning_with_spark_streaming_spark.operators.multimodal",
+    "machine_learning_with_spark_streaming_spark.functions.examples",
+    "machine_learning_with_spark_streaming_spark.plans.examples",
+    "machine_learning_with_spark_streaming_spark.streaming.examples",
+]
+
+
+@dataclass(frozen=True)
+class RegisteredQuery:
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+
+
+REGISTRY: dict[str, RegisteredQuery] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = RegisteredQuery(fn, oracle)
+        return fn
+
+    return deco
+
+
+def collect() -> dict[str, RegisteredQuery]:
+    for mod in _QUERY_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError:
+            pass  # module not built yet; registry stays partial
+    return REGISTRY
