@@ -1,0 +1,269 @@
+"""Aggregation operators (SURVEY.md §2.4, A1-A12; reshaping R1).
+
+The reference's ``pivot_table`` family (myConversionsClass.py:149-185)
+becomes ``groupBy().agg()`` / ``groupBy().pivot()``; DAX
+``SUMMARIZECOLUMNS``+``ROLLUPADDISSUBTOTAL`` (BPCbySKU.ps1:90-107) becomes
+``rollup()`` + ``grouping()``.
+
+Scale notes: all of these are single-shuffle hash aggregations with
+map-side partial aggregation. ``pivot`` is given an explicit value list so
+no extra distinct-collect job runs. "Latest snapshot" uses a scalar
+aggregate + pushed-down filter (partition pruning on a
+snapshot-partitioned table) rather than a window over the whole fact.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from machine_learning_with_spark_streaming_spark.registry import register
+from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+_AGG_FNS = {"sum": F.sum, "mean": F.avg, "count": F.count, "min": F.min, "max": F.max}
+
+
+def pivot_agg(
+    df: DataFrame,
+    index: list[str],
+    values: str,
+    columns: str | None = None,
+    aggfunc: str = "sum",
+    pivot_values: list[str] | None = None,
+    fill: float | None = 0.0,
+) -> DataFrame:
+    """A1/R1: ``pivot_table(index, values, columns, aggfunc)``
+    (myConversionsClass.py:149-185). With ``columns`` -> long-to-wide pivot;
+    explicit ``pivot_values`` avoids the extra distinct scan at scale."""
+    fn = _AGG_FNS[aggfunc]
+    g = df.groupBy(*index)
+    if columns is None:
+        out = g.agg(fn(values).alias(values))
+    else:
+        p = g.pivot(columns, pivot_values) if pivot_values else g.pivot(columns)
+        out = p.agg(fn(values))
+    if fill is not None:
+        num_cols = [f.name for f in out.schema.fields if f.name not in index]
+        out = out.fillna(fill, subset=num_cols)
+    return out
+
+
+def rollup_with_flag(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: list[Column],
+    flag_col: str = "is_grand_total",
+) -> DataFrame:
+    """A5: rollup with the DAX ``IsGrandTotalRowTotal`` flag
+    (BPCbySKU.ps1:90-107): detail rows + subtotal rows, flag = grouping of
+    the first rollup column (must be computed inside the agg)."""
+    flag = (F.grouping(group_cols[0]) == 1).alias(flag_col)
+    return df.rollup(*group_cols).agg(*aggs, flag)
+
+
+def latest_value(df: DataFrame, col: str) -> object:
+    """A6: scalar MAX used as a filter value (latest snapshot,
+    datavalidation.py:237-257). One tiny job; the subsequent equality
+    filter prunes partitions on a snapshot-partitioned table."""
+    return df.agg(F.max(col).alias("m")).first()["m"]
+
+
+def top_k_distinct(df: DataFrame, col: str, k: int, ascending: bool = False) -> DataFrame:
+    """A9: top-k distinct ordered values (latest-2 snapshots,
+    qualitycheck PostSql.py:56-78)."""
+    order = F.asc(col) if ascending else F.desc(col)
+    return df.select(col).distinct().orderBy(order).limit(k)
+
+
+def sum_columns(df: DataFrame, out_col: str, cols: list[str]) -> DataFrame:
+    """A11: horizontal sum over a named column family
+    (sumColumns/totalRevenueFigures, myConversionsClass.py:564-581)."""
+    expr = reduce(add, [F.coalesce(F.col(c), F.lit(0.0)) for c in cols])
+    return df.withColumn(out_col, expr)
+
+
+def row_stats(df: DataFrame, cols: list[str], mean_col: str = "row_mean", std_col: str = "row_std") -> DataFrame:
+    """A10: row-wise mean and population std over month columns
+    (myConversionsClass.py:218-219) — pure expressions, no shuffle."""
+    n = len(cols)
+    vals = [F.coalesce(F.col(c).cast("double"), F.lit(0.0)) for c in cols]
+    mean = reduce(add, vals) / F.lit(n)
+    var = reduce(add, [(v - mean) * (v - mean) for v in vals]) / F.lit(n)
+    return df.withColumn(mean_col, mean).withColumn(std_col, F.sqrt(var))
+
+
+# ---------------------------------------------------------------- queries
+
+_A1_ORACLE = """
+SELECT l_returnflag,
+       round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 2) AS F,
+       round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 2) AS O
+FROM lineitem
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("a1_pivot_sum", oracle=_A1_ORACLE)
+def q_pivot_sum(spark, sf_dir):
+    """A1/R1: long-to-wide pivot with explicit value list."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = pivot_agg(
+        li,
+        index=["l_returnflag"],
+        values="l_quantity",
+        columns="l_linestatus",
+        pivot_values=["F", "O"],
+    )
+    return out.select(
+        "l_returnflag", F.round("F", 2).alias("F"), F.round("O", 2).alias("O")
+    ).orderBy("l_returnflag")
+
+
+_A2_ORACLE = """
+SELECT concat(o_orderpriority, ' | ', o_orderstatus) AS dim_key,
+       round(sum(o_totalprice), 2) AS value_sum,
+       CAST(count(*) AS BIGINT) AS row_count
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("a2_a3_groupby_concat_dim", oracle=_A2_ORACLE)
+def q_groupby_concat_dim(spark, sf_dir):
+    """A2/A3: sum+count by concatenated dimension key (the QC
+    ``BU | Country`` dims, qualitycheck.py:149-164)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.concat_ws(" | ", "o_orderpriority", "o_orderstatus").alias("dim_key")
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("value_sum"),
+            F.count(F.lit(1)).alias("row_count"),
+        )
+        .orderBy("dim_key")
+    )
+
+
+_A5_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS total_price,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       (GROUPING(o_orderstatus) = 1) AS is_grand_total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY 1 NULLS LAST, 2 NULLS LAST
+"""
+
+
+@register("a5_rollup_grand_total", oracle=_A5_ORACLE)
+def q_rollup(spark, sf_dir):
+    """A5: rollup with grand-total flag (DAX ROLLUPADDISSUBTOTAL,
+    BPCbySKU.ps1:90-107)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return rollup_with_flag(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ],
+    ).orderBy(F.col("o_orderstatus").asc_nulls_last(), F.col("o_orderpriority").asc_nulls_last())
+
+
+_A6_ORACLE = """
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+WHERE CAST(date_trunc('month', o_orderdate) AS DATE) =
+      (SELECT CAST(date_trunc('month', max(o_orderdate)) AS DATE) FROM orders)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("a6_latest_snapshot", oracle=_A6_ORACLE)
+def q_latest_snapshot(spark, sf_dir):
+    """A6: scalar-MAX latest snapshot filter (datavalidation.py:237-257).
+    The month literal is computed by a tiny scalar job, then the main scan
+    filters on it (partition-prunable on a date-partitioned table)."""
+    orders = load_table(spark, sf_dir, "orders")
+    latest_month = orders.agg(
+        F.trunc(F.max("o_orderdate"), "month").alias("m")
+    ).first()["m"]
+    return (
+        orders.filter(F.trunc("o_orderdate", "month") == F.lit(latest_month))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("priority")
+    )
+
+
+_A9_ORACLE = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS snapshot_month
+FROM orders
+GROUP BY 1
+ORDER BY 1 DESC
+LIMIT 2
+"""
+
+
+@register("a9_top2_snapshots", oracle=_A9_ORACLE)
+def q_top2_snapshots(spark, sf_dir):
+    """A9/W4: latest two distinct snapshot months
+    (qualitycheck PostSql.py:56-78)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return top_k_distinct(
+        orders.select(F.trunc("o_orderdate", "month").alias("snapshot_month")),
+        "snapshot_month",
+        k=2,
+    )
+
+
+_A10_ORACLE = """
+SELECT l_orderkey,
+       round((coalesce(q_f, 0) + coalesce(q_o, 0)) / 2.0, 4) AS row_mean,
+       round(sqrt(
+         (pow(coalesce(q_f, 0) - (coalesce(q_f, 0) + coalesce(q_o, 0)) / 2.0, 2)
+        + pow(coalesce(q_o, 0) - (coalesce(q_f, 0) + coalesce(q_o, 0)) / 2.0, 2)) / 2.0
+       ), 4) AS row_std,
+       round(coalesce(q_f, 0) + coalesce(q_o, 0), 2) AS row_total
+FROM (
+  SELECT l_orderkey,
+         sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS q_f,
+         sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS q_o
+  FROM lineitem GROUP BY 1
+)
+ORDER BY 1
+"""
+
+
+@register("a10_a11_rowwise_stats", oracle=_A10_ORACLE)
+def q_rowwise_stats(spark, sf_dir):
+    """A10/A11: horizontal mean/std/sum across a pivoted column family
+    (myConversionsClass.py:218-219, 564-581)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = pivot_agg(
+        li,
+        index=["l_orderkey"],
+        values="l_quantity",
+        columns="l_linestatus",
+        pivot_values=["F", "O"],
+    ).withColumnsRenamed({"F": "q_f", "O": "q_o"})
+    out = row_stats(wide, ["q_f", "q_o"])
+    out = sum_columns(out, "row_total", ["q_f", "q_o"])
+    return out.select(
+        "l_orderkey",
+        F.round("row_mean", 4).alias("row_mean"),
+        F.round("row_std", 4).alias("row_std"),
+        F.round("row_total", 2).alias("row_total"),
+    ).orderBy("l_orderkey")

@@ -1,0 +1,275 @@
+"""Window-shaped operators (SURVEY.md §2.5, W1-W5).
+
+The reference builds these from sort + cumsum + transform + self-joins
+(pandas); each is one Spark ``Window`` spec here — single shuffle on the
+partition key, no self-joins.
+
+ABC rule parity (myConversionsClass.py:228-252): start 'C'; first positive
+row of a group is 'A' (``val == CumSum``); ``0 < CumPercent <= A`` is 'A';
+``A < CumPercent <= B`` is 'B' unless already 'A'; remaining 'C' rows with
+``Percent >= B - A`` get 'B'. Negative values are clamped to 0 before
+cumulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from machine_learning_with_spark_streaming_spark.functions.nulls import first_nonzero
+from machine_learning_with_spark_streaming_spark.registry import register
+from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+
+def abc_classify(
+    df: DataFrame,
+    group: str | None,
+    value: str,
+    a: float = 0.8,
+    b: float = 0.95,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """W1: ABC Pareto classification (calcABC,
+    myConversionsClass.py:228-252). ``tiebreak`` makes the cumulative
+    order total (deterministic) — the reference relies on pandas sort
+    stability instead."""
+    tiebreak = tiebreak or []
+    v = F.when(F.col(value) < 0, F.lit(0.0)).otherwise(
+        F.coalesce(F.col(value).cast("double"), F.lit(0.0))
+    )
+    df = df.withColumn("__v", v)
+    part = [group] if group else []
+    order = [F.desc("__v")] + [F.asc(c) for c in tiebreak]
+    w_cum = (
+        Window.partitionBy(*part)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*part)
+    df = (
+        df.withColumn("cum_sum", F.sum("__v").over(w_cum))
+        .withColumn("total", F.sum("__v").over(w_all))
+        .withColumn("percent", F.col("__v") / F.col("total"))
+        .withColumn("cum_percent", F.col("cum_sum") / F.col("total"))
+    )
+    first_row_a = (F.col("__v") > 0) & (F.col("__v") == F.col("cum_sum"))
+    share_a = (F.col("cum_percent") > 0) & (F.col("cum_percent") <= a)
+    share_b = (F.col("cum_percent") > a) & (F.col("cum_percent") <= b)
+    big_c = F.col("percent") >= (b - a)
+    abc = (
+        F.when(first_row_a | share_a, F.lit("A"))
+        .when(share_b, F.lit("B"))
+        .when(big_c, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return df.withColumn("abc", abc).drop("__v")
+
+
+def xyz_classify(
+    df: DataFrame,
+    mean_col: str,
+    std_col: str,
+    x: float = 0.5,
+    y: float = 1.0,
+    default_cov: float = 9.0,
+) -> DataFrame:
+    """W2: XYZ variability class from mean/std (calcXYZ,
+    myConversionsClass.py:215-225): COV defaults to 9.0 unless mean > 0;
+    X if 0 < COV <= x, Y if x < COV <= y, else Z."""
+    cov = F.when(F.col(mean_col) > 0, F.col(std_col) / F.col(mean_col)).otherwise(
+        F.lit(default_cov)
+    )
+    df = df.withColumn("cov", cov)
+    xyz = (
+        F.when((F.col("cov") > 0) & (F.col("cov") <= x), F.lit("X"))
+        .when((F.col("cov") > x) & (F.col("cov") <= y), F.lit("Y"))
+        .otherwise(F.lit("Z"))
+    )
+    return df.withColumn("xyz", xyz)
+
+
+def max_per_group(df: DataFrame, keys: list[str], value: str) -> DataFrame:
+    """W3/J7: keep rows at their group max (filterMaxValue,
+    myConversionsClass.py:341-353) — window max + filter, no self-join."""
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("__mx", F.max(value).over(w))
+        .filter(F.col(value) == F.col("__mx"))
+        .drop("__mx")
+    )
+
+
+def rank_snapshots(df: DataFrame, snap_col: str, k: int = 2) -> DataFrame:
+    """W4: latest/previous snapshot ranking (qualitycheck
+    PostSql.py:56-78): dense_rank over distinct snapshot values desc."""
+    w = Window.orderBy(F.desc(snap_col))
+    return (
+        df.select(snap_col)
+        .distinct()
+        .withColumn("snap_rank", F.dense_rank().over(w))
+        .filter(F.col("snap_rank") <= k)
+    )
+
+
+coalesce_first_nonzero = first_nonzero  # W5 re-export
+
+
+# ---------------------------------------------------------------- queries
+
+_W1_ORACLE = """
+WITH rev AS (
+  SELECT p.p_brand AS brand, l.l_partkey AS partkey,
+         sum(l.l_extendedprice) AS revenue
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+), c AS (
+  SELECT brand, partkey, revenue,
+    sum(CASE WHEN revenue < 0 THEN 0 ELSE revenue END)
+      OVER (PARTITION BY brand ORDER BY (CASE WHEN revenue < 0 THEN 0 ELSE revenue END) DESC, partkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_sum,
+    sum(CASE WHEN revenue < 0 THEN 0 ELSE revenue END)
+      OVER (PARTITION BY brand) AS total,
+    (CASE WHEN revenue < 0 THEN 0 ELSE revenue END) AS v
+  FROM rev
+)
+SELECT brand, partkey, round(revenue, 2) AS revenue,
+       round(cum_sum / total, 6) AS cum_percent,
+       CASE
+         WHEN (v > 0 AND v = cum_sum) OR (cum_sum / total > 0 AND cum_sum / total <= 0.8) THEN 'A'
+         WHEN cum_sum / total > 0.8 AND cum_sum / total <= 0.95 THEN 'B'
+         WHEN v / total >= 0.15 THEN 'B'
+         ELSE 'C'
+       END AS abc
+FROM c
+ORDER BY brand, partkey
+"""
+
+
+@register("w1_abc_classify", oracle=_W1_ORACLE)
+def q_abc(spark, sf_dir):
+    """W1: ABC Pareto classification of parts by revenue within brand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("l_partkey").alias("partkey"))
+        .agg(F.sum("l_extendedprice").alias("revenue"))
+    )
+    out = abc_classify(rev, "brand", "revenue", tiebreak=["partkey"])
+    return out.select(
+        "brand",
+        "partkey",
+        F.round("revenue", 2).alias("revenue"),
+        F.round("cum_percent", 6).alias("cum_percent"),
+        "abc",
+    ).orderBy("brand", "partkey")
+
+
+_W2_ORACLE = """
+WITH monthly AS (
+  SELECT l_partkey AS partkey, CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+         sum(l_quantity) AS qty
+  FROM lineitem GROUP BY 1, 2
+), stats AS (
+  SELECT partkey, avg(qty) AS mean_qty, stddev_pop(qty) AS std_qty
+  FROM monthly GROUP BY 1
+)
+SELECT partkey, round(mean_qty, 4) AS mean_qty,
+       round(CASE WHEN mean_qty > 0 THEN std_qty / mean_qty ELSE 9.0 END, 4) AS cov,
+       CASE
+         WHEN (CASE WHEN mean_qty > 0 THEN std_qty / mean_qty ELSE 9.0 END) > 0
+          AND (CASE WHEN mean_qty > 0 THEN std_qty / mean_qty ELSE 9.0 END) <= 0.5 THEN 'X'
+         WHEN (CASE WHEN mean_qty > 0 THEN std_qty / mean_qty ELSE 9.0 END) > 0.5
+          AND (CASE WHEN mean_qty > 0 THEN std_qty / mean_qty ELSE 9.0 END) <= 1.0 THEN 'Y'
+         ELSE 'Z'
+       END AS xyz
+FROM stats
+ORDER BY partkey
+"""
+
+
+@register("w2_xyz_classify", oracle=_W2_ORACLE)
+def q_xyz(spark, sf_dir):
+    """W2: XYZ variability classification over monthly demand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = (
+        li.groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.trunc("l_shipdate", "month").alias("m"),
+        )
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    stats = monthly.groupBy("partkey").agg(
+        F.avg("qty").alias("mean_qty"), F.stddev_pop("qty").alias("std_qty")
+    )
+    out = xyz_classify(stats, "mean_qty", "std_qty")
+    return out.select(
+        "partkey",
+        F.round("mean_qty", 4).alias("mean_qty"),
+        F.round("cov", 4).alias("cov"),
+        "xyz",
+    ).orderBy("partkey")
+
+
+_W3_ORACLE = """
+SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS l_quantity
+FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         max(l_quantity) OVER (PARTITION BY l_orderkey) AS mx
+  FROM lineitem
+) WHERE l_quantity = mx
+ORDER BY 1, 2
+"""
+
+
+@register("w3_max_per_group", oracle=_W3_ORACLE)
+def q_max_per_group(spark, sf_dir):
+    """W3: rows at group max, ties kept (filterMaxValue)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        max_per_group(li, ["l_orderkey"], "l_quantity")
+        .select("l_orderkey", "l_linenumber", F.round("l_quantity", 2).alias("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+_W4_ORACLE = """
+SELECT snapshot_month, CAST(snap_rank AS INT) AS snap_rank FROM (
+  SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS snapshot_month,
+         dense_rank() OVER (ORDER BY CAST(date_trunc('month', o_orderdate) AS DATE) DESC) AS snap_rank
+  FROM orders
+) WHERE snap_rank <= 2
+ORDER BY 1
+"""
+
+
+@register("w4_latest_previous_snapshot", oracle=_W4_ORACLE)
+def q_latest_previous(spark, sf_dir):
+    """W4: latest + previous snapshot via dense_rank."""
+    orders = load_table(spark, sf_dir, "orders")
+    snaps = orders.select(F.trunc("o_orderdate", "month").alias("snapshot_month"))
+    return rank_snapshots(snaps, "snapshot_month", k=2).orderBy("snapshot_month")
+
+
+_W5_ORACLE = """
+SELECT round(coalesce(nullif(l_discount, 0), nullif(l_tax, 0)), 2) AS first_rate,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY 1
+ORDER BY 1 NULLS LAST
+"""
+
+
+@register("w5_first_nonzero", oracle=_W5_ORACLE)
+def q_first_nonzero(spark, sf_dir):
+    """W5: first non-zero across ordered columns (searchSequentially,
+    myConversionsClass.py:335-339)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.round(first_nonzero("l_discount", "l_tax"), 2).alias("first_rate")
+        )
+        .groupBy("first_rate")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.col("first_rate").asc_nulls_last())
+    )
