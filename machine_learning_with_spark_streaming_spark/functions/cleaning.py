@@ -26,7 +26,7 @@ def clean_numeric(col: Column | str, default: float | None = None) -> Column:
     s = F.when(
         s.rlike(r"^\(.*\)$"), F.concat(F.lit("-"), F.regexp_replace(s, r"[()]", ""))
     ).otherwise(F.regexp_replace(s, r"[()]", ""))
-    out = F.try_cast(s, "double")
+    out = s.try_cast("double")
     if default is not None:
         out = F.coalesce(out, F.lit(float(default)))
     return out

@@ -20,7 +20,7 @@ def parse_date_multi(col: Column | str, formats: list[str] | None = None) -> Col
     """First format that parses wins; null if none do (try-semantics)."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.trim(c.cast("string"))
-    attempts = [F.try_to_date(c, F.lit(fmt)) for fmt in (formats or DEFAULT_DATE_FORMATS)]
+    attempts = [F.try_to_date(c, fmt) for fmt in (formats or DEFAULT_DATE_FORMATS)]
     return F.coalesce(*attempts)
 
 

@@ -26,7 +26,7 @@ def material_key(material: Column | str, prefix: str = "SKU-") -> Column:
     prefix; else upper/trim (myDFClass.py:128-143 without the row split)."""
     c = F.col(material) if isinstance(material, str) else material
     s = F.trim(c.cast("string"))
-    is_numeric = F.try_cast(s, "double").isNotNull()
+    is_numeric = s.try_cast("double").isNotNull()
     return F.when(is_numeric, F.concat(F.lit(prefix), lstrip_zeros(s))).otherwise(
         strip_upper(s)
     )

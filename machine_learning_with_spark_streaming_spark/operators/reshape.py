@@ -1,0 +1,174 @@
+"""Reshaping operators (SURVEY.md §2.9, R2-R4).
+
+The reference's wide month matrices (``getMonthlyHermesForecast``
+iterating 12 month columns, myConversionsClass.py:468-504) become native
+``DataFrame.unpivot``; month->week disaggregation (``:532-547``) becomes a
+factor-table join + ``explode`` — one shuffle-free projection per row
+instead of per-month Python loops + concat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from machine_learning_with_spark_streaming_spark.registry import register
+from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+MONTH_ABBRS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+               "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+
+
+def unpivot_months(
+    df: DataFrame,
+    ids: list[str],
+    month_cols: list[str],
+    var_col: str = "mth",
+    value_col: str = "value",
+) -> DataFrame:
+    """R2: wide->long unpivot of month columns (stack/melt)."""
+    return df.unpivot(ids, month_cols, var_col, value_col)
+
+
+def disaggregate_to_weeks(
+    df: DataFrame,
+    month_col: str,
+    value_col: str,
+    weeks_per_month: int = 4,
+) -> DataFrame:
+    """R3: month->week disaggregation. Each month row fans out to
+    ``weeks_per_month`` week rows carrying ``value * factor``
+    (myConversionsClass.py:532-547 joins a week/factor calendar; here the
+    calendar is generated inline with ``explode`` — same shape)."""
+    factor = 1.0 / weeks_per_month
+    weeks = F.explode(
+        F.sequence(F.lit(0), F.lit(weeks_per_month - 1))
+    ).alias("__week_idx")
+    return (
+        df.select("*", weeks)
+        .withColumn("week_start", F.date_add(F.col(month_col), F.col("__week_idx") * 7))
+        .withColumn("week_value", F.col(value_col) * F.lit(factor))
+        .drop("__week_idx")
+    )
+
+
+def trim_snapshot_window(
+    df: DataFrame, snap_col: str, first_rank: int, last_rank: int
+) -> DataFrame:
+    """R4: keep snapshots positionally ranked [first..last] newest-first
+    (myConversionsClass.py:506-530)."""
+    w = Window.orderBy(F.desc(snap_col))
+    ranked = df.withColumn("__rk", F.dense_rank().over(w))
+    return ranked.filter(
+        (F.col("__rk") >= first_rank) & (F.col("__rk") <= last_rank)
+    ).drop("__rk")
+
+
+# ---------------------------------------------------------------- queries
+
+_month_values_sql = ", ".join(
+    f"('{m}', {i + 1})" for i, m in enumerate(MONTH_ABBRS)
+)
+
+_R2_ORACLE = f"""
+WITH keys AS (
+  SELECT DISTINCT l_partkey FROM lineitem
+  WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+), months(mth, mnum) AS (VALUES {_month_values_sql}),
+agg AS (
+  SELECT l_partkey, month(l_shipdate) AS mnum, sum(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+  GROUP BY 1, 2
+)
+SELECT k.l_partkey, m.mth, round(coalesce(a.qty, 0), 2) AS qty
+FROM keys k
+CROSS JOIN months m
+LEFT JOIN agg a ON a.l_partkey = k.l_partkey AND a.mnum = m.mnum
+ORDER BY 1, m.mnum
+"""
+
+
+@register("r2_unpivot_months", oracle=_R2_ORACLE)
+def q_unpivot_months(spark, sf_dir):
+    """R2: pivot 1994 shipments to a wide month matrix, then unpivot back
+    to long (round-trips the reference's Hermes month loop). Missing
+    months materialize as 0 — same as the reference's fillna(0)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01"))
+    )
+    wide = (
+        li.withColumn("mth", F.date_format("l_shipdate", "MMM"))
+        .groupBy("l_partkey")
+        .pivot("mth", MONTH_ABBRS)
+        .agg(F.sum("l_quantity"))
+        .fillna(0.0, subset=MONTH_ABBRS)
+    )
+    long = unpivot_months(wide, ["l_partkey"], MONTH_ABBRS, "mth", "qty")
+    return long.select(
+        "l_partkey", "mth", F.round("qty", 2).alias("qty")
+    ).orderBy("l_partkey", "mth")
+
+
+_R3_ORACLE = """
+WITH monthly AS (
+  SELECT o_orderpriority AS priority,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         sum(o_totalprice) AS monthly_value
+  FROM orders GROUP BY 1, 2
+)
+SELECT priority, m + (w.i * 7) AS week_start,
+       round(monthly_value * 0.25, 4) AS week_value
+FROM monthly
+CROSS JOIN (VALUES (0), (1), (2), (3)) w(i)
+ORDER BY 1, 2
+"""
+
+
+@register("r3_week_disaggregation", oracle=_R3_ORACLE)
+def q_week_disagg(spark, sf_dir):
+    """R3: month->week fan-out with per-week factor."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.trunc("o_orderdate", "month").alias("m"),
+        )
+        .agg(F.sum("o_totalprice").alias("monthly_value"))
+    )
+    out = disaggregate_to_weeks(monthly, "m", "monthly_value")
+    return out.select(
+        "priority", "week_start", F.round("week_value", 4).alias("week_value")
+    ).orderBy("priority", "week_start")
+
+
+_R4_ORACLE = """
+WITH snaps AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS snapshot_month,
+         o_orderpriority AS priority, sum(o_totalprice) AS total_price
+  FROM orders GROUP BY 1, 2
+), ranked AS (
+  SELECT *, dense_rank() OVER (ORDER BY snapshot_month DESC) AS rk FROM snaps
+)
+SELECT snapshot_month, priority, round(total_price, 2) AS total_price
+FROM ranked WHERE rk BETWEEN 2 AND 4
+ORDER BY 1, 2
+"""
+
+
+@register("r4_snapshot_window_trim", oracle=_R4_ORACLE)
+def q_snapshot_trim(spark, sf_dir):
+    """R4: positional snapshot-window trim (2nd..4th newest months)."""
+    orders = load_table(spark, sf_dir, "orders")
+    snaps = (
+        orders.groupBy(
+            F.trunc("o_orderdate", "month").alias("snapshot_month"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.sum("o_totalprice").alias("total_price"))
+    )
+    out = trim_snapshot_window(snaps, "snapshot_month", 2, 4)
+    return out.select(
+        "snapshot_month", "priority", F.round("total_price", 2).alias("total_price")
+    ).orderBy("snapshot_month", "priority")
