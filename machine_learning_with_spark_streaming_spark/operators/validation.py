@@ -1,0 +1,313 @@
+"""Validation / QC operators (SURVEY.md §2.12, V1-V7) — the reference's
+signature capability: production reconciliation as correctness oracle.
+
+Edge-rule parity (pipeline/qualitycheck.py:175-180):
+  baseline == 0 and value == 0  ->  pct 0,    PASS
+  baseline == 0 and value != 0  ->  pct inf,  FAIL   (pct surfaced as NULL
+                                    here: engine-portable, flag carries it)
+  else                          ->  pct = (value-baseline)/baseline,
+                                    PASS iff |pct| <= threshold
+
+All comparisons are aggregate-vs-aggregate full-outer joins with zero-fill
+— tiny row counts after aggregation, so the joins are broadcast and the
+cost is the two input aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from machine_learning_with_spark_streaming_spark.registry import register
+from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+QC_THRESHOLD = 0.15  # pipeline/qualitycheck.py:23
+TRANSFORM_TOL = 0.001  # myConversionsClass.py:376
+
+
+class SchemaConformanceError(ValueError):
+    """V7: input is missing required columns (pipeline/SqlUpload.py:76-79)."""
+
+
+def conformance_gate(df: DataFrame, required: list[str]) -> DataFrame:
+    """V7: require columns else raise (callers may catch-and-skip the file,
+    matching the reference's skip-with-warning)."""
+    missing = [c for c in required if c not in df.columns]
+    if missing:
+        raise SchemaConformanceError(f"missing required columns: {missing}")
+    return df
+
+
+def aggregate_compare(
+    before: DataFrame,
+    after: DataFrame,
+    keys: list[str],
+    value_cols: list[str],
+    tol: float = TRANSFORM_TOL,
+) -> DataFrame:
+    """V1: per-key, per-column relative-delta check (validate,
+    myConversionsClass.py:372-409). Returns only the violating rows with
+    ``<col>_before / <col>_after / <col>_delta`` triples."""
+    b = before.groupBy(*keys).agg(
+        *[F.sum(c).alias(f"{c}_before") for c in value_cols]
+    )
+    a = after.groupBy(*keys).agg(
+        *[F.sum(c).alias(f"{c}_after") for c in value_cols]
+    )
+    joined = b.join(a, keys, "full_outer")
+    cond = None
+    out = joined
+    for c in value_cols:
+        bf = F.coalesce(F.col(f"{c}_before"), F.lit(0.0))
+        af = F.coalesce(F.col(f"{c}_after"), F.lit(0.0))
+        delta = F.when(bf != 0, F.abs(af - bf) / F.abs(bf)).otherwise(
+            F.when(af != 0, F.lit(float("inf"))).otherwise(F.lit(0.0))
+        )
+        out = out.withColumn(f"{c}_delta", delta)
+        c_viol = F.col(f"{c}_delta") > tol
+        cond = c_viol if cond is None else (cond | c_viol)
+    return out.filter(cond)
+
+
+def totals_conserved(
+    before: DataFrame, after: DataFrame, value_col: str, tol: float = TRANSFORM_TOL
+) -> bool:
+    """V2: scalar grand-total conservation
+    (myConversionsClass.py:411-424)."""
+    b = before.agg(F.sum(value_col)).first()[0] or 0.0
+    a = after.agg(F.sum(value_col)).first()[0] or 0.0
+    if b == 0:
+        return a == 0
+    return abs(a - b) / abs(b) <= tol
+
+
+def qc_verdict(
+    new: DataFrame,
+    baseline: DataFrame,
+    dims: list[str],
+    value_col: str,
+    threshold: float = QC_THRESHOLD,
+) -> DataFrame:
+    """V3: PASS/FAIL aggregate comparison across dimensions
+    (qualitycheck.py:149-197). ``new``/``baseline`` carry ``dims`` +
+    ``value_col``; output is one verdict row per key with the exact
+    0-baseline edge rules."""
+    n = new.groupBy(*dims).agg(F.sum(value_col).alias("new_value"))
+    b = baseline.groupBy(*dims).agg(F.sum(value_col).alias("baseline_value"))
+    j = n.join(b, dims, "full_outer")
+    nv = F.coalesce(F.col("new_value"), F.lit(0.0))
+    bv = F.coalesce(F.col("baseline_value"), F.lit(0.0))
+    pct = F.when(bv != 0, (nv - bv) / bv)  # NULL when baseline 0 (inf case)
+    pct = F.when((bv == 0) & (nv == 0), F.lit(0.0)).otherwise(pct)
+    verdict = (
+        F.when((bv == 0) & (nv == 0), F.lit("PASS"))
+        .when(bv == 0, F.lit("FAIL"))
+        .when(F.abs((nv - bv) / bv) <= threshold, F.lit("PASS"))
+        .otherwise(F.lit("FAIL"))
+    )
+    return j.select(
+        *dims,
+        F.round(nv, 2).alias("new_value"),
+        F.round(bv, 2).alias("baseline_value"),
+        F.round(pct, 6).alias("pct_diff"),
+        verdict.alias("qc"),
+    )
+
+
+def delta_rows(
+    new: DataFrame, old: DataFrame, pk: list[str], compare_cols: list[str]
+) -> DataFrame:
+    """V6/K4/J6: changed-or-new row detection (delta upsert set,
+    mySQLClass.py:148-177): left join on PK, keep rows where any compared
+    column differs (null-safe) or the PK is absent from ``old``."""
+    old_sel = old.select(
+        *[F.col(c) for c in pk], *[F.col(c).alias(f"__old_{c}") for c in compare_cols]
+    )
+    marker = "__old_present"
+    old_sel = old_sel.withColumn(marker, F.lit(1))
+    j = new.join(old_sel, pk, "left")
+    diff = F.col(marker).isNull()
+    for c in compare_cols:
+        diff = diff | ~F.col(c).eqNullSafe(F.col(f"__old_{c}"))
+    return j.filter(diff).select(new["*"])
+
+
+# ---------------------------------------------------------------- queries
+
+_V1_ORACLE = """
+WITH before AS (
+  SELECT o_orderpriority AS priority, sum(o_totalprice) AS value_before
+  FROM orders GROUP BY 1
+), after AS (
+  SELECT o_orderpriority AS priority,
+         sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 1.2
+                  ELSE o_totalprice END) AS value_after
+  FROM orders GROUP BY 1
+)
+SELECT b.priority,
+       round(coalesce(value_before, 0), 2) AS value_before,
+       round(coalesce(value_after, 0), 2) AS value_after,
+       round(abs(coalesce(value_after, 0) - coalesce(value_before, 0))
+             / abs(value_before), 6) AS value_delta
+FROM before b FULL OUTER JOIN after a ON b.priority = a.priority
+WHERE abs(coalesce(value_after, 0) - coalesce(value_before, 0)) / abs(value_before)
+      > 0.001
+ORDER BY 1
+"""
+
+
+@register("v1_aggregate_compare", oracle=_V1_ORACLE)
+def q_aggregate_compare(spark, sf_dir):
+    """V1: transform-conservation check flags the perturbed group only."""
+    orders = load_table(spark, sf_dir, "orders")
+    before = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("value"),
+    )
+    after = before.withColumn(
+        "value",
+        F.when(F.col("priority") == "1-URGENT", F.col("value") * 1.2).otherwise(
+            F.col("value")
+        ),
+    )
+    out = aggregate_compare(before, after, ["priority"], ["value"])
+    return out.select(
+        "priority",
+        F.round(F.coalesce("value_before", F.lit(0.0)), 2).alias("value_before"),
+        F.round(F.coalesce("value_after", F.lit(0.0)), 2).alias("value_after"),
+        F.round("value_delta", 6).alias("value_delta"),
+    ).orderBy("priority")
+
+
+_V3_ORACLE = """
+WITH new AS (
+  SELECT o_orderpriority AS priority, sum(o_totalprice) AS nv
+  FROM orders WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+  GROUP BY 1
+), base AS (
+  SELECT o_orderpriority AS priority, sum(o_totalprice) AS bv
+  FROM orders WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+    AND o_orderpriority <> '5-LOW'
+  GROUP BY 1
+)
+SELECT coalesce(n.priority, b.priority) AS priority,
+       round(coalesce(nv, 0), 2) AS new_value,
+       round(coalesce(bv, 0), 2) AS baseline_value,
+       CASE WHEN coalesce(bv, 0) = 0 AND coalesce(nv, 0) = 0 THEN 0.0
+            WHEN coalesce(bv, 0) = 0 THEN NULL
+            ELSE round((coalesce(nv, 0) - coalesce(bv, 0)) / coalesce(bv, 0), 6)
+       END AS pct_diff,
+       CASE WHEN coalesce(bv, 0) = 0 AND coalesce(nv, 0) = 0 THEN 'PASS'
+            WHEN coalesce(bv, 0) = 0 THEN 'FAIL'
+            WHEN abs((coalesce(nv, 0) - coalesce(bv, 0)) / coalesce(bv, 0)) <= 0.15
+              THEN 'PASS'
+            ELSE 'FAIL'
+       END AS qc
+FROM new n FULL OUTER JOIN base b ON n.priority = b.priority
+ORDER BY 1
+"""
+
+
+@register("v3_qc_verdict", oracle=_V3_ORACLE)
+def q_qc_verdict(spark, sf_dir):
+    """V3: ±15% QC verdicts incl. the 0-baseline FAIL edge (one priority
+    is removed from the baseline to exercise it)."""
+    orders = load_table(spark, sf_dir, "orders")
+    new = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    ).select(F.col("o_orderpriority").alias("priority"), F.col("o_totalprice").alias("v"))
+    base = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01"))
+        & (F.col("o_orderdate") < F.lit("1995-01-01"))
+        & (F.col("o_orderpriority") != "5-LOW")
+    ).select(F.col("o_orderpriority").alias("priority"), F.col("o_totalprice").alias("v"))
+    return qc_verdict(new, base, ["priority"], "v").orderBy("priority")
+
+
+_V4_ORACLE = """
+WITH snaps AS (
+  SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS m FROM orders
+), ranked AS (
+  SELECT m, dense_rank() OVER (ORDER BY m DESC) AS rk FROM snaps
+), latest AS (
+  SELECT o_orderpriority AS priority, sum(o_totalprice) AS nv FROM orders
+  WHERE CAST(date_trunc('month', o_orderdate) AS DATE) = (SELECT m FROM ranked WHERE rk = 1)
+  GROUP BY 1
+), prev AS (
+  SELECT o_orderpriority AS priority, sum(o_totalprice) AS bv FROM orders
+  WHERE CAST(date_trunc('month', o_orderdate) AS DATE) = (SELECT m FROM ranked WHERE rk = 2)
+  GROUP BY 1
+)
+SELECT coalesce(l.priority, p.priority) AS priority,
+       round(coalesce(nv, 0), 2) AS new_value,
+       round(coalesce(bv, 0), 2) AS baseline_value,
+       CASE WHEN coalesce(bv, 0) = 0 AND coalesce(nv, 0) = 0 THEN 0.0
+            WHEN coalesce(bv, 0) = 0 THEN NULL
+            ELSE round((coalesce(nv, 0) - coalesce(bv, 0)) / coalesce(bv, 0), 6)
+       END AS pct_diff,
+       CASE WHEN coalesce(bv, 0) = 0 AND coalesce(nv, 0) = 0 THEN 'PASS'
+            WHEN coalesce(bv, 0) = 0 THEN 'FAIL'
+            WHEN abs((coalesce(nv, 0) - coalesce(bv, 0)) / coalesce(bv, 0)) <= 0.15
+              THEN 'PASS'
+            ELSE 'FAIL'
+       END AS qc
+FROM latest l FULL OUTER JOIN prev p ON l.priority = p.priority
+ORDER BY 1
+"""
+
+
+@register("v4_snapshot_drift", oracle=_V4_ORACLE)
+def q_snapshot_drift(spark, sf_dir):
+    """V4: latest-vs-previous snapshot drift (qualitycheck
+    PostSql.py:56-173) — W4 snapshot ranking feeding the V3 machinery."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "m", F.trunc("o_orderdate", "month")
+    )
+    snaps = [
+        r["m"]
+        for r in orders.select("m").distinct().orderBy(F.desc("m")).limit(2).collect()
+    ]
+    latest, prev = snaps[0], snaps[1]
+    new = orders.filter(F.col("m") == F.lit(latest)).select(
+        F.col("o_orderpriority").alias("priority"), F.col("o_totalprice").alias("v")
+    )
+    base = orders.filter(F.col("m") == F.lit(prev)).select(
+        F.col("o_orderpriority").alias("priority"), F.col("o_totalprice").alias("v")
+    )
+    return qc_verdict(new, base, ["priority"], "v").orderBy("priority")
+
+
+_V6_ORACLE = """
+WITH old AS (SELECT * FROM customer),
+new AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+         c_nationkey, c_mktsegment
+  FROM customer WHERE c_custkey % 7 <> 0
+)
+SELECT n.c_custkey, n.c_name, round(n.c_acctbal, 2) AS c_acctbal
+FROM new n LEFT JOIN old o ON n.c_custkey = o.c_custkey
+WHERE o.c_custkey IS NULL OR n.c_acctbal IS DISTINCT FROM o.c_acctbal
+ORDER BY 1
+"""
+
+
+@register("v6_delta_rows", oracle=_V6_ORACLE)
+def q_delta_rows(spark, sf_dir):
+    """V6: changed-row detection — only rows whose balance moved come back
+    (the Delta-MERGE input set)."""
+    old = load_table(spark, sf_dir, "customer")
+    new = (
+        old.filter(F.col("c_custkey") % 7 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 100.0).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+    )
+    out = delta_rows(new, old, ["c_custkey"], ["c_acctbal"])
+    return out.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    ).orderBy("c_custkey")
