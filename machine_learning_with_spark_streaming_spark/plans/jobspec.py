@@ -1,0 +1,96 @@
+"""JobSpec — declarative source -> enrich -> normalize -> project pipeline.
+
+The reference drives 19 extract jobs through one interpreter
+(``build_jobs`` 19 JobConfig records, pipeline/runner.py:22-178;
+``transform_to_final``, pipeline/lib.py:210-298): config-chosen renames,
+constants, a mapping join, snapshot stamping, attribute date parsing, and
+a final 8-column projection. Here the spec interprets into a single lazy
+DataFrame plan — Catalyst sees the whole job and optimizes across the
+steps (e.g. the final projection prunes columns all the way into the
+scan).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from machine_learning_with_spark_streaming_spark.functions.cleaning import clean_numeric, map_values
+from machine_learning_with_spark_streaming_spark.functions.dates import parse_date_multi
+from machine_learning_with_spark_streaming_spark.operators.joins import enrich
+from machine_learning_with_spark_streaming_spark.operators.validation import conformance_gate
+from machine_learning_with_spark_streaming_spark.schemas import FACT_COLUMNS
+
+
+@dataclass
+class MappingSpec:
+    """Broadcast enrichment join (the region-mapping xlsx join,
+    pipeline/lib.py:188-207)."""
+
+    dim: DataFrame
+    on: list[str]
+    enriched_cols: dict[str, str]  # dim col -> output col
+    not_mapped: str = "NotMapped"
+
+
+@dataclass
+class JobSpec:
+    """One feed's declarative normalization recipe."""
+
+    name: str
+    rename_map: dict[str, str] = field(default_factory=dict)
+    constants: dict[str, object] = field(default_factory=dict)
+    value_col: str | None = None  # column to clean into `value`
+    clean_value: bool = False  # locale-tolerant numeric cleanup
+    attribute_col: str | None = None  # text column parsed into `attribute`
+    attribute_formats: list[str] | None = None
+    snapshot_expr: Column | None = None  # e.g. month-floor of a date col
+    mapping: MappingSpec | None = None
+    bu_remap: dict[str, str] | None = None
+    final_cols: list[str] = field(default_factory=lambda: list(FACT_COLUMNS))
+
+
+def run_job(feed: DataFrame, spec: JobSpec) -> DataFrame:
+    """Interpret a JobSpec over a feed DataFrame -> canonical fact rows.
+
+    Mirrors transform_to_final's step order (pipeline/lib.py:210-298):
+    mapping join, snapshot, attribute parse, renames/constants, value
+    cleanup, BU remap, final projection + conformance gate.
+    """
+    df = feed
+    if spec.mapping is not None:
+        df, _errors = enrich(
+            df,
+            spec.mapping.dim,
+            spec.mapping.on,
+            spec.mapping.enriched_cols,
+            not_mapped=spec.mapping.not_mapped,
+        )
+    if spec.snapshot_expr is not None:
+        df = df.withColumn("snapshot", spec.snapshot_expr)
+    if spec.attribute_col is not None:
+        df = df.withColumn(
+            "attribute", parse_date_multi(spec.attribute_col, spec.attribute_formats)
+        )
+    if spec.rename_map:
+        df = df.withColumnsRenamed(spec.rename_map)
+    for name, value in spec.constants.items():
+        df = df.withColumn(name, F.lit(value))
+    if spec.value_col is not None:
+        src = F.col(spec.value_col)
+        df = df.withColumn(
+            "value", clean_numeric(src) if spec.clean_value else src.cast("double")
+        )
+    if spec.bu_remap and "bu" in df.columns:
+        df = df.withColumn("bu", map_values("bu", spec.bu_remap))
+    df = df.select(
+        *[
+            F.col(c).cast("string").alias(c)
+            if c in ("source", "material", "sales_organization", "country", "bu")
+            else F.col(c)
+            for c in spec.final_cols
+        ]
+    )
+    return conformance_gate(df, spec.final_cols)
