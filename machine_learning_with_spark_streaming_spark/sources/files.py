@@ -1,0 +1,157 @@
+"""File sources/sinks (S1-S4, K1, K8 of SURVEY.md §2.1).
+
+The reference unions folder listings of CSVs in driver Python
+(``packages/myFileClass.py:89-131``); Spark's reader takes the whole path
+list / glob natively and parallelizes the scan. Lineage (``FileName``
+column) is ``input_file_name()``. The per-file schema conformance gate
+(``pipeline/SqlUpload.py:76-79``) becomes an explicit-schema read plus a
+required-column assertion.
+
+Scale notes: explicit schemas (no inference pass over 100 TB), globs
+pushed to the catalog/file index, and ``badRecordsPath``-style permissive
+parsing instead of per-file Python try/except.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import re
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from machine_learning_with_spark_streaming_spark.operators.validation import conformance_gate
+
+
+def read_csv(
+    spark: SparkSession,
+    paths: str | list[str],
+    schema: T.StructType | None = None,
+    header: bool = True,
+    skip_rows: int | None = None,
+    encoding: str = "ISO-8859-1",
+    required_cols: list[str] | None = None,
+    with_filename: bool = False,
+    column_names: list[str] | None = None,
+) -> DataFrame:
+    """S1: multi-file CSV scan with optional explicit names, encoding,
+    lineage column and conformance gate (myFileClass.py:89-131)."""
+    if skip_rows:
+        # The reference's `skiprows` trims junk preamble lines from small
+        # report exports (myFileClass.py:117-120). Those inputs are
+        # driver-sized; read via pandas + Arrow rather than inventing a
+        # distributed line-offset protocol.
+        import pandas as pd
+
+        path_list = paths if isinstance(paths, list) else [paths]
+        pdfs = []
+        for p in path_list:
+            one = pd.read_csv(
+                p,
+                skiprows=skip_rows,
+                header=0 if header else None,
+                encoding=encoding,
+                dtype=str,
+            )
+            if with_filename:
+                one["file_name"] = p
+            pdfs.append(one)
+        pdf = pd.concat(pdfs, ignore_index=True)
+        df = spark.createDataFrame(pdf)
+        if column_names:
+            df = df.toDF(*column_names)
+        if required_cols:
+            df = conformance_gate(df, required_cols)
+        return df
+
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("encoding", encoding)
+        .option("mode", "PERMISSIVE")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    df = reader.csv(paths)
+    if column_names:
+        df = df.toDF(*column_names)
+    if with_filename:
+        df = df.withColumn("file_name", F.input_file_name())
+    if required_cols:
+        df = conformance_gate(df, required_cols)
+    return df
+
+
+def read_auto(spark: SparkSession, path: str, **kwargs) -> DataFrame:
+    """S3: dispatch on extension (pipeline/lib.py:92-101). Excel requires
+    the driver-side pandas bridge (S2) — see ``read_excel_via_pandas``."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".csv", ".txt"):
+        return read_csv(spark, path, **kwargs)
+    if ext in (".parquet",):
+        return spark.read.parquet(path)
+    if ext in (".json", ".jsonl"):
+        return spark.read.json(path)
+    if ext in (".xlsx", ".xlsm", ".xls"):
+        return read_excel_via_pandas(spark, path, **kwargs)
+    raise ValueError(f"unsupported extension: {ext}")
+
+
+def read_excel_via_pandas(
+    spark: SparkSession, path: str, sheet_name: str | int = 0, **kwargs
+) -> DataFrame:
+    """S2: Excel scan — no core Spark reader, so pandas reads driver-side
+    and Arrow ships it to a DataFrame (report-sized inputs only, like the
+    reference's lookup xlsx files)."""
+    import pandas as pd
+
+    pdf = pd.read_excel(path, sheet_name=sheet_name)
+    return spark.createDataFrame(pdf)
+
+
+_DATE_PREFIX = re.compile(r"(\d{8})")
+
+
+def find_latest_by_pattern(pattern: str) -> str | None:
+    """S4: latest-file selection — prefer a YYYYMMDD token in the filename,
+    fall back to mtime (pipeline/lib.py:65-83). Driver-side by design: it
+    picks which path the distributed scan reads."""
+    candidates = _glob.glob(pattern)
+    if not candidates:
+        return None
+
+    def sort_key(p: str):
+        m = _DATE_PREFIX.search(os.path.basename(p))
+        if m:
+            try:
+                return (1, datetime.strptime(m.group(1), "%Y%m%d").timestamp())
+            except ValueError:
+                pass
+        return (0, os.path.getmtime(p))
+
+    return max(candidates, key=sort_key)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False, mode: str = "overwrite") -> None:
+    """K1: CSV sink. ``single_file`` coalesces to one partition (only for
+    report-sized outputs — never at fact scale)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_with_error_side_output(
+    df: DataFrame, error_predicate, path: str, error_path: str, mode: str = "overwrite"
+) -> None:
+    """K8: main sink + error side-output from the same DAG
+    (myConversionsClass.py:273-276): write good rows and bad rows as two
+    filters of one cached plan."""
+    df = df.persist()
+    try:
+        df.filter(~error_predicate).write.mode(mode).option("header", "true").csv(path)
+        df.filter(error_predicate).write.mode(mode).option("header", "true").csv(error_path)
+    finally:
+        df.unpersist()

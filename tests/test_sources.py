@@ -1,0 +1,80 @@
+import os
+
+import pytest
+
+from machine_learning_with_spark_streaming_spark.operators.validation import SchemaConformanceError
+from machine_learning_with_spark_streaming_spark.sources.files import (
+    find_latest_by_pattern,
+    read_auto,
+    read_csv,
+    write_csv,
+)
+from machine_learning_with_spark_streaming_spark.sources.jdbc import upsert_delta_rows
+
+
+@pytest.fixture()
+def csv_dir(tmp_path):
+    d = tmp_path / "feeds"
+    d.mkdir()
+    (d / "20240101_feed.csv").write_text("material,value\nA,1\nB,2\n")
+    (d / "20240301_feed.csv").write_text("material,value\nC,3\n")
+    (d / "junk_feed.csv").write_text("material,value\nD,4\n")
+    return d
+
+
+def test_read_csv_multi_file_union_with_lineage(spark, csv_dir):
+    df = read_csv(spark, f"{csv_dir}/*_feed.csv", with_filename=True)
+    assert df.count() == 4
+    assert "file_name" in df.columns
+
+
+def test_read_csv_conformance_gate(spark, csv_dir):
+    with pytest.raises(SchemaConformanceError):
+        read_csv(spark, f"{csv_dir}/*_feed.csv", required_cols=["material", "value", "bu"])
+
+
+def test_read_csv_skiprows(spark, tmp_path):
+    p = tmp_path / "report.csv"
+    p.write_text("JUNK LINE\nANOTHER\nmaterial,value\nA,1\n")
+    df = read_csv(spark, str(p), skip_rows=2)
+    rows = df.collect()
+    assert df.columns == ["material", "value"]
+    assert rows[0]["material"] == "A"
+
+
+def test_find_latest_prefers_filename_date(csv_dir):
+    # mtime says junk_feed.csv is newest, but dated names win
+    latest = find_latest_by_pattern(f"{csv_dir}/*_feed.csv")
+    assert os.path.basename(latest) == "20240301_feed.csv"
+
+
+def test_read_auto_parquet(spark, sf_dir):
+    df = read_auto(spark, f"{sf_dir}/nation.parquet")
+    assert df.count() == 25
+
+
+def test_write_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    out = str(tmp_path / "out")
+    write_csv(df, out, single_file=True)
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == 2
+
+
+def test_upsert_delta_rows_writes_only_changes(spark, tmp_path):
+    target = str(tmp_path / "target")
+    old = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "v"])
+    old.write.parquet(target)
+    new = spark.createDataFrame([(1, 10.0), (2, 25.0), (3, 30.0)], ["k", "v"])
+
+    written = []
+    n = upsert_delta_rows(
+        new,
+        read_existing=lambda: spark.read.parquet(target),
+        write_changed=lambda df: written.append(df.collect()),
+        pk=["k"],
+        compare_cols=["v"],
+    )
+    assert n == 2
+    keys = sorted(r["k"] for r in written[0])
+    assert keys == [2, 3]
