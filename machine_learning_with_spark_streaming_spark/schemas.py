@@ -60,8 +60,41 @@ BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table. Parquet carries its schema; no inference."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one testdata table. Parquet carries its schema; no inference.
+
+    Spark 4 rejects parquet ``TIMESTAMP(NANOS)`` columns
+    (PARQUET_TYPE_ILLEGAL); the ``events`` testdata is written with ns
+    precision, so fall back to an Arrow-side cast to µs for such files.
+    (At production scale the fix belongs in the writer config — Spark
+    itself never emits NANOS.)
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    has_nanos = any(
+        pa.types.is_timestamp(f.type) and f.type.unit == "ns" for f in schema
+    )
+    if has_nanos:
+        return _load_nanos_parquet(spark, path)
+    return spark.read.parquet(path)
+
+
+def _load_nanos_parquet(spark: SparkSession, path: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    fields = [
+        pa.field(f.name, pa.timestamp("us"))
+        if pa.types.is_timestamp(f.type)
+        else f
+        for f in t.schema
+    ]
+    return spark.createDataFrame(
+        t.cast(pa.schema(fields), safe=False).to_pandas()
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

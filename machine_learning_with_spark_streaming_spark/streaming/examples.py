@@ -1,0 +1,112 @@
+"""Registered queries for streaming semantics, run in batch mode over the
+``events`` table so the DuckDB oracle can check them (stream-batch parity
+— same expressions — is proven in tests/test_streaming.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from machine_learning_with_spark_streaming_spark.registry import register
+from machine_learning_with_spark_streaming_spark.schemas import load_table
+from machine_learning_with_spark_streaming_spark.streaming.pipeline import windowed_event_aggregate
+
+_S11_TUMBLING_ORACLE = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS value_sum
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("s11_tumbling_window", oracle=_S11_TUMBLING_ORACLE)
+def q_tumbling_window(spark, sf_dir):
+    """§2.10: tumbling 1h event-time window by event type (the engine's
+    event-time superset of the reference's processing-time batches)."""
+    events = load_table(spark, sf_dir, "events")
+    return windowed_event_aggregate(events, "1 hour").orderBy(
+        "window_start", "event_type"
+    )
+
+
+_S11_SLIDING_ORACLE = """
+WITH contrib AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, value FROM events
+  UNION ALL
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR AS window_start, value
+  FROM events
+)
+SELECT window_start, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS value_sum
+FROM contrib
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("s11_sliding_window", oracle=_S11_SLIDING_ORACLE)
+def q_sliding_window(spark, sf_dir):
+    """§2.10: sliding 2h/1h window — each event lands in two windows."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        windowed_event_aggregate(events, "2 hours", slide="1 hour", keys=[])
+        .orderBy("window_start")
+    )
+
+
+_S11_JSON_ORACLE = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS value_sum
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("s11_json_props_extract", oracle=_S11_JSON_ORACLE)
+def q_json_props(spark, sf_dir):
+    """§2.10/F-json: JSON payload field extraction (the streaming payload
+    is JSON text; ``from_json``/``get_json_object`` replace the producer's
+    ``json.loads``, Dataset/stream.py:65,194)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn(
+            "k_bucket",
+            (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_bucket"),
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+_S11_DEDUP_ORACLE = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_first_events
+FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("s11_stream_dedup", oracle=_S11_DEDUP_ORACLE)
+def q_stream_dedup(spark, sf_dir):
+    """§2.10: keyed dedup — first event per (user, type) by event time
+    (the batch analog of dropDuplicatesWithinWatermark)."""
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_first_events"))
+        .orderBy("user_id")
+    )

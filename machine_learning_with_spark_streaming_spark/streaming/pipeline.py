@@ -1,0 +1,125 @@
+"""Event-time streaming pipelines (SURVEY.md §2.10 superset).
+
+The reference is processing-time-only (no timestamps in its payload); the
+engine adds the full Structured Streaming surface over the ``events``
+table shape: watermarks, tumbling/sliding/session windows, streaming
+dedup, and ``foreachBatch`` sinks (append + the K4 delta-upsert
+semantics). Batch and streaming share the same expressions, so
+stream-batch parity is testable by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_aggregate(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str | None = "10 minutes",
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling/sliding window aggregate with optional watermark.
+
+    On a streaming frame the watermark bounds state (late rows beyond it
+    drop); on a batch frame the same expressions run without state.
+    """
+    keys = keys if keys is not None else ["event_type"]
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, window_duration, slide) if slide else F.window(ts_col, window_duration)
+    return (
+        df.groupBy(win.alias("win"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            *keys,
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def sessionized_aggregate(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    key: str = "user_id",
+) -> DataFrame:
+    """Session windows per key: gap-based session assignment."""
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("sess"), key)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            key,
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str], watermark: str = "10 minutes", ts_col: str = "ts"
+) -> DataFrame:
+    """Streaming exact dedup: watermark bounds the key state."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+        return df.dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+def foreach_batch_append(path: str, format: str = "parquet"):
+    """foreachBatch sink: plain append per micro-batch."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").format(format).save(path)
+
+    return _sink
+
+
+def foreach_batch_upsert(path: str, pk: list[str], compare_cols: list[str]):
+    """foreachBatch sink with K4 delta-upsert semantics
+    (mySQLClass.py:148-220): write only new/changed rows vs the target.
+    On Delta Lake this would be ``MERGE INTO``; on plain parquet we
+    append the changed set (idempotent for replays that re-send
+    identical rows)."""
+    from machine_learning_with_spark_streaming_spark.operators.validation import delta_rows
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(path)
+        except Exception:
+            existing = None
+        out = batch_df if existing is None else delta_rows(batch_df, existing, pk, compare_cols)
+        out.write.mode("append").parquet(path)
+
+    return _sink
+
+
+def run_available_now(stream_df: DataFrame, sink_fn, checkpoint: str) -> None:
+    """Drain all available input through foreachBatch and stop (test/replay
+    harness; production uses ``trigger(processingTime='5 seconds')`` to
+    match the producer cadence)."""
+    q = (
+        stream_df.writeStream.foreachBatch(sink_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,145 @@
+"""Streaming contract tests: payload parsing (S11), stream-batch parity,
+foreachBatch sinks — using the file source with availableNow (the socket
+transport shares the same parse expressions)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from machine_learning_with_spark_streaming_spark.streaming.pipeline import (
+    foreach_batch_upsert,
+    run_available_now,
+    sessionized_aggregate,
+    windowed_event_aggregate,
+)
+from machine_learning_with_spark_streaming_spark.streaming.source import (
+    features_as_vector,
+    parse_feature_lines,
+    read_feature_stream_files,
+)
+
+N_FEATURES = 4
+
+
+def _payload_line(start: int, n_rows: int) -> str:
+    return json.dumps(
+        {
+            str(i): {
+                **{f"feature{j}": float(i * 10 + j) for j in range(N_FEATURES)},
+                "label": float(i % 3),
+            }
+            for i in range(start, start + n_rows)
+        }
+    )
+
+
+@pytest.fixture()
+def payload_dir(tmp_path):
+    d = tmp_path / "payload"
+    d.mkdir()
+    # 3 producer sends (batches) of 5 rows each — Dataset/stream.py cadence
+    for b in range(3):
+        (d / f"batch_{b}.jsonl").write_text(_payload_line(b * 5, 5) + "\n")
+    return d
+
+
+def test_parse_feature_lines_batch(spark, payload_dir):
+    lines = spark.read.text(str(payload_dir))
+    rows = parse_feature_lines(lines, N_FEATURES)
+    out = rows.orderBy("row_idx").collect()
+    assert len(out) == 15
+    assert out[0]["row_idx"] == 0
+    assert out[0]["feature0"] == 0.0
+    assert out[14]["feature3"] == 143.0
+    assert out[14]["label"] == 2.0
+
+
+def test_feature_vector_packing(spark, payload_dir):
+    lines = spark.read.text(str(payload_dir))
+    rows = features_as_vector(parse_feature_lines(lines, N_FEATURES), N_FEATURES)
+    r = rows.orderBy("row_idx").first()
+    assert r["features"] == [0.0, 1.0, 2.0, 3.0]
+    assert set(rows.columns) == {"row_idx", "label", "features"}
+
+
+def test_stream_batch_parity_feature_payload(spark, payload_dir, tmp_path):
+    """The same parse over readStream yields exactly the batch result."""
+    stream = read_feature_stream_files(spark, str(payload_dir), N_FEATURES)
+    assert stream.isStreaming
+    sink_path = str(tmp_path / "sink")
+    run_available_now(
+        stream,
+        lambda df, _id: df.write.mode("append").parquet(sink_path),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    streamed = spark.read.parquet(sink_path)
+    batch = parse_feature_lines(spark.read.text(str(payload_dir)), N_FEATURES)
+    assert streamed.count() == 15
+    assert (
+        streamed.exceptAll(batch).count() == 0 and batch.exceptAll(streamed).count() == 0
+    )
+
+
+def test_windowed_aggregate_stream_batch_parity(spark, sf_dir, tmp_path):
+    """Tumbling-window agg over a streamed events table == batch result."""
+    # the source parquet stores ns timestamps, which the streaming parquet
+    # reader rejects; replay a µs-precision copy (same rows)
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    events_dir = str(tmp_path / "events_us")
+    load_table(spark, sf_dir, "events").write.parquet(events_dir)
+    batch_events = spark.read.parquet(events_dir)
+    expected = sorted(
+        (r["window_start"], r["event_type"], r["n_events"], r["value_sum"])
+        for r in windowed_event_aggregate(batch_events, "1 hour").collect()
+    )
+
+    stream_events = spark.readStream.schema(batch_events.schema).parquet(events_dir)
+    agg = windowed_event_aggregate(stream_events, "1 hour", watermark="1 minute")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["window_start"], r["event_type"], r["n_events"], r["value_sum"])
+        for r in spark.sql("select * from win_agg").collect()
+    )
+    assert got == expected
+
+
+def test_session_window_batch(spark):
+    rows = [
+        ("2024-01-01 00:00:00", 1, 1.0),
+        ("2024-01-01 00:02:00", 1, 2.0),
+        ("2024-01-01 00:30:00", 1, 4.0),
+        ("2024-01-01 00:03:00", 2, 8.0),
+    ]
+    df = spark.createDataFrame(rows, ["ts_s", "user_id", "value"]).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    out = sessionized_aggregate(df, gap="5 minutes").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 2  # two sessions: 00:00-00:07, 00:30-00:35
+    assert len(by_user[2]) == 1
+    first = min(by_user[1], key=lambda r: r["session_start"])
+    assert first["n_events"] == 2 and first["value_sum"] == 3.0
+
+
+def test_foreach_batch_upsert_only_appends_changes(spark, tmp_path):
+    target = str(tmp_path / "upsert_target")
+    first = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "v"])
+    foreach_batch_upsert(target, ["k"], ["v"])(first, 0)
+    # replaying the same rows plus one change writes only the change
+    second = spark.createDataFrame([(1, 10.0), (2, 25.0)], ["k", "v"])
+    foreach_batch_upsert(target, ["k"], ["v"])(second, 1)
+    final = spark.read.parquet(target)
+    assert final.count() == 3  # 2 initial + 1 changed row appended
+    assert final.filter("k = 2").count() == 2
