@@ -55,9 +55,18 @@ def demand_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.trunc("o_orderdate", "month").alias("order_month"),
         )
         .agg(
+            # decimal aggregation: exact + associative, so the result (and
+            # its 2-dec rounding) is identical regardless of partitioning
+            # and matches any engine computing the same decimal sum
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.count(F.lit(1)).alias("n_rows"),
         )
@@ -71,7 +80,8 @@ SELECT
   c.c_mktsegment AS segment,
   o.o_orderpriority AS priority,
   CAST(date_trunc('month', o.o_orderdate) AS DATE) AS order_month,
-  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l.l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
   round(sum(l.l_quantity), 2) AS sum_qty,
   count(*) AS n_rows
 FROM lineitem l
@@ -81,6 +91,7 @@ WHERE o.o_orderdate >= DATE '{DATE_START}'
   AND o.o_orderdate < DATE '{DATE_END}'
   AND c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
 GROUP BY 1, 2, 3
-HAVING round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) <> 0
+HAVING CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l.l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) <> 0
 ORDER BY 1, 2, 3
 """

@@ -1,0 +1,355 @@
+"""Deduplication operators for training-data pipelines (BASELINE.json
+north star; beyond the reference surface).
+
+Five strategies, all shaped for 100 TB:
+
+- exact: hash-groupBy on normalized text — one shuffle on the hash, never
+  on the raw text; survivor = min doc id (deterministic).
+- n-gram Jaccard: shingle inverted-index self-join (explode -> join on
+  shingle -> count matches) — candidate pairs only materialize for docs
+  sharing a shingle; no O(n²) cross join.
+- MinHash + LSH banding: k hash signatures -> band buckets -> bucket join
+  -> exact-Jaccard verify of candidates. The band join bounds candidate
+  pairs; the verify keeps precision at 1.0.
+- SimHash: 64-bit signature, hamming<=k via band-match join (pigeonhole:
+  pairs within k bits share an exact 64/(k+1)-bit band).
+- embedding cosine: see operators/similarity.py (shares the vector
+  toolkit).
+
+All text ops run on arrays of words via JVM higher-order functions; no
+Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from machine_learning_with_spark_streaming_spark.registry import register
+from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+JACCARD_THRESHOLD = 0.8
+SHINGLE_N = 3
+
+
+def normalize_text(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by normalized text, keep the min id. The groupBy
+    key at scale should be ``xxhash64(norm_text)`` + a residual equality
+    check; here the normalized text itself keeps it oracle-checkable."""
+    return (
+        df.withColumn("__norm", normalize_text(text_col))
+        .groupBy("__norm")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("__norm")
+    )
+
+
+def shingles(col: Column | str, n: int = SHINGLE_N) -> Column:
+    """Distinct word n-gram shingles as an array column (JVM-side
+    ``transform`` over a ``sequence``; no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    ws = F.split(normalize_text(c), " ")
+    idx = F.when(F.size(ws) >= n, F.sequence(F.lit(0), F.size(ws) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j + 1) for j in range(n)]),
+    )
+    return F.array_distinct(grams)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = JACCARD_THRESHOLD,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard via inverted-index
+    join. Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    # shingles() is array_distinct, so the exploded rows are already unique
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("shingle")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """MinHash signature per doc: ``min(xxhash64(shingle, seed_i))`` for
+    each of ``num_hashes`` seeds — computed in one pass over exploded
+    shingles (one aggregate, no per-hash scan)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("shingle")
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = JACCARD_THRESHOLD,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band the signatures, join on band
+    buckets, verify candidates with exact Jaccard. Output matches
+    ``jaccard_pairs`` (full precision) while the band join keeps the
+    candidate set ~linear for corpora where most pairs are dissimilar."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    bands_long = banded.selectExpr(
+        "id",
+        f"stack({bands}, "
+        + ", ".join(f"{b}, band{b}" for b in range(bands))
+        + ") as (band_idx, band_hash)",
+    )
+    cand = (
+        bands_long.alias("a")
+        .join(
+            bands_long.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact-Jaccard verification of the candidate pairs only
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
+    )
+    verified = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def simhash(col: Column | str, bits: int = 64) -> Column:
+    """64-bit SimHash of the word multiset: per bit, sum +1/-1 weighted by
+    word occurrences, bit=1 when positive. Expressed with JVM higher-order
+    functions over the word array."""
+    c = F.col(col) if isinstance(col, str) else col
+    ws = F.split(normalize_text(c), " ")
+    hashes = F.transform(ws, lambda w: F.xxhash64(w))
+    bit_cols = []
+    for b in range(bits):
+        contrib = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+        bit_cols.append(
+            F.when(contrib > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bit_cols[0]
+    for bc in bit_cols[1:]:
+        out = out.bitwiseOR(bc)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming <= max_hamming, found via the
+    pigeonhole band join: a pair within k bit-flips of a 64-bit signature
+    agrees exactly on at least one of k+1 16-bit bands."""
+    n_bands = max_hamming + 1
+    band_bits = 64 // n_bands
+    sig = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sig"))
+    bands_long = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("sig"), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "sig", "band.band_idx", "band.band_val")
+    cand = (
+        bands_long.alias("a")
+        .join(
+            bands_long.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------- corpus
+
+def corpus_with_duplicates(spark, sf_dir: str) -> DataFrame:
+    """documents ∪ 25 near-copies (id+100000, ' zzz extra' suffix) ∪ 25
+    exact copies (id+200000) — deterministic, reproducible in SQL."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = (
+        docs.filter(F.col("doc_id") < 25)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzz extra")).alias("text"),
+        )
+    )
+    exact = (
+        docs.filter((F.col("doc_id") >= 25) & (F.col("doc_id") < 50))
+        .select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' zzz extra' AS text
+  FROM documents WHERE doc_id < 25
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents
+  WHERE doc_id >= 25 AND doc_id < 50
+)
+"""
+
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+_EXACT_ORACLE = f"""
+WITH {_CORPUS_SQL}
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM (SELECT doc_id, {_NORM} AS norm FROM corpus)
+GROUP BY norm
+ORDER BY 1
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_ORACLE)
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup over a corpus with injected exact duplicates."""
+    corpus = corpus_with_duplicates(spark, sf_dir)
+    return exact_dedup(corpus).orderBy("doc_id")
+
+
+_JACCARD_ORACLE_BODY = f"""
+WITH {_CORPUS_SQL},
+words AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] AS shingle
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+ORDER BY 1, 2
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE_BODY)
+def q_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram-Jaccard near-dup pairs via shingle inverted index."""
+    corpus = corpus_with_duplicates(spark, sf_dir)
+    return jaccard_pairs(corpus).orderBy("id_a", "id_b")
+
+
+@register("dedup_minhash_lsh", oracle=_JACCARD_ORACLE_BODY)
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH candidates verified by exact Jaccard — must find the
+    same pairs as the exact inverted-index method (verified recall; the
+    banding only bounds the candidate set)."""
+    corpus = corpus_with_duplicates(spark, sf_dir)
+    return minhash_lsh_pairs(corpus).orderBy("id_a", "id_b")
+
+
+@register("dedup_simhash")  # xxhash64 signatures: not DuckDB-expressible
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 3). Rows-only driver check; the
+    injected exact copies are asserted in tests/test_dedup.py."""
+    corpus = corpus_with_duplicates(spark, sf_dir)
+    return simhash_pairs(corpus).orderBy("id_a", "id_b")

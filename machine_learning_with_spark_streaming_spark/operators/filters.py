@@ -167,7 +167,7 @@ SELECT l_orderkey, l_linenumber, l_partkey
 FROM (
   SELECT l_orderkey, l_linenumber, l_partkey,
          row_number() OVER (PARTITION BY l_orderkey
-                            ORDER BY l_linenumber) AS rn
+                            ORDER BY l_linenumber, l_partkey) AS rn
   FROM lineitem
 ) WHERE rn = 1
 ORDER BY l_orderkey
@@ -179,7 +179,7 @@ def q_keep_first(spark, sf_dir):
     """P12: deterministic keep-first-per-key dedup."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        keep_first_per_key(li, ["l_orderkey"], [F.asc("l_linenumber")])
+        keep_first_per_key(li, ["l_orderkey"], [F.asc("l_linenumber"), F.asc("l_partkey")])
         .select("l_orderkey", "l_linenumber", "l_partkey")
         .orderBy("l_orderkey")
     )

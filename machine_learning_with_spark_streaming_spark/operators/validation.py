@@ -48,11 +48,19 @@ def aggregate_compare(
     """V1: per-key, per-column relative-delta check (validate,
     myConversionsClass.py:372-409). Returns only the violating rows with
     ``<col>_before / <col>_after / <col>_delta`` triples."""
+    # decimal aggregation: sums are exact + associative, so the comparison
+    # (and its oracle) is immune to partitioning/summation-order noise
     b = before.groupBy(*keys).agg(
-        *[F.sum(c).alias(f"{c}_before") for c in value_cols]
+        *[
+            F.sum(F.col(c).cast("decimal(27,6)")).cast("double").alias(f"{c}_before")
+            for c in value_cols
+        ]
     )
     a = after.groupBy(*keys).agg(
-        *[F.sum(c).alias(f"{c}_after") for c in value_cols]
+        *[
+            F.sum(F.col(c).cast("decimal(27,6)")).cast("double").alias(f"{c}_after")
+            for c in value_cols
+        ]
     )
     joined = b.join(a, keys, "full_outer")
     cond = None
@@ -92,8 +100,14 @@ def qc_verdict(
     (qualitycheck.py:149-197). ``new``/``baseline`` carry ``dims`` +
     ``value_col``; output is one verdict row per key with the exact
     0-baseline edge rules."""
-    n = new.groupBy(*dims).agg(F.sum(value_col).alias("new_value"))
-    b = baseline.groupBy(*dims).agg(F.sum(value_col).alias("baseline_value"))
+    n = new.groupBy(*dims).agg(
+        F.sum(F.col(value_col).cast("decimal(27,6)")).cast("double").alias("new_value")
+    )
+    b = baseline.groupBy(*dims).agg(
+        F.sum(F.col(value_col).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("baseline_value")
+    )
     j = n.join(b, dims, "full_outer")
     nv = F.coalesce(F.col("new_value"), F.lit(0.0))
     bv = F.coalesce(F.col("baseline_value"), F.lit(0.0))
@@ -136,12 +150,13 @@ def delta_rows(
 
 _V1_ORACLE = """
 WITH before AS (
-  SELECT o_orderpriority AS priority, sum(o_totalprice) AS value_before
+  SELECT o_orderpriority AS priority,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS value_before
   FROM orders GROUP BY 1
 ), after AS (
   SELECT o_orderpriority AS priority,
-         sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 1.2
-                  ELSE o_totalprice END) AS value_after
+         CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 1.2
+                  ELSE o_totalprice END AS DECIMAL(27,6))) AS DOUBLE) AS value_after
   FROM orders GROUP BY 1
 )
 SELECT b.priority,
@@ -181,11 +196,13 @@ def q_aggregate_compare(spark, sf_dir):
 
 _V3_ORACLE = """
 WITH new AS (
-  SELECT o_orderpriority AS priority, sum(o_totalprice) AS nv
+  SELECT o_orderpriority AS priority,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS nv
   FROM orders WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
   GROUP BY 1
 ), base AS (
-  SELECT o_orderpriority AS priority, sum(o_totalprice) AS bv
+  SELECT o_orderpriority AS priority,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS bv
   FROM orders WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
     AND o_orderpriority <> '5-LOW'
   GROUP BY 1
@@ -231,11 +248,13 @@ WITH snaps AS (
 ), ranked AS (
   SELECT m, dense_rank() OVER (ORDER BY m DESC) AS rk FROM snaps
 ), latest AS (
-  SELECT o_orderpriority AS priority, sum(o_totalprice) AS nv FROM orders
+  SELECT o_orderpriority AS priority,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS nv FROM orders
   WHERE CAST(date_trunc('month', o_orderdate) AS DATE) = (SELECT m FROM ranked WHERE rk = 1)
   GROUP BY 1
 ), prev AS (
-  SELECT o_orderpriority AS priority, sum(o_totalprice) AS bv FROM orders
+  SELECT o_orderpriority AS priority,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS bv FROM orders
   WHERE CAST(date_trunc('month', o_orderdate) AS DATE) = (SELECT m FROM ranked WHERE rk = 2)
   GROUP BY 1
 )

@@ -34,8 +34,10 @@ def abc_classify(
     order total (deterministic) — the reference relies on pandas sort
     stability instead."""
     tiebreak = tiebreak or []
-    v = F.when(F.col(value) < 0, F.lit(0.0)).otherwise(
-        F.coalesce(F.col(value).cast("double"), F.lit(0.0))
+    # keep the input's numeric type: on DECIMAL inputs the cumulations stay
+    # exact/associative (identical across engines and partitionings)
+    v = F.when(F.col(value) < 0, F.lit(0)).otherwise(
+        F.coalesce(F.col(value), F.lit(0))
     )
     df = df.withColumn("__v", v)
     part = [group] if group else []
@@ -49,8 +51,13 @@ def abc_classify(
     df = (
         df.withColumn("cum_sum", F.sum("__v").over(w_cum))
         .withColumn("total", F.sum("__v").over(w_all))
-        .withColumn("percent", F.col("__v") / F.col("total"))
-        .withColumn("cum_percent", F.col("cum_sum") / F.col("total"))
+        .withColumn(
+            "percent", F.col("__v").cast("double") / F.col("total").cast("double")
+        )
+        .withColumn(
+            "cum_percent",
+            F.col("cum_sum").cast("double") / F.col("total").cast("double"),
+        )
     )
     first_row_a = (F.col("__v") > 0) & (F.col("__v") == F.col("cum_sum"))
     share_a = (F.col("cum_percent") > 0) & (F.col("cum_percent") <= a)
@@ -119,28 +126,33 @@ coalesce_first_nonzero = first_nonzero  # W5 re-export
 _W1_ORACLE = """
 WITH rev AS (
   SELECT p.p_brand AS brand, l.l_partkey AS partkey,
-         sum(l.l_extendedprice) AS revenue
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS revenue
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
   GROUP BY 1, 2
 ), c AS (
   SELECT brand, partkey, revenue,
-    sum(CASE WHEN revenue < 0 THEN 0 ELSE revenue END)
-      OVER (PARTITION BY brand ORDER BY (CASE WHEN revenue < 0 THEN 0 ELSE revenue END) DESC, partkey
+    sum(CASE WHEN revenue < 0 THEN CAST(0 AS DECIMAL(18,2)) ELSE revenue END)
+      OVER (PARTITION BY brand ORDER BY (CASE WHEN revenue < 0 THEN CAST(0 AS DECIMAL(18,2)) ELSE revenue END) DESC, partkey
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_sum,
-    sum(CASE WHEN revenue < 0 THEN 0 ELSE revenue END)
+    sum(CASE WHEN revenue < 0 THEN CAST(0 AS DECIMAL(18,2)) ELSE revenue END)
       OVER (PARTITION BY brand) AS total,
-    (CASE WHEN revenue < 0 THEN 0 ELSE revenue END) AS v
+    (CASE WHEN revenue < 0 THEN CAST(0 AS DECIMAL(18,2)) ELSE revenue END) AS v
   FROM rev
+), r AS (
+  SELECT brand, partkey, revenue, v, cum_sum,
+         CAST(v AS DOUBLE) / CAST(total AS DOUBLE) AS pct,
+         CAST(cum_sum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_pct
+  FROM c
 )
-SELECT brand, partkey, round(revenue, 2) AS revenue,
-       round(cum_sum / total, 6) AS cum_percent,
+SELECT brand, partkey, CAST(round(revenue, 2) AS DOUBLE) AS revenue,
+       round(cum_pct, 6) AS cum_percent,
        CASE
-         WHEN (v > 0 AND v = cum_sum) OR (cum_sum / total > 0 AND cum_sum / total <= 0.8) THEN 'A'
-         WHEN cum_sum / total > 0.8 AND cum_sum / total <= 0.95 THEN 'B'
-         WHEN v / total >= 0.15 THEN 'B'
+         WHEN (v > 0 AND v = cum_sum) OR (cum_pct > 0 AND cum_pct <= 0.8) THEN 'A'
+         WHEN cum_pct > 0.8 AND cum_pct <= 0.95 THEN 'B'
+         WHEN pct >= 0.15 THEN 'B'
          ELSE 'C'
        END AS abc
-FROM c
+FROM r
 ORDER BY brand, partkey
 """
 
@@ -153,13 +165,13 @@ def q_abc(spark, sf_dir):
     rev = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"), F.col("l_partkey").alias("partkey"))
-        .agg(F.sum("l_extendedprice").alias("revenue"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("revenue"))
     )
     out = abc_classify(rev, "brand", "revenue", tiebreak=["partkey"])
     return out.select(
         "brand",
         "partkey",
-        F.round("revenue", 2).alias("revenue"),
+        F.round("revenue", 2).cast("double").alias("revenue"),
         F.round("cum_percent", 6).alias("cum_percent"),
         "abc",
     ).orderBy("brand", "partkey")
