@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed with a ``noop``-format write so the full physical
+plan runs (scan -> shuffle -> agg/join) without driver-side collect —
+the same shape a cluster job has. ``value`` = total seconds across the
+headline set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from machine_learning_with_spark_streaming_spark.session import get_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per engine area (relational core, windows, reshape,
+# validation, streaming-shaped, LLM-data ops).
+HEADLINE = [
+    "flagship_demand_rollup",
+    "a1_pivot_sum",
+    "a5_rollup_grand_total",
+    "j2_enrichment",
+    "w1_abc_classify",
+    "r2_unpivot_months",
+    "p9_regex_filter",
+    "v3_qc_verdict",
+    "s11_tumbling_window",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "sim_topk_cosine",
+]
+
+
+def _sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_query(df) -> None:
+    # full-plan execution without collecting results to the driver
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_session("machine-learning-with-spark-streaming-bench")
+    queries = entry_mod.queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    # warm the JVM + parquet footers once so timings measure the queries
+    run_query(queries[names[0]](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        run_query(queries[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
