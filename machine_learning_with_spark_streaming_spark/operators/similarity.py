@@ -1,0 +1,193 @@
+"""Similarity search over embedding columns (``array<float>``) —
+BASELINE.json north-star ops beyond the reference surface.
+
+Two strategies:
+
+- **Brute-force cosine top-k** (the exactness baseline): broadcast the
+  small query set against the corpus, JVM-side cosine
+  (``zip_with`` + ``aggregate``), rank per query. At 100 TB the corpus
+  side stays partitioned and is scanned once; the ranking shuffle moves
+  only ``n_queries x corpus`` scored *rows* (id + double), never the
+  vectors themselves.
+- **Sign-LSH bucketed ANN** (the scale path): an axis-aligned
+  random-hyperplane bucket id from the signs of the leading dimensions
+  turns the cross product into an equi-join on ``bucket`` — candidates
+  shrink ~2^bits-fold for isotropic data, and the join is a plain hash
+  join Catalyst can shuffle-partition. Recall<1 by construction;
+  the oracle mirrors the same bucketing so the contract is exact.
+
+Cosine is computed in double with sequential element order in both
+engines — results are bit-identical to the DuckDB oracle (verified), so
+rank tie-breaking on the raw double is stable cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from machine_learning_with_spark_streaming_spark.functions.vectors import (
+    as_double_array,
+    cosine_similarity,
+    sign_bucket,
+)
+from machine_learning_with_spark_streaming_spark.registry import register
+from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+TOP_K = 5
+N_QUERIES = 8
+LSH_BITS = 4
+
+
+def topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector (excluding self-matches).
+
+    Returns (query_id, rank, neighbor_id, cos). ``queries`` must be
+    small (it is broadcast); the corpus is streamed partition-parallel.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("__cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def topk_cosine_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = LSH_BITS,
+) -> DataFrame:
+    """ANN top-k: score only candidates sharing the sign-LSH bucket with
+    the query (equi-join on bucket, not a cross product)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("__qv"),
+        sign_bucket(as_double_array(vec_col), n_bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("__cv"),
+        sign_bucket(as_double_array(vec_col), n_bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+# ------------------------------------------------------------------ oracles
+
+_DOT = (
+    "list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),"
+    " list_transform({b}, x -> CAST(x AS DOUBLE)))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
+
+
+_TOPK_ORACLE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('q.embedding', 'c.embedding')} AS cos
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id, round(cos, 6) AS cos
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {{v}}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(LSH_BITS)
+)
+
+_TOPK_BUCKETED_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL.format(v='embedding')} AS bucket
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL.format(v='embedding')} AS bucket
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('q.embedding', 'c.embedding')} AS cos
+  FROM q JOIN c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id, round(cos, 6) AS cos
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("sim_topk_cosine", oracle=_TOPK_ORACLE)
+def q_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-5 for the first 8 vectors vs the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = topk_cosine(emb, emb.filter(F.col("vec_id") < N_QUERIES))
+    return out.withColumn("rank", F.col("rank").cast("int")).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register("sim_topk_bucketed", oracle=_TOPK_BUCKETED_ORACLE)
+def q_topk_bucketed(spark, sf_dir):
+    """Sign-LSH bucketed ANN top-5 (equi-join candidates, same ranking)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = topk_cosine_bucketed(emb, emb.filter(F.col("vec_id") < N_QUERIES))
+    return out.withColumn("rank", F.col("rank").cast("int")).orderBy(
+        "query_id", "rank"
+    )

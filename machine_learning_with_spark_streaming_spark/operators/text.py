@@ -1,0 +1,244 @@
+"""Text-analysis operators over the ``documents`` table — BASELINE.json
+north-star ops for LLM training-data pipelines.
+
+All pure JVM column expressions (split / filter / regexp over arrays) —
+no Python in the hot path, so every operator whole-stage-codegens and
+scales linearly with the corpus. Each has an exact DuckDB oracle.
+
+- **Language ID**: stopword-overlap scoring against per-language marker
+  lists; argmax with a fixed tie order. (An n-gram character model is
+  the production upgrade; the scoring plumbing is identical — per-doc
+  feature counts -> argmax.)
+- **Quality scoring**: length / punctuation / stopword-ratio features
+  and a thresholded quality class (reference analog: the QC verdict
+  pattern, pipeline/qualitycheck.py:175-180, applied to text).
+- **Token counting**: whitespace tokens + a BPE-ish regex tokenization
+  (letters runs | single digits | single punctuation).
+- **Fingerprinting**: shingle-set min-hash fingerprint (min md5 over
+  word 3-grams) + shingle cardinality — a portable rolling-hash stand-in
+  computed identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from machine_learning_with_spark_streaming_spark.operators.dedup import normalize_text, shingles
+from machine_learning_with_spark_streaming_spark.registry import register
+from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+# Marker ("stopword") lists per language. Deterministic, tiny — literal
+# arrays in the plan, no lookup table needed.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "von"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "para"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "du", "que", "pour"],
+    # zh intentionally absent: marker-word overlap needs tokenizable text;
+    # CJK gets 'und' here (character-range n-grams are the real upgrade).
+}
+
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+QUALITY_STOPWORDS = LANG_MARKERS["en"]
+
+
+def words(col: Column | str) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def _count_in_list(ws: Column, vocab: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in vocab])
+    return F.size(F.filter(ws, lambda w: F.array_contains(arr, w)))
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    ws = words(col)
+    return {lang: _count_in_list(ws, vocab) for lang, vocab in LANG_MARKERS.items()}
+
+
+def lang_id(col: Column | str) -> Column:
+    """Predicted language: argmax of marker-overlap scores; ties resolve
+    in the fixed key order of LANG_MARKERS; all-zero -> 'und'."""
+    scores = lang_scores(col)
+    best_score = F.greatest(*scores.values()) if len(scores) > 1 else next(
+        iter(scores.values())
+    )
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when(
+            (best_score > 0) & (scores[lang] == best_score), F.lit(lang)
+        ).otherwise(pred)
+    return pred
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    ws = words(text_col)
+    n_words = F.size(ws)
+    n_chars = F.length(normalize_text(text_col))
+    n_punct = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"), 0)
+    )
+    n_stop = _count_in_list(ws, QUALITY_STOPWORDS)
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("n_chars", n_chars)
+        .withColumn(
+            "mean_word_len",
+            F.round((n_chars - (n_words - 1)) / n_words, 6),
+        )
+        .withColumn("punct_ratio", F.round(n_punct / n_chars, 6))
+        .withColumn("stopword_ratio", F.round(n_stop / n_words, 6))
+    )
+
+
+def quality_class(df: DataFrame) -> DataFrame:
+    """Thresholded verdict over the features (quality_features output)."""
+    return df.withColumn(
+        "quality",
+        F.when(F.col("n_words") < 5, F.lit("junk"))
+        .when(F.col("punct_ratio") > 0.2, F.lit("noisy"))
+        .when(F.col("stopword_ratio") >= 0.02, F.lit("good"))
+        .otherwise(F.lit("fair")),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("ws_tokens", F.size(words(text_col))).withColumn(
+        "bpe_tokens",
+        F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0)),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Min-hash fingerprint over word 3-gram shingles (portable md5)."""
+    sh = shingles(text_col)
+    return df.withColumn(
+        "fingerprint", F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    ).withColumn("n_shingles", F.size(sh))
+
+
+# ------------------------------------------------------------------ SQL
+
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_WS = f"string_split({_NORM}, ' ')"
+
+
+def _count_sql(vocab: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in vocab)
+    return f"len(list_filter({_WS}, x -> list_contains([{lst}], x)))"
+
+
+def _lang_id_sql() -> str:
+    score_cols = {lang: _count_sql(v) for lang, v in LANG_MARKERS.items()}
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_MARKERS) + ")"
+    case = "CASE"
+    for lang in LANG_MARKERS:
+        case += f" WHEN best > 0 AND s_{lang} = best THEN '{lang}'"
+    case += " ELSE 'und' END"
+    inner = ", ".join(f"{sql} AS s_{lang}" for lang, sql in score_cols.items())
+    return f"SELECT doc_id, lang, {inner}, {best} AS best FROM documents", case
+
+
+_LANG_INNER, _LANG_CASE = _lang_id_sql()
+
+_LANG_ORACLE = f"""
+WITH scored AS ({_LANG_INNER})
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       {_LANG_CASE} AS pred_lang
+FROM scored ORDER BY doc_id
+"""
+
+
+@register("text_lang_id", oracle=_LANG_ORACLE)
+def q_lang_id(spark, sf_dir):
+    """Stopword-overlap language ID vs the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", lang_id("text").alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+_QUALITY_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id,
+         len({_WS}) AS n_words,
+         length({_NORM}) AS n_chars,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         {_count_sql(QUALITY_STOPWORDS)} AS n_stop
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS INT) AS n_words,
+       CAST(n_chars AS INT) AS n_chars,
+       round(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 6) AS mean_word_len,
+       round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+       round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio,
+       CASE WHEN n_words < 5 THEN 'junk'
+            WHEN CAST(n_punct AS DOUBLE) / n_chars > 0.2 THEN 'noisy'
+            WHEN CAST(n_stop AS DOUBLE) / n_words >= 0.02 THEN 'good'
+            ELSE 'fair' END AS quality
+FROM feats ORDER BY doc_id
+"""
+
+
+@register("text_quality", oracle=_QUALITY_ORACLE)
+def q_quality(spark, sf_dir):
+    """Quality features + thresholded class per document."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = quality_class(quality_features(docs))
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("n_chars").cast("int").alias("n_chars"),
+        "mean_word_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality",
+    ).orderBy("doc_id")
+
+
+_TOKENS_ORACLE = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len({_WS}) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text),
+            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+@register("text_token_counts", oracle=_TOKENS_ORACLE)
+def q_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counts per document."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = token_counts(docs)
+    return out.select(
+        "doc_id",
+        F.col("ws_tokens").cast("int").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("int").alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+_SHINGLE_SQL = f"""
+  SELECT doc_id, ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] AS shingle
+  FROM (SELECT doc_id, {_WS} AS ws FROM documents) w,
+       LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g
+"""
+
+_FINGERPRINT_ORACLE = f"""
+WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLE_SQL}))
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       min(md5(shingle)) AS fingerprint,
+       CAST(count(*) AS INT) AS n_shingles
+FROM sh GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("text_fingerprint", oracle=_FINGERPRINT_ORACLE)
+def q_fingerprint(spark, sf_dir):
+    """Shingle min-hash fingerprint + shingle cardinality per document."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = fingerprint(docs)
+    return out.select(
+        "doc_id", "fingerprint", F.col("n_shingles").cast("int").alias("n_shingles")
+    ).orderBy("doc_id")

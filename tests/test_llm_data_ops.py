@@ -1,0 +1,117 @@
+"""Property tests for similarity search, text analysis, and multimodal
+operators (the LLM-data-pipeline suite). Oracle parity is covered by
+tests/test_entry_contract.py; these assert the semantic invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from machine_learning_with_spark_streaming_spark.operators.multimodal import (
+    assets_from_documents,
+    decode_audio,
+    decode_image,
+    extract_features,
+)
+from machine_learning_with_spark_streaming_spark.operators.similarity import (
+    topk_cosine,
+    topk_cosine_bucketed,
+)
+from machine_learning_with_spark_streaming_spark.operators.text import (
+    lang_id,
+    quality_class,
+    quality_features,
+    token_counts,
+)
+from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+
+def test_topk_cosine_self_similarity(spark):
+    # a vector duplicated under another id must rank itself #1 at cos 1.0
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [1.0, 1.0, 0.0]),
+        (101, [1.0, 0.0, 0.0]),  # copy of 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = topk_cosine(df, df.filter(F.col("vec_id") == 1), k=3).collect()
+    assert (out[0].neighbor_id, out[0].cos) == (101, 1.0)
+    assert [r.rank for r in out] == [1, 2, 3]
+
+
+def test_topk_cosine_excludes_self(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = topk_cosine(emb, emb.filter(F.col("vec_id") < 4), k=5)
+    assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+    # exactly k rows per query, ranks 1..k
+    per_q = out.groupBy("query_id").agg(
+        F.count("*").alias("n"), F.max("rank").alias("mx")
+    )
+    assert all(r.n == 5 and r.mx == 5 for r in per_q.collect())
+
+
+def test_bucketed_results_subset_of_corpus_bucket(spark, sf_dir):
+    # bucketed ANN only returns neighbors from the query's bucket, and
+    # its top-1 cos never exceeds the exact top-1 cos
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4)
+    exact = {
+        r.query_id: r.cos for r in topk_cosine(emb, q, k=1).collect()
+    }
+    approx = {
+        r.query_id: r.cos for r in topk_cosine_bucketed(emb, q, k=1).collect()
+    }
+    for qid, cos in approx.items():
+        assert cos <= exact[qid] + 1e-9
+
+
+def test_lang_id_real_language_samples(spark):
+    rows = [
+        (1, "the cat and the dog went to the park for a walk"),
+        (2, "der hund und die katze sind nicht mit dem auto"),
+        (3, "el perro y la casa de que un dia por la noche"),
+        (4, "le chien et les chats du village pour une promenade"),
+        (5, "xyzzy plugh qwerty"),  # no markers -> und
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.pred for r in df.select("doc_id", lang_id("text").alias("pred")).collect()}
+    assert out == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "und"}
+
+
+def test_quality_features_ranges(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = quality_class(quality_features(docs))
+    bad = out.filter(
+        (F.col("punct_ratio") < 0)
+        | (F.col("punct_ratio") > 1)
+        | (F.col("stopword_ratio") < 0)
+        | (F.col("stopword_ratio") > 1)
+        | (F.col("n_words") <= 0)
+        | F.col("quality").isNull()
+    )
+    assert bad.count() == 0
+
+
+def test_token_counts_simple(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42")], "doc_id long, text string")
+    r = token_counts(df).collect()[0]
+    assert r.ws_tokens == 3
+    # hello , world ! 4 2  -> 6 BPE-ish tokens
+    assert r.bpe_tokens == 6
+
+
+def test_multimodal_feature_batch_shape(spark, sf_dir):
+    assets = assets_from_documents(spark, sf_dir)
+    feats = extract_features(assets)
+    assert feats.count() == assets.count()
+    r = feats.orderBy("asset_id").first()
+    # payload is UTF-8 text; mean byte of printable ASCII is within range
+    assert 32.0 <= r.mean_byte <= 127.0
+    assert r.n_bytes > 0 and r.width >= 16 and r.height >= 16
+    assert r.sampled_frames >= 1
+
+
+def test_decode_stubs_raise():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF")
