@@ -37,6 +37,40 @@ def normalize_text(col: Column | str) -> Column:
     return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
 
 
+def _grams_from_words(ws: Column, n: int) -> Column:
+    """Distinct word n-grams via shifted-slice ``zip_with`` — references
+    ``ws`` exactly ``n`` times total.
+
+    The naive form (``transform`` over an index ``sequence`` with
+    ``element_at(ws, i+j)``) references ``ws`` once per gram per
+    position; Catalyst re-inlines the split expression into every
+    reference when projections collapse into a Generate, turning the
+    shingle explode into an O(words^2) regex blowup (measured 12.6s ->
+    <1s at sf0.1 for this formulation).
+    """
+    k = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    grams = F.slice(ws, 1, k)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(ws, j + 1, k), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.array_distinct(grams)
+
+
+def shingle_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """(id, sh: array<string>) with the word split materialized in its own
+    projection so it's computed once per row."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(text_col), " ").alias("__ws"),
+    ).select("id", _grams_from_words(F.col("__ws"), n).alias("sh"))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: group by normalized text, keep the min id. The groupBy
     key at scale should be ``xxhash64(norm_text)`` + a residual equality
@@ -50,18 +84,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(col: Column | str, n: int = SHINGLE_N) -> Column:
-    """Distinct word n-gram shingles as an array column (JVM-side
-    ``transform`` over a ``sequence``; no UDF)."""
+    """Distinct word n-gram shingles as an inline array column (JVM-side
+    ``transform`` over a ``sequence``; no UDF). Prefer
+    :func:`shingle_table` in pipelines — this inline form re-evaluates the
+    word split per gram reference."""
     c = F.col(col) if isinstance(col, str) else col
     ws = F.split(normalize_text(c), " ")
-    idx = F.when(F.size(ws) >= n, F.sequence(F.lit(0), F.size(ws) - n)).otherwise(
-        F.array().cast("array<int>")
-    )
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j + 1) for j in range(n)]),
-    )
-    return F.array_distinct(grams)
+    return _grams_from_words(ws, n)
 
 
 def jaccard_pairs(
@@ -73,9 +102,9 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard via inverted-index
     join. Returns (id_a, id_b, jaccard) with id_a < id_b."""
-    # shingles() is array_distinct, so the exploded rows are already unique
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("shingle")
+    # shingle arrays are array_distinct, so the exploded rows are unique
+    sh = shingle_table(df, text_col, id_col, n).select(
+        "id", F.explode("sh").alias("shingle")
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -108,8 +137,8 @@ def minhash_signatures(
     """MinHash signature per doc: ``min(xxhash64(shingle, seed_i))`` for
     each of ``num_hashes`` seeds — computed in one pass over exploded
     shingles (one aggregate, no per-hash scan)."""
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("shingle")
+    sh = shingle_table(df, text_col, id_col, n).select(
+        "id", F.explode("sh").alias("shingle")
     )
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
@@ -132,7 +161,15 @@ def minhash_lsh_pairs(
     ``jaccard_pairs`` (full precision) while the band join keeps the
     candidate set ~linear for corpora where most pairs are dissimilar."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    # one shingle pass feeds both the signatures and the verification
+    sh_tab = shingle_table(df, text_col, id_col, n)
+    exploded = sh_tab.select("id", F.explode("sh").alias("shingle"))
+    sig = exploded.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
     band_cols = [
         F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
         for b in range(bands)
@@ -156,12 +193,13 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact-Jaccard verification of the candidate pairs only
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
-    )
     verified = (
-        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        cand.join(
+            sh_tab.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(
+            sh_tab.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+        )
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))
@@ -173,32 +211,43 @@ def minhash_lsh_pairs(
     return verified
 
 
-def simhash(col: Column | str, bits: int = 64) -> Column:
-    """64-bit SimHash of the word multiset: per bit, sum +1/-1 weighted by
-    word occurrences, bit=1 when positive. Expressed with JVM higher-order
-    functions over the word array."""
-    c = F.col(col) if isinstance(col, str) else col
-    ws = F.split(normalize_text(c), " ")
-    hashes = F.transform(ws, lambda w: F.xxhash64(w))
-    bit_cols = []
-    for b in range(bits):
-        contrib = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        )
-        bit_cols.append(
-            F.when(contrib > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
+def simhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, sig) via explode + hash-aggregate: one pass over the word
+    rows with ``bits`` sum-aggregates over a real attribute.
+
+    The array-only form (64 ``aggregate`` higher-order calls over the
+    hash array) re-evaluates the array expression per bit when Catalyst
+    collapses projections — O(bits x words) hashing per doc. Exploding
+    first makes the per-bit input an attribute, and the groupBy gets
+    map-side partial aggregation for free.
+    """
+    h = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                F.split(normalize_text(text_col), " "), lambda w: F.xxhash64(w)
             )
+        ).alias("h"),
+    )
+    sums = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = h.groupBy("id").agg(*sums)
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
         )
-    out = bit_cols[0]
-    for bc in bit_cols[1:]:
-        out = out.bitwiseOR(bc)
-    return out
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return agg.select("id", sig.alias("sig"))
 
 
 def simhash_pairs(
@@ -212,7 +261,7 @@ def simhash_pairs(
     agrees exactly on at least one of k+1 16-bit bands."""
     n_bands = max_hamming + 1
     band_bits = 64 // n_bands
-    sig = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sig"))
+    sig = simhash_table(df, text_col, id_col)
     bands_long = sig.select(
         "id",
         "sig",

@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from machine_learning_with_spark_streaming_spark.operators.dedup import normalize_text, shingles
+from machine_learning_with_spark_streaming_spark.operators.dedup import (
+    SHINGLE_N,
+    _grams_from_words,
+    normalize_text,
+)
 from machine_learning_with_spark_streaming_spark.registry import register
 from machine_learning_with_spark_streaming_spark.schemas import load_table
 
@@ -111,11 +115,19 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Min-hash fingerprint over word 3-gram shingles (portable md5)."""
-    sh = shingles(text_col)
-    return df.withColumn(
-        "fingerprint", F.array_min(F.transform(sh, lambda s: F.md5(s)))
-    ).withColumn("n_shingles", F.size(sh))
+    """Min-hash fingerprint over word 3-gram shingles (portable md5).
+    Word and shingle arrays are materialized in their own projections —
+    inline reuse would recompute the word split per reference."""
+    cols = df.columns
+    return (
+        df.withColumn("__ws", F.split(normalize_text(text_col), " "))
+        .withColumn("__sh", _grams_from_words(F.col("__ws"), SHINGLE_N))
+        .select(
+            *cols,
+            F.array_min(F.transform("__sh", lambda s: F.md5(s))).alias("fingerprint"),
+            F.size("__sh").alias("n_shingles"),
+        )
+    )
 
 
 # ------------------------------------------------------------------ SQL
