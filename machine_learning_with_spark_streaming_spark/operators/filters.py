@@ -104,24 +104,28 @@ def q_predicates(spark, sf_dir):
 
 
 _P9_ORACLE = """
-SELECT p_type, CAST(count(*) AS BIGINT) AS n_parts
+SELECT p_type, p_name, CAST(count(*) AS BIGINT) AS n_parts
 FROM part
-WHERE regexp_matches(p_type, '^(ECONOMY|STANDARD).*(BRASS|STEEL)$')
-GROUP BY 1
-ORDER BY 1
+WHERE regexp_matches(p_name, '^(red|blue) (widget|bolt)$')
+  AND regexp_matches(p_type, '^(ECONOMY|STANDARD)$')
+GROUP BY 1, 2
+ORDER BY 1, 2
 """
 
 
 @register("p9_regex_filter", oracle=_P9_ORACLE)
 def q_regex_filter(spark, sf_dir):
-    """P9: regex predicate (the last-12-months Attribute OR-regex,
-    pipeline/datavalidation.py:173-234)."""
+    """P9: OR-of-patterns regex predicate (the last-12-months Attribute
+    OR-regex, pipeline/datavalidation.py:173-234)."""
     part = load_table(spark, sf_dir, "part")
     return (
-        part.filter(F.col("p_type").rlike(r"^(ECONOMY|STANDARD).*(BRASS|STEEL)$"))
-        .groupBy("p_type")
+        part.filter(
+            F.col("p_name").rlike(r"^(red|blue) (widget|bolt)$")
+            & F.col("p_type").rlike(r"^(ECONOMY|STANDARD)$")
+        )
+        .groupBy("p_type", "p_name")
         .agg(F.count(F.lit(1)).alias("n_parts"))
-        .orderBy("p_type")
+        .orderBy("p_type", "p_name")
     )
 
 

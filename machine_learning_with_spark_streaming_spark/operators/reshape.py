@@ -73,12 +73,12 @@ _month_values_sql = ", ".join(
 _R2_ORACLE = f"""
 WITH keys AS (
   SELECT DISTINCT l_partkey FROM lineitem
-  WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
 ), months(mth, mnum) AS (VALUES {_month_values_sql}),
 agg AS (
   SELECT l_partkey, month(l_shipdate) AS mnum, sum(l_quantity) AS qty
   FROM lineitem
-  WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
   GROUP BY 1, 2
 )
 SELECT k.l_partkey, m.mth, round(coalesce(a.qty, 0), 2) AS qty
@@ -91,12 +91,12 @@ ORDER BY 1, m.mnum
 
 @register("r2_unpivot_months", oracle=_R2_ORACLE)
 def q_unpivot_months(spark, sf_dir):
-    """R2: pivot 1994 shipments to a wide month matrix, then unpivot back
+    """R2: pivot 1996 shipments to a wide month matrix, then unpivot back
     to long (round-trips the reference's Hermes month loop). Missing
     months materialize as 0 — same as the reference's fillna(0)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01"))
-        & (F.col("l_shipdate") < F.lit("1995-01-01"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
     )
     wide = (
         li.withColumn("mth", F.date_format("l_shipdate", "MMM"))
