@@ -191,3 +191,80 @@ def q_topk_bucketed(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("int")).orderBy(
         "query_id", "rank"
     )
+
+
+# -------------------------------------------------- embedding near-dup pairs
+
+COSINE_DUP_THRESHOLD = 0.999
+
+
+def cosine_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = LSH_BITS,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup-by-embedding
+    strategy): sign-LSH bucket equi-join bounds candidates, exact cosine
+    verifies. At threshold ~1 every true pair shares all leading-dim
+    signs, so bucket recall is exact for duplicates; the cross product
+    never materializes."""
+    v = corpus.select(
+        F.col(id_col).alias("id"),
+        as_double_array(vec_col).alias("__v"),
+        sign_bucket(as_double_array(vec_col), n_bits).alias("bucket"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_similarity(F.col("a.__v"), F.col("b.__v")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+def embeddings_with_duplicates(spark, sf_dir: str) -> DataFrame:
+    """embeddings ∪ exact copies of vec_id < 20 at id+100000 —
+    deterministic and reproducible in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return emb.unionByName(dup)
+
+
+_DUP_CORPUS_SQL = """
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id < 20
+)
+"""
+
+_COS_DUP_ORACLE = f"""
+WITH {_DUP_CORPUS_SQL},
+v AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL.format(v='embedding')} AS bucket
+  FROM corpus
+)
+SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+       round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {COSINE_DUP_THRESHOLD}
+ORDER BY 1, 2
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_COS_DUP_ORACLE)
+def q_cosine_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over a corpus with injected
+    duplicate vectors (bucketed candidates, exact-cosine verify)."""
+    corpus = embeddings_with_duplicates(spark, sf_dir)
+    return cosine_dup_pairs(corpus).orderBy("id_a", "id_b")
