@@ -1,0 +1,75 @@
+"""Skew-mitigation: salted joins.
+
+AQE's skew-join splitting (on in ``session.py``) handles sort-merge skew
+at runtime; salting is the explicit fallback for the cases AQE can't
+re-plan — e.g. a skewed **aggregation** key, or a broadcast-ineligible
+dimension join where one hot key swamps a task.
+
+``salted_join`` replicates the (small) right side ``n_salts`` times and
+scatters the left side's hot keys uniformly: left gets a random-free,
+deterministic salt ``hash(row) % n_salts``, right gets every salt. The
+join key becomes (key, salt), so a key's rows spread over ``n_salts``
+tasks instead of one. Determinism matters for replays/tests: the salt is
+derived from stable row content, not ``rand()``.
+
+``salted_aggregate`` two-phases a skewed groupBy: partial agg on
+(key, salt), final agg on key. The partial shuffle spreads each hot key
+over ``n_salts`` reducers; the final shuffle only moves ``n_salts`` rows
+per key. (Spark's hash aggregate already does map-side partials — the
+explicit salt matters when upstream partitioning clusters a hot key into
+few map tasks, e.g. after a join on that key.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, salt_from: list[str], n_salts: int) -> DataFrame:
+    """Deterministic salt in [0, n_salts) from stable row columns."""
+    return df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*salt_from), F.lit(n_salts)).cast("int")
+    )
+
+
+def replicate_salts(df: DataFrame, n_salts: int) -> DataFrame:
+    """Cross the (small) side with every salt value."""
+    return df.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt_from: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the left side's rows scattered over ``n_salts``
+    tasks per key. ``salt_from`` must be left-side columns that vary
+    within a key (e.g. the fact row's line number)."""
+    ls = with_salt(left, salt_from, n_salts)
+    rs = replicate_salts(right, n_salts)
+    return ls.join(rs, on + ["__salt"], how).drop("__salt")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, Column],
+    salt_from: list[str],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Two-phase groupBy for skewed keys: (key, salt) partials, then key
+    finals. ``aggs`` maps output name -> SUM-decomposable aggregate
+    expression (sum/count); partials and finals compose by summation."""
+    salted = with_salt(df, salt_from, n_salts)
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[expr.alias(f"__p_{name}") for name, expr in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[F.sum(f"__p_{name}").alias(name) for name in aggs]
+    )

@@ -155,3 +155,17 @@ def write_with_error_side_output(
         df.filter(error_predicate).write.mode(mode).option("header", "true").csv(error_path)
     finally:
         df.unpersist()
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Snapshot-partitioned fact sink (SURVEY §4: partition by the column
+    every read path filters on). A filter on ``partition_cols`` then
+    prunes directories at planning time — the scan's ``PartitionFilters``
+    — instead of reading and discarding rows."""
+    df.write.mode(mode).partitionBy(*partition_cols).format(format).save(path)

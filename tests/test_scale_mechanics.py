@@ -1,0 +1,71 @@
+"""Scale mechanics: salted joins/aggregates equal their unsalted
+counterparts, and partitioned writes prune at planning time."""
+
+from pyspark.sql import functions as F
+
+from machine_learning_with_spark_streaming_spark.operators.skew import (
+    salted_aggregate,
+    salted_join,
+)
+from machine_learning_with_spark_streaming_spark.schemas import load_table
+from machine_learning_with_spark_streaming_spark.sources.files import write_partitioned
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    salted = salted_join(
+        li, part, ["l_partkey"], salt_from=["l_orderkey", "l_linenumber"], n_salts=4
+    )
+    plain = li.join(part, ["l_partkey"])
+    assert salted.count() == plain.count()
+    s = salted.groupBy("p_brand").agg(F.round(F.sum("l_quantity"), 2).alias("q"))
+    p = plain.groupBy("p_brand").agg(F.round(F.sum("l_quantity"), 2).alias("q"))
+    assert {(r.p_brand, r.q) for r in s.collect()} == {
+        (r.p_brand, r.q) for r in p.collect()
+    }
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    got = salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n": F.count(F.lit(1)),
+            "qty": F.sum(F.col("l_quantity").cast("decimal(18,2)")),
+        },
+        salt_from=["l_orderkey", "l_linenumber"],
+        n_salts=4,
+    )
+    exp = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+    )
+    assert {(r.l_returnflag, r.n, r.qty) for r in got.collect()} == {
+        (r.l_returnflag, r.n, r.qty) for r in exp.collect()
+    }
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "snapshot", F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+    )
+    path = str(tmp_path / "fact")
+    write_partitioned(orders, path, ["snapshot"])
+
+    snaps = [r.snapshot for r in spark.read.parquet(path).select("snapshot").distinct().collect()]
+    target = sorted(snaps)[0]
+    q = spark.read.parquet(path).filter(F.col("snapshot") == target)
+
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "snapshot" in plan
+    # pruned scan reads only the one partition's rows
+    expected = orders.filter(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM") == target
+    ).count()
+    assert q.count() == expected
