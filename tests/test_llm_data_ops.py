@@ -115,3 +115,31 @@ def test_decode_stubs_raise():
         decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         decode_audio(b"RIFF")
+
+
+def test_ivf_topk_recovers_duplicates_and_ranks(spark, sf_dir):
+    from machine_learning_with_spark_streaming_spark.operators.ivf import ivf_topk
+    from machine_learning_with_spark_streaming_spark.operators.similarity import (
+        embeddings_with_duplicates,
+        topk_cosine,
+    )
+
+    corpus = embeddings_with_duplicates(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < 4)
+    got = ivf_topk(corpus, queries, k=3)
+    rows = got.collect()
+    # identical vectors share a cell, so each query's injected duplicate
+    # must surface as rank 1 with cos 1.0
+    top1 = {r.query_id: (r.neighbor_id, r.cos) for r in rows if r.rank == 1}
+    assert top1 == {q: (q + 100000, 1.0) for q in range(4)}
+    # ranks are 1..3 per query
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+    # ANN top-1 never beats exact top-1
+    exact1 = {
+        r.query_id: r.cos
+        for r in topk_cosine(corpus, queries, k=1).collect()
+    }
+    assert all(cos <= exact1[q] + 1e-9 for q, (_, cos) in top1.items())
