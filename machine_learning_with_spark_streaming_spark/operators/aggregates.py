@@ -267,3 +267,39 @@ def q_rowwise_stats(spark, sf_dir):
         F.round("row_std", 4).alias("row_std"),
         F.round("row_total", 2).alias("row_total"),
     ).orderBy("l_orderkey")
+
+
+def grouping_sets_sql(spark, view: str, sets_sql: str, select_sql: str) -> DataFrame:
+    """A5 (GROUPING SETS form) through the engine's SQL surface: the
+    DataFrame layer and ``spark.sql`` share one Catalyst planner, so SQL
+    text is an equally first-class query entry point."""
+    return spark.sql(f"SELECT {select_sql} FROM {view} GROUP BY GROUPING SETS {sets_sql}")
+
+
+_A5GS_ORACLE = """
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(27,6))), 2) AS DOUBLE) AS total_price,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority), ())
+ORDER BY 3, 4, 1, 2
+"""
+
+
+@register("a5_grouping_sets", oracle=_A5GS_ORACLE)
+def q_grouping_sets(spark, sf_dir):
+    """A5: GROUPING SETS with grouping() flags via the spark.sql entry
+    (same Catalyst plan as the DataFrame rollup/cube forms)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return grouping_sets_sql(
+        spark,
+        "orders_v",
+        "((o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority), ())",
+        """o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(27,6))), 2) AS DOUBLE) AS total_price,
+           count(*) AS n_rows""",
+    ).orderBy("g_status", "g_priority", "status", "priority")
