@@ -1,0 +1,134 @@
+"""Hypothesis property tests for the cleaning/date toolkit.
+
+Each example set is batched into ONE DataFrame so a property run costs a
+handful of Spark jobs, not hundreds.
+"""
+
+import datetime as dt
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from machine_learning_with_spark_streaming_spark.functions.cleaning import clean_numeric
+from machine_learning_with_spark_streaming_spark.functions.dates import (
+    fiscal_month_sort,
+    fiscal_year,
+    parse_date_multi,
+    week_floor_monday,
+)
+
+_SETTINGS = dict(max_examples=5, deadline=None)
+
+
+def _dirty_format(value: float, style: int) -> str:
+    """Deterministically wrap a number in one of the reference's dirty
+    locale styles (myConversionsClass.py:64-95)."""
+    mag = abs(value)
+    s = f"{mag:,.4f}" if style % 2 == 0 else f"{mag:.4f}"
+    if style % 3 == 0:
+        s = f"$ {s}"
+    if value < 0:
+        s = f"({s})" if style % 2 == 1 else f"-{s}"
+    return f" {s} "
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(
+                min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+            ),
+            st.integers(min_value=0, max_value=5),
+        ),
+        min_size=20,
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_clean_numeric_recovers_value(spark, cases):
+    rows = [
+        (i, _dirty_format(round(v, 4), style)) for i, (v, style) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(rows, "i long, raw string")
+    got = {
+        r.i: r.v
+        for r in df.select("i", clean_numeric("raw").alias("v")).collect()
+    }
+    for i, (v, _) in enumerate(cases):
+        assert got[i] is not None
+        assert math.isclose(got[i], round(v, 4), rel_tol=0, abs_tol=5e-5), (
+            rows[i],
+            got[i],
+        )
+
+
+@given(st.lists(st.text(alphabet="abcXYZ@#!? ", max_size=12), min_size=10, max_size=30))
+@settings(**_SETTINGS)
+def test_clean_numeric_garbage_to_default(spark, garbage):
+    rows = [(i, g) for i, g in enumerate(garbage)]
+    df = spark.createDataFrame(rows, "i long, raw string")
+    out = df.select("i", "raw", clean_numeric("raw", default=0.0).alias("v")).collect()
+    for r in out:
+        # either the garbage accidentally forms a number, or it's 0.0
+        stripped = (r.raw or "").replace(",", "").replace("$", "").replace(" ", "")
+        try:
+            float(stripped)
+        except ValueError:
+            assert r.v == 0.0, r
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.dates(min_value=dt.date(1990, 1, 1), max_value=dt.date(2030, 12, 1)),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=20,
+        max_size=50,
+    )
+)
+@settings(**_SETTINGS)
+def test_parse_date_multi_roundtrip(spark, cases):
+    fmts = ["%b-%y", "%b %Y", "%Y%m", "%m/%Y"]
+    rows = [
+        (i, d.replace(day=1).strftime(fmts[style]))
+        for i, (d, style) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(rows, "i long, raw string")
+    got = {
+        r.i: r.d
+        for r in df.select("i", parse_date_multi("raw").alias("d")).collect()
+    }
+    for i, (d, style) in enumerate(cases):
+        expect = d.replace(day=1)
+        if style == 0 and not (2000 <= expect.year <= 2068):
+            # two-digit years: Spark's 'yy' pivots 69-99 to 20xx while
+            # Python's %y pivots to 19xx — only [2000, 2068] agree
+            continue
+        assert got[i] == expect, (rows[i], got[i], expect)
+
+
+@given(
+    st.lists(
+        st.dates(min_value=dt.date(1990, 1, 1), max_value=dt.date(2030, 12, 28)),
+        min_size=20,
+        max_size=50,
+    )
+)
+@settings(**_SETTINGS)
+def test_calendar_invariants(spark, dates):
+    rows = [(i, d) for i, d in enumerate(dates)]
+    df = spark.createDataFrame(rows, "i long, d date")
+    out = df.select(
+        "i",
+        "d",
+        fiscal_year("d").alias("fy"),
+        fiscal_month_sort("d").alias("fms"),
+        week_floor_monday("d").alias("wk"),
+    ).collect()
+    for r in out:
+        d = r.d
+        assert r.fy == (d.year + 1 if d.month >= 10 else d.year)
+        assert 1 <= r.fms <= 12
+        assert ((d.month - 10) % 12) + 1 == r.fms
+        assert r.wk.weekday() == 0 and 0 <= (d - r.wk).days < 7
