@@ -103,10 +103,10 @@ def jaccard_pairs(
     """Near-duplicate pairs by exact n-gram Jaccard via inverted-index
     join. Returns (id_a, id_b, jaccard) with id_a < id_b."""
     # shingle arrays are array_distinct, so the exploded rows are unique
-    sh = shingle_table(df, text_col, id_col, n).select(
-        "id", F.explode("sh").alias("shingle")
-    )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_tab = shingle_table(df, text_col, id_col, n)
+    sh = sh_tab.select("id", F.explode("sh").alias("shingle"))
+    # set sizes straight off the arrays — no second explode+aggregate
+    sizes = sh_tab.select("id", F.size("sh").alias("n_sh")).filter(F.col("n_sh") > 0)
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))

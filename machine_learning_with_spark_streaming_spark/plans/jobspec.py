@@ -94,3 +94,44 @@ def run_job(feed: DataFrame, spec: JobSpec) -> DataFrame:
         ]
     )
     return conformance_gate(df, spec.final_cols)
+
+
+@dataclass
+class JobResult:
+    """One job's outcome in a runner sweep."""
+
+    name: str
+    ok: bool
+    rows: int | None = None
+    error: str | None = None
+
+
+def run_jobs(
+    feeds: dict[str, DataFrame],
+    specs: list[JobSpec],
+    sink=None,
+    fail_fast: bool = True,
+) -> list[JobResult]:
+    """EP1's orchestration shape (pipeline/runner.py:180-222): interpret
+    each spec over its feed, optionally hand the result to ``sink(name,
+    df)``, fail-fast on the first error (the reference aborts the sweep,
+    runner.py:202), and return a per-job summary.
+
+    The count that realizes each job doubles as the reference's
+    "rows written" log line; with a sink the sink's write is the action
+    instead.
+    """
+    results: list[JobResult] = []
+    for spec in specs:
+        try:
+            out = run_job(feeds[spec.name], spec)
+            if sink is not None:
+                sink(spec.name, out)
+                results.append(JobResult(spec.name, True))
+            else:
+                results.append(JobResult(spec.name, True, rows=out.count()))
+        except Exception as e:  # noqa: BLE001 - summary surface
+            results.append(JobResult(spec.name, False, error=f"{type(e).__name__}: {e}"))
+            if fail_fast:
+                break
+    return results
