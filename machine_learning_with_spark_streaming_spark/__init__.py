@@ -20,7 +20,9 @@ Layout:
     operators/   joins, aggregates, windows, reshape, validation, dedup, similarity
     plans/       declarative JobSpec -> DataFrame pipeline (the reference's
                  JobConfig idea reborn; pipeline/lib.py:167-185)
-    streaming/   micro-batch JSON ingest + event-time windowed aggregation
+    streaming/   micro-batch JSON ingest + event-time windowed aggregation,
+                 stateful operators (applyInPandasWithState)
+    ml/          per-batch MLlib train/predict (foreachBatch consumers)
 """
 
 from machine_learning_with_spark_streaming_spark.session import get_session

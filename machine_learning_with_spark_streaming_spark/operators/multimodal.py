@@ -168,3 +168,63 @@ def q_extract_features(spark, sf_dir):
     """mapInPandas feature extraction (deterministic fake decode)."""
     assets = assets_from_documents(spark, sf_dir)
     return extract_features(assets).orderBy("asset_id")
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_offset", IntegerType()),
+        StructField("frame_mean_byte", DoubleType()),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, every: int = FRAME_SAMPLE_EVERY) -> DataFrame:
+    """1→N frame expansion over video payloads (Arrow-batched).
+
+    The deterministic fake treats the payload as ``n_frames`` equal
+    byte slices and emits every ``every``-th slice's statistics — the
+    row-expansion contract (UDTF shape) a real frame decoder would use.
+    Output cardinality = Σ ceil(n_frames/every) per video asset; the
+    expansion happens inside the executor batch, so a 100 TB asset lake
+    fans out without any driver involvement.
+    """
+
+    def expand(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out: dict[str, list] = {
+                "asset_id": [],
+                "frame_idx": [],
+                "frame_offset": [],
+                "frame_mean_byte": [],
+            }
+            for aid, payload, n_frames in zip(
+                pdf["asset_id"], pdf["payload"], pdf["n_frames"]
+            ):
+                n = max(int(n_frames), 1)
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                frame_len = max(len(buf) // n, 1)
+                for idx in range(0, n, every):
+                    chunk = buf[idx * frame_len : (idx + 1) * frame_len]
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(idx)
+                    out["frame_offset"].append(idx * frame_len)
+                    out["frame_mean_byte"].append(
+                        round(float(chunk.mean()), 6) if len(chunk) else 0.0
+                    )
+            yield pd.DataFrame(out)
+
+    videos = assets.filter(F.col("kind") == "video").select(
+        "asset_id", "payload", F.col("meta.n_frames").alias("n_frames")
+    )
+    return videos.mapInPandas(expand, FRAME_SCHEMA)
+
+
+@register("mm_sample_frames")  # numpy frame slicing: not DuckDB-expressible
+def q_sample_frames(spark, sf_dir):
+    """Every-5th-frame sampling over the video assets (1→N expansion)."""
+    assets = assets_from_documents(spark, sf_dir)
+    return sample_frames(assets).orderBy("asset_id", "frame_idx")

@@ -143,3 +143,27 @@ def test_ivf_topk_recovers_duplicates_and_ranks(spark, sf_dir):
         for r in topk_cosine(corpus, queries, k=1).collect()
     }
     assert all(cos <= exact1[q] + 1e-9 for q, (_, cos) in top1.items())
+
+
+def test_sample_frames_expansion(spark, sf_dir):
+    from machine_learning_with_spark_streaming_spark.operators.multimodal import (
+        FRAME_SAMPLE_EVERY,
+        sample_frames,
+    )
+
+    assets = assets_from_documents(spark, sf_dir)
+    frames = sample_frames(assets)
+    videos = assets.filter(F.col("kind") == "video").select(
+        "asset_id", F.col("meta.n_frames").alias("n_frames")
+    )
+    # cardinality: ceil(n_frames / every) rows per video
+    expected = videos.select(
+        F.ceil(F.col("n_frames") / FRAME_SAMPLE_EVERY).alias("n")
+    ).agg(F.sum("n")).first()[0]
+    assert frames.count() == expected
+    r = frames.orderBy("asset_id", "frame_idx").first()
+    assert r.frame_idx == 0 and r.frame_offset == 0
+    assert 32.0 <= r.frame_mean_byte <= 127.0
+    # frame indices step by the sampling stride
+    bad = frames.filter(F.col("frame_idx") % FRAME_SAMPLE_EVERY != 0)
+    assert bad.count() == 0
