@@ -330,3 +330,48 @@ def q_delta_rows(spark, sf_dir):
     return out.select(
         "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
     ).orderBy("c_custkey")
+
+
+_V2_ORACLE = """
+WITH b AS (
+  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total FROM orders
+), a AS (
+  SELECT CAST(sum(CAST(v AS DECIMAL(27,6))) AS DOUBLE) AS total
+  FROM (
+    SELECT CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice * 1.001
+                ELSE o_totalprice END AS v
+    FROM orders
+  )
+)
+SELECT round(b.total, 2) AS total_before, round(a.total, 2) AS total_after,
+       round(abs(a.total - b.total) / abs(b.total), 6) AS rel_delta,
+       CASE WHEN abs(a.total - b.total) / abs(b.total) <= 0.001
+            THEN 'PASS' ELSE 'FAIL' END AS verdict
+FROM b, a
+"""
+
+
+@register("v2_totals_compare", oracle=_V2_ORACLE)
+def q_totals_compare(spark, sf_dir):
+    """V2/A12: scalar grand-total conservation with verdict — a +0.1%-
+    on-one-priority perturbation sits right at the default tolerance
+    boundary's passing side (myConversionsClass.py:411-424)."""
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(27,6)")
+    perturbed = F.when(
+        F.col("o_orderpriority") == "5-LOW", (F.col("o_totalprice") * 1.001)
+    ).otherwise(F.col("o_totalprice")).cast("decimal(27,6)")
+    b = orders.agg(F.sum(dec).cast("double").alias("total_before"))
+    a = orders.agg(F.sum(perturbed).cast("double").alias("total_after"))
+    j = b.crossJoin(a)
+    rel = F.abs(F.col("total_after") - F.col("total_before")) / F.abs(
+        F.col("total_before")
+    )
+    return j.select(
+        F.round("total_before", 2).alias("total_before"),
+        F.round("total_after", 2).alias("total_after"),
+        F.round(rel, 6).alias("rel_delta"),
+        F.when(rel <= TRANSFORM_TOL, F.lit("PASS")).otherwise(F.lit("FAIL")).alias(
+            "verdict"
+        ),
+    )
