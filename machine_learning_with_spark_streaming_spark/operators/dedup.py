@@ -71,15 +71,31 @@ def shingle_table(
     ).select("id", _grams_from_words(F.col("__ws"), n).alias("sh"))
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact dedup: group by normalized text, keep the min id. The groupBy
-    key at scale should be ``xxhash64(norm_text)`` + a residual equality
-    check; here the normalized text itself keeps it oracle-checkable."""
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by_hash: bool = False,
+) -> DataFrame:
+    """Exact dedup: group by normalized text, keep the min id.
+
+    ``by_hash=True`` is the 100 TB path: group on ``xxhash64(norm)`` so
+    the shuffle moves 8 bytes per row instead of the document text
+    (collision odds at 64 bits are ~n²/2⁶⁵ — ~3e-11 for a billion docs;
+    add a second seeded hash to the key if that matters). Both paths
+    return identical results on collision-free corpora
+    (tests/test_dedup.py asserts equivalence).
+    """
+    key = (
+        F.xxhash64(normalize_text(text_col))
+        if by_hash
+        else normalize_text(text_col)
+    )
     return (
-        df.withColumn("__norm", normalize_text(text_col))
-        .groupBy("__norm")
+        df.withColumn("__k", key)
+        .groupBy("__k")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
-        .drop("__norm")
+        .drop("__k")
     )
 
 

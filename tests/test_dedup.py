@@ -67,3 +67,13 @@ def test_simhash_finds_exact_copies(spark, sf_dir):
     rows = exact.collect()
     assert {(r.id_a, r.id_b) for r in rows} == EXPECTED_EXACT
     assert all(r.hamming == 0 for r in rows)
+
+
+def test_exact_dedup_hash_path_equivalent(spark, sf_dir):
+    corpus = corpus_with_duplicates(spark, sf_dir)
+    plain = {(r.doc_id, r.n_copies) for r in exact_dedup(corpus).collect()}
+    hashed = {
+        (r.doc_id, r.n_copies)
+        for r in exact_dedup(corpus, by_hash=True).collect()
+    }
+    assert plain == hashed
