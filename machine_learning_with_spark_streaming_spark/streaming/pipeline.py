@@ -112,12 +112,16 @@ def foreach_batch_upsert(path: str, pk: list[str], compare_cols: list[str]):
     return _sink
 
 
-def run_available_now(stream_df: DataFrame, sink_fn, checkpoint: str) -> None:
+def run_available_now(
+    stream_df: DataFrame, sink_fn, checkpoint: str, output_mode: str = "append"
+) -> None:
     """Drain all available input through foreachBatch and stop (test/replay
     harness; production uses ``trigger(processingTime='5 seconds')`` to
-    match the producer cadence)."""
+    match the producer cadence). ``output_mode="complete"`` re-emits the
+    full aggregate state each batch (stateful aggregations)."""
     q = (
         stream_df.writeStream.foreachBatch(sink_fn)
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
