@@ -100,10 +100,9 @@ def exact_dedup(
 
 
 def shingles(col: Column | str, n: int = SHINGLE_N) -> Column:
-    """Distinct word n-gram shingles as an inline array column (JVM-side
-    ``transform`` over a ``sequence``; no UDF). Prefer
-    :func:`shingle_table` in pipelines — this inline form re-evaluates the
-    word split per gram reference."""
+    """Distinct word n-gram shingles as an inline array column (shifted-
+    slice ``zip_with``; no UDF). Prefer :func:`shingle_table` in
+    pipelines so the word split materializes once per row."""
     c = F.col(col) if isinstance(col, str) else col
     ws = F.split(normalize_text(c), " ")
     return _grams_from_words(ws, n)

@@ -18,7 +18,7 @@ pipeline path) — but the Spark-side plumbing is real and tested:
 The synthetic asset table is derived deterministically from
 ``documents`` (payload = UTF-8 text bytes) so the metadata path is
 DuckDB-oracle-checkable; the numpy feature path gets the rows-only check
-plus exactness tests in tests/test_multimodal.py.
+plus exactness tests in tests/test_llm_data_ops.py.
 """
 
 from __future__ import annotations
