@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_quality",
     "sim_topk_cosine",
+    "pipeline_llm_data_prep",
 ]
 
 

@@ -22,6 +22,8 @@ Python UDFs.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -226,11 +228,19 @@ def minhash_lsh_pairs(
     return verified
 
 
+def md5_hash60(c: Column) -> Column:
+    """60-bit word hash derivable identically in Spark and DuckDB
+    (``('0x' || substr(md5(w),1,15))::BIGINT`` on the DuckDB side) —
+    the cross-engine-checkable alternative to ``xxhash64``."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def simhash_table(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    hash_fn: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """(id, sig) via explode + hash-aggregate: one pass over the word
     rows with ``bits`` sum-aggregates over a real attribute.
@@ -240,12 +250,17 @@ def simhash_table(
     collapses projections — O(bits x words) hashing per doc. Exploding
     first makes the per-bit input an attribute, and the groupBy gets
     map-side partial aggregation for free.
+
+    ``hash_fn`` defaults to ``xxhash64`` (the fast production path);
+    pass :func:`md5_hash60` with ``bits=60`` for the DuckDB-checkable
+    variant.
     """
+    hfn = hash_fn or F.xxhash64
     h = df.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.transform(
-                F.split(normalize_text(text_col), " "), lambda w: F.xxhash64(w)
+                F.split(normalize_text(text_col), " "), lambda w: hfn(w)
             )
         ).alias("h"),
     )
@@ -270,13 +285,18 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    bits: int = 64,
+    hash_fn: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming <= max_hamming, found via the
-    pigeonhole band join: a pair within k bit-flips of a 64-bit signature
-    agrees exactly on at least one of k+1 16-bit bands."""
+    pigeonhole band join: a pair within k bit-flips of a ``bits``-bit
+    signature agrees exactly on at least one of k+1 ``bits//(k+1)``-bit
+    bands."""
     n_bands = max_hamming + 1
-    band_bits = 64 // n_bands
-    sig = simhash_table(df, text_col, id_col)
+    band_bits = bits // n_bands
+    if band_bits * n_bands != bits:
+        raise ValueError(f"bits={bits} not divisible into {n_bands} bands")
+    sig = simhash_table(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
     bands_long = sig.select(
         "id",
         "sig",
@@ -411,9 +431,44 @@ def q_minhash_pairs(spark, sf_dir):
     return minhash_lsh_pairs(corpus).orderBy("id_a", "id_b")
 
 
-@register("dedup_simhash")  # xxhash64 signatures: not DuckDB-expressible
+def _simhash_oracle(bits: int = 60, max_hamming: int = 3) -> str:
+    """Brute-force ground truth for the pigeonhole band join: signatures
+    from the cross-engine md5 60-bit word hash, then ALL pairs with
+    hamming <= k. The banded Spark plan must match this exactly —
+    pigeonhole recall at hamming <= k is total, not approximate."""
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    sig = " | ".join(
+        f"(CASE WHEN b{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH {_CORPUS_SQL},
+wt AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w FROM corpus),
+h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM wt),
+bsum AS (SELECT doc_id,
+         {sums}
+  FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {sig} AS sig FROM bsum)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+ORDER BY 1, 2
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (hamming <= 3). Rows-only driver check; the
-    injected exact copies are asserted in tests/test_dedup.py."""
+    """SimHash near-dup pairs (hamming <= 3) with the cross-engine md5
+    60-bit word hash, so the banded join is checked against a DuckDB
+    brute-force all-pairs oracle. Production path keeps xxhash64/64-bit
+    (same plan; tests/test_dedup.py covers both)."""
     corpus = corpus_with_duplicates(spark, sf_dir)
-    return simhash_pairs(corpus).orderBy("id_a", "id_b")
+    return (
+        simhash_pairs(corpus, bits=60, hash_fn=md5_hash60)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )

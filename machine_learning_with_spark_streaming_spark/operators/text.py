@@ -21,12 +21,14 @@ scales linearly with the corpus. Each has an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from machine_learning_with_spark_streaming_spark.operators.dedup import (
+    _CORPUS_SQL,
     SHINGLE_N,
     _grams_from_words,
+    corpus_with_duplicates,
     normalize_text,
 )
 from machine_learning_with_spark_streaming_spark.registry import register
@@ -254,3 +256,97 @@ def q_fingerprint(spark, sf_dir):
     return out.select(
         "doc_id", "fingerprint", F.col("n_shingles").cast("int").alias("n_shingles")
     ).orderBy("doc_id")
+
+
+# ------------------------------------------- composed training-data prep
+
+def llm_data_prep(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """End-to-end training-data prep: quality-score → drop junk →
+    exact-dedup (min id per normalized text) → language-ID → token
+    counts. One declarative plan: the quality filter prunes before the
+    dedup shuffle, and everything stays JVM-side.
+
+    The dedup window partitions on the normalized text here for oracle
+    parity; the 100 TB variant keys the window on ``xxhash64(norm)``
+    (see ``exact_dedup(by_hash=True)``) so the shuffle moves 8-byte keys
+    instead of document bodies.
+    """
+    feats = quality_class(quality_features(df))
+    kept = feats.filter(F.col("quality") != "junk")
+    w = Window.partitionBy("__norm").orderBy(id_col)
+    deduped = (
+        kept.withColumn("__norm", normalize_text(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__norm")
+    )
+    return token_counts(deduped.withColumn("pred_lang", lang_id(text_col)))
+
+
+_LANG_SCORES_SELECT = ", ".join(
+    f"{_count_sql(v)} AS s_{lang}" for lang, v in LANG_MARKERS.items()
+)
+_LANG_BEST = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_MARKERS) + ")"
+
+_LLM_PREP_ORACLE = f"""
+WITH {_CORPUS_SQL},
+feats AS (
+  SELECT doc_id, text,
+         len({_WS}) AS n_words,
+         length({_NORM}) AS n_chars,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         {_count_sql(QUALITY_STOPWORDS)} AS n_stop
+  FROM corpus
+),
+class AS (
+  SELECT doc_id, text,
+         CASE WHEN n_words < 5 THEN 'junk'
+              WHEN CAST(n_punct AS DOUBLE) / n_chars > 0.2 THEN 'noisy'
+              WHEN CAST(n_stop AS DOUBLE) / n_words >= 0.02 THEN 'good'
+              ELSE 'fair' END AS quality
+  FROM feats
+),
+kept AS (SELECT * FROM class WHERE quality <> 'junk'),
+dedup AS (
+  SELECT doc_id, text, quality FROM (
+    SELECT *, row_number() OVER (PARTITION BY {_NORM} ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT quality, text, {_LANG_SCORES_SELECT}, {_LANG_BEST} AS best
+  FROM dedup
+),
+final AS (
+  SELECT quality, {_LANG_CASE} AS pred_lang,
+         len({_WS}) AS ws_tokens,
+         len(regexp_extract_all(lower(text),
+             '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_tokens
+  FROM scored
+)
+SELECT quality, pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ws_tokens) AS BIGINT) AS sum_ws_tokens,
+       CAST(sum(bpe_tokens) AS BIGINT) AS sum_bpe_tokens
+FROM final GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("pipeline_llm_data_prep", oracle=_LLM_PREP_ORACLE)
+def q_llm_data_prep(spark, sf_dir):
+    """Composed corpus-prep pipeline over the duplicate-injected corpus:
+    quality gate → exact dedup → lang-ID → per-(quality, lang) token
+    budget — the whole chain as one Catalyst plan."""
+    corpus = corpus_with_duplicates(spark, sf_dir)
+    prep = llm_data_prep(corpus)
+    return (
+        prep.groupBy("quality", "pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").cast("bigint").alias("sum_ws_tokens"),
+            F.sum("bpe_tokens").cast("bigint").alias("sum_bpe_tokens"),
+        )
+        .orderBy("quality", "pred_lang")
+    )

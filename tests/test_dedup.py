@@ -13,6 +13,7 @@ from machine_learning_with_spark_streaming_spark.operators.dedup import (
     corpus_with_duplicates,
     exact_dedup,
     jaccard_pairs,
+    md5_hash60,
     minhash_lsh_pairs,
     simhash_pairs,
 )
@@ -67,6 +68,16 @@ def test_simhash_finds_exact_copies(spark, sf_dir):
     rows = exact.collect()
     assert {(r.id_a, r.id_b) for r in rows} == EXPECTED_EXACT
     assert all(r.hamming == 0 for r in rows)
+
+
+def test_simhash_md5_variant_finds_exact_copies(spark, sf_dir):
+    # the DuckDB-checkable 60-bit md5 path must agree with the xxhash64
+    # path on the unambiguous ground truth (exact copies: hamming 0)
+    corpus = corpus_with_duplicates(spark, sf_dir)
+    pairs = simhash_pairs(corpus, bits=60, hash_fn=md5_hash60)
+    exact = pairs.filter(F.col("id_a") + 200000 == F.col("id_b")).collect()
+    assert {(r.id_a, r.id_b) for r in exact} == EXPECTED_EXACT
+    assert all(r.hamming == 0 for r in exact)
 
 
 def test_exact_dedup_hash_path_equivalent(spark, sf_dir):

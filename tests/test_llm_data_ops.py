@@ -167,3 +167,20 @@ def test_sample_frames_expansion(spark, sf_dir):
     # frame indices step by the sampling stride
     bad = frames.filter(F.col("frame_idx") % FRAME_SAMPLE_EVERY != 0)
     assert bad.count() == 0
+
+
+def test_llm_data_prep_pipeline_invariants(spark, sf_dir):
+    from machine_learning_with_spark_streaming_spark.operators.dedup import corpus_with_duplicates
+    from machine_learning_with_spark_streaming_spark.operators.text import llm_data_prep
+
+    corpus = corpus_with_duplicates(spark, sf_dir)
+    out = llm_data_prep(corpus)
+    rows = out.select("doc_id", "quality").collect()
+    ids = [r.doc_id for r in rows]
+    # exact copies (id+200000) deduplicate away — the min-id original wins
+    assert not any(i >= 200000 for i in ids)
+    # near copies (' zzz extra' suffix) are not exact dups and survive
+    assert any(100000 <= i < 200000 for i in ids)
+    # the quality gate ran before dedup
+    assert all(r.quality != "junk" for r in rows)
+    assert len(ids) == len(set(ids))
