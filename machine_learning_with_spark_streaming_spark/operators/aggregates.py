@@ -303,3 +303,67 @@ def q_grouping_sets(spark, sf_dir):
            CAST(round(sum(CAST(o_totalprice AS DECIMAL(27,6))), 2) AS DOUBLE) AS total_price,
            count(*) AS n_rows""",
     ).orderBy("g_status", "g_priority", "status", "priority")
+
+
+# ------------------------------------------------- sketch aggregates
+
+APPROX_ACCURACY = 10000  # percentile_approx: rank error <= n / accuracy
+
+
+def sketch_distinct_and_median(
+    df: DataFrame, key: str = "event_type", dist_col: str = "user_id",
+    val_col: str = "value",
+) -> DataFrame:
+    """Per-group HLL++ distinct count + KLL-style approx median next to
+    their exact counterparts — the 100 TB path for distinct/quantile
+    (one pass, bounded memory, no exact-distinct shuffle explosion)."""
+    return df.groupBy(key).agg(
+        F.approx_count_distinct(dist_col, rsd=0.02).alias("approx_users"),
+        F.countDistinct(dist_col).alias("exact_users"),
+        F.percentile_approx(val_col, 0.5, APPROX_ACCURACY).alias("approx_p50"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_SKETCH_ORACLE = """
+SELECT event_type,
+       CAST(NULL AS BIGINT) AS approx_users,
+       CAST(NULL AS BIGINT) AS exact_users,
+       CAST(NULL AS BIGINT) AS n,
+       CAST(NULL AS BIGINT) AS n_le_p50
+FROM events WHERE false
+"""
+
+
+@register("a13_sketch_error_bounds", oracle=_SKETCH_ORACLE)
+def q_sketch_bounds(spark, sf_dir):
+    """Sketch aggregates with a checkable contract: emits the groups
+    whose sketch output VIOLATES the published error bounds — HLL++
+    (rsd 2%, checked at 5% = 2.5 sigma) and percentile_approx (rank
+    error <= n/accuracy, + 1 slack for ties). The oracle is the empty
+    set: correctness = no violations. Deterministic per dataset (both
+    sketches are deterministic given the data)."""
+    events = load_table(spark, sf_dir, "events")
+    agg = sketch_distinct_and_median(events)
+    ranks = (
+        events.join(F.broadcast(agg), "event_type")
+        .groupBy("event_type", "approx_users", "exact_users", "approx_p50", "n")
+        .agg(
+            F.sum(
+                F.when(F.col("value") <= F.col("approx_p50"), 1).otherwise(0)
+            ).alias("n_le_p50")
+        )
+    )
+    hll_bad = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        > 0.05 * F.col("exact_users")
+    )
+    rank_slack = F.col("n") / APPROX_ACCURACY + 1
+    pct_bad = F.abs(F.col("n_le_p50") - 0.5 * F.col("n")) > rank_slack
+    return ranks.filter(hll_bad | pct_bad).select(
+        "event_type",
+        "approx_users",
+        "exact_users",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_le_p50").cast("bigint").alias("n_le_p50"),
+    )

@@ -110,3 +110,42 @@ def q_stream_dedup(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_first_events"))
         .orderBy("user_id")
     )
+
+
+_S11_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(min(ts) AS TIMESTAMP) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS value_sum
+FROM sess GROUP BY user_id, sess_id ORDER BY 1, 2
+"""
+
+
+@register("s11_session_window", oracle=_S11_SESSION_ORACLE)
+def q_session_window(spark, sf_dir):
+    """§2.10: gap-based session windows per user (30 min gap). The oracle
+    reproduces Spark's session semantics with lag + cumulative-flag
+    sessionization: a gap >= the timeout starts a new session (session
+    windows are half-open [start, last_ts + gap))."""
+    from machine_learning_with_spark_streaming_spark.streaming.pipeline import sessionized_aggregate
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        sessionized_aggregate(events, gap="30 minutes")
+        .select("user_id", "session_start", "n_events", "value_sum")
+        .orderBy("user_id", "session_start")
+    )
