@@ -65,7 +65,12 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
 
 def lang_id(col: Column | str) -> Column:
     """Predicted language: argmax of marker-overlap scores; ties resolve
-    in the fixed key order of LANG_MARKERS; all-zero -> 'und'."""
+    in the fixed key order of LANG_MARKERS; all-zero -> 'und'.
+
+    Inline form — convenient for small frames, but Catalyst re-inlines
+    the word split into every score reference (~40 evaluations/row; see
+    the re-inlining note in operators/dedup.py). Pipelines should use
+    :func:`lang_id_table`, which splits each document exactly once."""
     scores = lang_scores(col)
     best_score = F.greatest(*scores.values()) if len(scores) > 1 else next(
         iter(scores.values())
@@ -76,6 +81,41 @@ def lang_id(col: Column | str) -> Column:
             (best_score > 0) & (scores[lang] == best_score), F.lit(lang)
         ).otherwise(pred)
     return pred
+
+
+def _pred_from_score_attrs() -> Column:
+    """Argmax when-chain over s_<lang> attribute columns (cheap int
+    comparisons — safe to re-inline, unlike the word split)."""
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_MARKERS])
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when(
+            (best > 0) & (F.col(f"s_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return pred
+
+
+def lang_id_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pred_lang) via explode + sum-aggregate: each document is
+    split ONCE and each word row scores with one ``array_contains`` per
+    language — the attribute-based formulation that sidesteps Catalyst's
+    expression re-inlining (the inline :func:`lang_id` re-evaluates the
+    split per score reference). The groupBy gets map-side partial
+    aggregation; the shuffle moves (id, 4 ints) per doc."""
+    w = df.select(
+        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("w")
+    )
+    aggs = [
+        F.sum(
+            F.array_contains(
+                F.array(*[F.lit(x) for x in vocab]), F.col("w")
+            ).cast("int")
+        ).alias(f"s_{lang}")
+        for lang, vocab in LANG_MARKERS.items()
+    ]
+    return w.groupBy("id").agg(*aggs).select("id", _pred_from_score_attrs().alias("pred_lang"))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -166,11 +206,15 @@ FROM scored ORDER BY doc_id
 
 @register("text_lang_id", oracle=_LANG_ORACLE)
 def q_lang_id(spark, sf_dir):
-    """Stopword-overlap language ID vs the labeled lang column."""
+    """Stopword-overlap language ID vs the labeled lang column
+    (attribute-based scorer: one split per doc, not per reference)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", "lang", lang_id("text").alias("pred_lang")
-    ).orderBy("doc_id")
+    preds = lang_id_table(docs)
+    return (
+        docs.join(preds, docs.doc_id == preds.id)
+        .select("doc_id", "lang", "pred_lang")
+        .orderBy("doc_id")
+    )
 
 
 _QUALITY_ORACLE = f"""
@@ -282,7 +326,10 @@ def llm_data_prep(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__norm")
     )
-    return token_counts(deduped.withColumn("pred_lang", lang_id(text_col)))
+    preds = lang_id_table(deduped, text_col, id_col)
+    return token_counts(
+        deduped.join(preds, F.col(id_col) == preds.id).drop("id")
+    )
 
 
 _LANG_SCORES_SELECT = ", ".join(
