@@ -399,9 +399,13 @@ ORDER BY 1
 
 @register("dedup_exact", oracle=_EXACT_ORACLE)
 def q_exact_dedup(spark, sf_dir):
-    """Exact dedup over a corpus with injected exact duplicates."""
+    """Exact dedup over a corpus with injected exact duplicates, via the
+    scale path (group on xxhash64(norm): the shuffle moves 8-byte keys,
+    not document bodies). The oracle groups on the normalized text
+    itself — outputs are identical on collision-free corpora, so the
+    hash-keyed plan is what gets correctness-checked."""
     corpus = corpus_with_duplicates(spark, sf_dir)
-    return exact_dedup(corpus).orderBy("doc_id")
+    return exact_dedup(corpus, by_hash=True).orderBy("doc_id")
 
 
 _JACCARD_ORACLE_BODY = f"""
