@@ -61,6 +61,26 @@ def stratified_hash_sample(
     return df.filter(_bucket(F.col(key_col), seed) < threshold)
 
 
+def mix_corpora(
+    sources: dict[str, tuple[DataFrame, float]],
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted training-data mix: deterministically downsample each
+    source to its rate, tag provenance, union. Because membership is a
+    pure key-hash function, re-running with adjusted rates yields nested
+    samples per source — mixes can be re-weighted without churning the
+    unchanged sources."""
+    parts = [
+        hash_sample(df, rate, key_col, seed).withColumn("source", F.lit(name))
+        for name, (df, rate) in sources.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 _HASH60_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#{seed}'), 1, 15))::BIGINT % {buckets}"
 
 _STRATIFIED_ORACLE = f"""

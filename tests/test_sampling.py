@@ -48,3 +48,20 @@ def test_stratified_rates_respected(spark, sf_dir):
     assert "en" not in {r[0] for r in langs.items()} or langs.get("en", 0) == 0
     if "zh" in totals:
         assert langs.get("zh", 0) == totals["zh"]  # rate 1.0 keeps all
+
+
+def test_mix_corpora_weighted_union(spark, sf_dir):
+    from machine_learning_with_spark_streaming_spark.operators.sampling import mix_corpora
+
+    docs = load_table(spark, sf_dir, "documents")
+    lo = docs.filter("doc_id % 2 = 0")
+    hi = docs.filter("doc_id % 2 = 1")
+    mixed = mix_corpora({"lo": (lo, 0.25), "hi": (hi, 1.0)})
+    counts = {r["source"]: r["count"] for r in mixed.groupBy("source").count().collect()}
+    assert counts["hi"] == hi.count()  # rate 1.0 keeps everything
+    assert 0 < counts["lo"] < lo.count()
+    # re-weighting nests: the 0.25 sample is a subset of the 0.5 sample
+    wider = mix_corpora({"lo": (lo, 0.5), "hi": (hi, 1.0)})
+    lo_ids = {r.doc_id for r in mixed.filter("source = 'lo'").collect()}
+    lo_wider = {r.doc_id for r in wider.filter("source = 'lo'").collect()}
+    assert lo_ids <= lo_wider
