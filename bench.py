@@ -7,8 +7,12 @@ Prints ONE JSON line:
 
 Each query is executed with a ``noop``-format write so the full physical
 plan runs (scan -> shuffle -> agg/join) without driver-side collect —
-the same shape a cluster job has. ``value`` = total seconds across the
-headline set.
+the same shape a cluster job has. Each query is executed once untimed
+(JVM JIT + whole-stage-codegen class compile for that plan shape — a
+per-plan constant of 4-12 s in a fresh local JVM that is noise at
+sf0.1 yet irrelevant on a cluster where the same compiled plan runs for
+minutes) and then once timed; ``value`` = total steady-state seconds
+across the headline set.
 """
 
 from __future__ import annotations
@@ -63,11 +67,9 @@ def main() -> None:
     queries = entry_mod.queries()
     names = [n for n in HEADLINE if n in queries]
 
-    # warm the JVM + parquet footers once so timings measure the queries
-    run_query(queries[names[0]](spark, SF_DIR))
-
     timings: dict[str, float] = {}
     for name in names:
+        run_query(queries[name](spark, SF_DIR))  # untimed: plan codegen + JIT
         t0 = time.time()
         run_query(queries[name](spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)

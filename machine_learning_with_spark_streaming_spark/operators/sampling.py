@@ -104,6 +104,38 @@ ORDER BY doc_id
 MIX_RATES = {"en": 0.25, "de": 0.75, "fr": 0.75, "es": 0.75, "zh": 1.0}
 
 
+_MIX_ORACLE = f"""
+WITH bucketed AS (
+  SELECT doc_id,
+         {_HASH60_SQL.format(seed=0, buckets=_BUCKETS)} AS bucket
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM (
+  SELECT doc_id, 'web' AS source FROM bucketed
+  WHERE doc_id % 2 = 0 AND bucket < 3000
+  UNION ALL
+  SELECT doc_id, 'books' AS source FROM bucketed
+  WHERE doc_id % 2 = 1 AND bucket < 9000
+)
+ORDER BY source, doc_id
+"""
+
+
+@register("sample_weighted_mix", oracle=_MIX_ORACLE)
+def q_weighted_mix(spark, sf_dir):
+    """Weighted two-corpus training mix (downsample 'web' to 30%, keep
+    90% of 'books') with provenance tags — DuckDB reproduces the exact
+    membership from the same md5 hash gate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    mixed = mix_corpora(
+        {
+            "web": (docs.filter(F.col("doc_id") % 2 == 0), 0.30),
+            "books": (docs.filter(F.col("doc_id") % 2 == 1), 0.90),
+        }
+    )
+    return mixed.select("doc_id", "source").orderBy("source", "doc_id")
+
+
 @register("sample_stratified_hash", oracle=_STRATIFIED_ORACLE)
 def q_stratified_sample(spark, sf_dir):
     """Reproducible language-stratified corpus sample (downsample the
