@@ -82,19 +82,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_nanos_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Rewrite a NANOS parquet file to µs precision once (atomic, cached
+    by path+mtime+size under the system temp dir), then hand Spark the
+    rewritten file as a normal parquet scan.
+
+    The previous approach (``to_pandas`` → ``createDataFrame``) embedded
+    the whole table in the driver as a local relation: no distributed
+    scan, no filter pushdown, no column pruning, and re-serialization to
+    the JVM on every evaluation. The one-time rewrite keeps every query
+    over the table a real parquet scan.
+    """
+    import hashlib
+    import os
+    import tempfile
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    t = pq.read_table(path)
-    fields = [
-        pa.field(f.name, pa.timestamp("us"))
-        if pa.types.is_timestamp(f.type)
-        else f
-        for f in t.schema
-    ]
-    return spark.createDataFrame(
-        t.cast(pa.schema(fields), safe=False).to_pandas()
-    )
+    st = os.stat(path)
+    key = hashlib.md5(
+        f"{os.path.abspath(path)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:16]
+    cache_dir = os.path.join(tempfile.gettempdir(), "mlwss_us_parquet")
+    os.makedirs(cache_dir, exist_ok=True)
+    cached = os.path.join(cache_dir, f"{key}.parquet")
+    if not os.path.exists(cached):
+        t = pq.read_table(path)
+        # tz-aware µs so Spark reads TIMESTAMP (not NTZ) — watermarks and
+        # event-time ops require it; naive source instants are UTC (the
+        # session timezone, matching the DuckDB oracle's reading).
+        fields = [
+            pa.field(f.name, pa.timestamp("us", tz=f.type.tz or "UTC"))
+            if pa.types.is_timestamp(f.type)
+            else f
+            for f in t.schema
+        ]
+        tmp = f"{cached}.{os.getpid()}.tmp"
+        pq.write_table(t.cast(pa.schema(fields), safe=False), tmp)
+        os.replace(tmp, cached)
+    return spark.read.parquet(cached)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

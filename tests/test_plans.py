@@ -48,6 +48,27 @@ def test_no_cartesian_products(spark, sf_dir, name):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_events_is_distributed_scan_with_pushdown(spark, sf_dir):
+    # the ns-parquet fallback must yield a real FileScan (pushdown,
+    # pruning), never a driver-embedded LocalRelation
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    assert ev.schema["ts"].dataType.typeName() == "timestamp"  # not _ntz
+    plan = (
+        ev.filter(F.col("event_type") == "click")
+        .select("ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Scan parquet" in plan, plan
+    assert "LocalTableScan" not in plan and "LocalRelation" not in plan
+    assert "EqualTo(event_type,click)" in plan, "filter must reach the scan"
+
+
 def test_aggregation_is_partial_then_final(spark, sf_dir):
     plan = _plan(spark, sf_dir, "flagship_demand_rollup")
     # partial_sum before the exchange = map-side combine
