@@ -491,3 +491,104 @@ def q_simhash_pairs(spark, sf_dir):
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
         .orderBy("id_a", "id_b")
     )
+
+
+# ------------------------------------------------------- decontamination
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """(id, n_hits): corpus docs sharing >=1 word n-gram with the
+    benchmark set, with the count of distinct shared shingles.
+
+    Scale shape: benchmark/eval sets are tiny next to a training corpus,
+    so the benchmark's distinct shingle hashes broadcast (no shuffle of
+    the corpus side beyond the per-doc aggregate); join keys are 8-byte
+    hashes (``md5_hash60``, reproducible in DuckDB), never shingle
+    strings. Set ``broadcast_benchmark=False`` for benchmark sets past
+    the broadcast threshold (falls back to a shuffle hash join).
+    """
+    bench_h = (
+        shingle_table(benchmark, text_col, id_col, n)
+        .select(F.explode("sh").alias("s"))
+        .select(md5_hash60(F.col("s")).alias("h"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_h = F.broadcast(bench_h)
+    corp_h = (
+        shingle_table(corpus, text_col, id_col, n)
+        .select("id", F.explode("sh").alias("s"))
+        .select("id", md5_hash60(F.col("s")).alias("h"))
+    )
+    return (
+        corp_h.join(bench_h, "h")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Drop corpus docs that share any word n-gram with the benchmark
+    set (eval-set decontamination for training data). Anti-join on the
+    contaminated id set; corpus rows pass through unmodified."""
+    hits = contamination_report(
+        corpus, benchmark, text_col, id_col, n, broadcast_benchmark
+    ).select(F.col("id").alias("__cid"))
+    return corpus.join(
+        hits, F.col(id_col) == F.col("__cid"), "left_anti"
+    )
+
+
+_DECON_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+),
+bench AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+),
+cw AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM corpus),
+bw AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM bench),
+csh AS (
+  SELECT DISTINCT doc_id, ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] AS shingle
+  FROM cw, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g
+),
+bsh AS (
+  SELECT DISTINCT ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] AS shingle
+  FROM bw, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g
+),
+bh AS (SELECT DISTINCT ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM bsh),
+ch AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM csh)
+SELECT CAST(ch.doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM ch JOIN bh USING (h)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("decontaminate_benchmark", oracle=_DECON_ORACLE)
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination report: every ~97th document plays the
+    held-out benchmark; corpus docs sharing any 3-gram with it are
+    flagged with their distinct-shared-shingle count. Both engines join
+    on the md5-60 shingle hash, so the comparison is exact by
+    construction (hash collisions, if any, affect both identically)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return (
+        contamination_report(corpus, bench)
+        .select(F.col("id").alias("doc_id"), "n_hits")
+        .orderBy("doc_id")
+    )

@@ -88,3 +88,36 @@ def test_exact_dedup_hash_path_equivalent(spark, sf_dir):
         for r in exact_dedup(corpus, by_hash=True).collect()
     }
     assert plain == hashed
+
+
+def test_decontaminate_drops_exactly_flagged_docs(spark, sf_dir):
+    from machine_learning_with_spark_streaming_spark.operators.dedup import (
+        contamination_report,
+        decontaminate,
+    )
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    flagged = {r.id for r in contamination_report(corpus, bench).collect()}
+    kept = {r.doc_id for r in decontaminate(corpus, bench).collect()}
+    all_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert kept == all_ids - flagged
+    assert flagged  # the synthetic docs share vocabulary: some overlap
+
+    # a doc is always contaminated by its own copy in the benchmark
+    self_bench = corpus.limit(1)
+    self_id = self_bench.collect()[0].doc_id
+    assert self_id in {
+        r.id for r in contamination_report(corpus, self_bench).collect()
+    }
+
+
+def test_decontaminate_empty_benchmark_keeps_everything(spark, sf_dir):
+    from machine_learning_with_spark_streaming_spark.operators.dedup import decontaminate
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    empty = docs.filter(F.lit(False))
+    assert decontaminate(docs, empty).count() == docs.count()
