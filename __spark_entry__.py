@@ -12,6 +12,10 @@ Query implementations live in ``machine_learning_with_spark_streaming_spark`` an
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -21,10 +25,48 @@ from machine_learning_with_spark_streaming_spark.registry import collect
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship.demand_rollup(spark, "/root/testdata/sf0.001")
+
+
+def _last_certified_round() -> dict[str, int]:
+    """Latest round in which each query got a usable driver CORRECTNESS row.
+
+    The driver records at most 50 entries per round, in ``queries()``
+    iteration order. With >50 registered queries a fixed order would leave
+    the tail permanently uncertified, so we rotate: order queries
+    never-certified-first, then least-recently-certified. Reading the
+    driver's own ``CORRECTNESS_r*.json`` files makes the rotation
+    self-maintaining across rounds.
+    """
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                last[name] = max(last.get(name, 0), rnd)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                # Rows-only check: counts only while the query still has no
+                # oracle — a query that later gains one must re-certify.
+                last.setdefault("rows_only:" + name, 0)
+                last["rows_only:" + name] = max(last["rows_only:" + name], rnd)
+    return last
 
 
 def queries() -> dict[str, QueryFn]:
@@ -33,7 +75,19 @@ def queries() -> dict[str, QueryFn]:
     }
     for name, rq in collect().items():
         q[name] = rq.fn
-    return q
+    last = _last_certified_round()
+    with_oracle = set(oracle_sql())
+
+    def cert_round(name: str) -> int:
+        rnd = last.get(name, 0)
+        if name not in with_oracle:
+            rnd = max(rnd, last.get("rows_only:" + name, 0))
+        return rnd
+
+    # Never-certified first (stable registration order within a group),
+    # then ascending by the round they were last certified in.
+    names = sorted(q, key=cert_round)
+    return {n: q[n] for n in names}
 
 
 def oracle_sql() -> dict[str, str]:
