@@ -7,24 +7,37 @@ variant (operators/similarity.py) — IVF adapts to the data distribution
 where LSH is data-independent.
 
 Scale shape: the centroid table is tiny (k rows — broadcast); corpus
-cell assignment is one MLlib transform (executor-parallel); the
-candidate join is an equi-join on cell id, so a query touches
-``nprobe/k`` of the corpus instead of all of it. At 100 TB the corpus
-would be *stored* partitioned by cell id, making the probe a partition-
-pruned scan.
+cell assignment is executor-parallel arithmetic; the candidate join is
+an equi-join on cell id, so a query touches ``nprobe/k`` of the corpus
+instead of all of it. At 100 TB the corpus would be *stored* partitioned
+by cell id, making the probe a partition-pruned scan.
 
-KMeans output isn't SQL-expressible — driver check is rows-only; recall
-floors and duplicate-recovery are asserted in tests/test_llm_data_ops.py.
+Two paths:
+
+- ``build_ivf_index``/``ivf_topk`` — the training path: fit the KMeans
+  quantizer on the corpus (MLlib), then assign/probe. Recall floors and
+  duplicate-recovery are asserted in tests/test_llm_data_ops.py.
+- ``ivf_topk_pretrained`` — the serving path and the registered query:
+  the quantizer is the frozen artifact ``IVF_CENTROIDS`` (fit once on
+  sf0.01, committed — production IVF ships a trained quantizer rather
+  than refitting per query). Cell assignment = argmax cosine against the
+  literal centroid table, which is plain arithmetic both engines can run:
+  the DuckDB oracle embeds the same literals, making the full
+  assign→probe→rank pipeline hash-checkable (no longer rows-only).
 """
 
 from __future__ import annotations
 
 from pyspark.ml.clustering import KMeans
 from pyspark.ml.functions import array_to_vector
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from machine_learning_with_spark_streaming_spark.functions.vectors import as_double_array, cosine_similarity
+from machine_learning_with_spark_streaming_spark.functions.artifacts import IVF_CENTROIDS
+from machine_learning_with_spark_streaming_spark.functions.vectors import (
+    as_double_array,
+    cosine_similarity,
+)
 from machine_learning_with_spark_streaming_spark.operators.similarity import TOP_K, N_QUERIES
 from machine_learning_with_spark_streaming_spark.registry import register
 from machine_learning_with_spark_streaming_spark.schemas import load_table
@@ -111,10 +124,163 @@ def ivf_topk(
     )
 
 
-@register("sim_topk_ivf")  # KMeans quantizer: not DuckDB-expressible
+# ------------------------------------------------- pretrained (serving) path
+
+
+def pretrained_centroids(spark: SparkSession) -> DataFrame:
+    """The frozen quantizer as a k-row DataFrame (cell, centroid)."""
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(IVF_CENTROIDS)],
+        "cell int, centroid array<double>",
+    )
+
+
+def assign_cells(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Assign every vector its nearest frozen centroid by cosine (argmax,
+    ties to the lowest cell id). One broadcast join against k literal
+    rows — at 100 TB this runs at *write* time and the corpus is stored
+    partitioned by cell."""
+    spark = corpus.sparkSession
+    cent = pretrained_centroids(spark)
+    v = corpus.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v"))
+    return (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn("sim", cosine_similarity(F.col("v"), F.col("centroid")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("id", "v", "cell")
+    )
+
+
+def ivf_topk_pretrained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """ANN top-k against the frozen quantizer: probe the query's
+    ``nprobe`` nearest cells, rank candidates by exact cosine."""
+    assigned = assign_cells(corpus, id_col, vec_col)
+    spark = corpus.sparkSession
+    cent = pretrained_centroids(spark)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+    qc = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("sim", cosine_similarity(F.col("qv"), F.col("centroid")))
+        .withColumn(
+            "cr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("cr") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        assigned.join(qc, "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            cosine_similarity(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            F.round("cos", 6).alias("cos"),
+        )
+    )
+
+
+# ----------------------------------------------------------------- oracle
+
+_DOTD = "list_dot_product({a}, {b})"
+
+
+def _cosd(a: str, b: str) -> str:
+    return (
+        f"{_DOTD.format(a=a, b=b)} / "
+        f"(sqrt({_DOTD.format(a=a, b=a)}) * sqrt({_DOTD.format(a=b, b=b)}))"
+    )
+
+
+def _centroid_values() -> str:
+    rows = []
+    for i, c in enumerate(IVF_CENTROIDS):
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        rows.append(f"({i}, CAST({lit} AS DOUBLE[]))")
+    return ",\n  ".join(rows)
+
+
+_IVF_ORACLE = f"""
+WITH centroids(cell, centroid) AS (VALUES
+  {_centroid_values()}
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT v.vec_id, v.emb, c.cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_cosd('v.emb', 'c.centroid')} DESC, c.cell
+           ) AS rn
+    FROM v CROSS JOIN centroids c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, emb AS qv, cell FROM (
+    SELECT v.vec_id, v.emb, c.cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_cosd('v.emb', 'c.centroid')} DESC, c.cell
+           ) AS cr
+    FROM v CROSS JOIN centroids c
+    WHERE v.vec_id < {N_QUERIES}
+  ) WHERE cr <= {N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {_cosd('p.qv', 'a.emb')} AS cos
+  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id, round(cos, 6) AS cos
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("sim_topk_ivf", oracle=_IVF_ORACLE)
 def q_ivf_topk(spark, sf_dir):
-    """IVF ANN top-5 for the first 8 vectors (nprobe=2 of 16 cells)."""
+    """IVF ANN top-5 for the first 8 vectors (nprobe=2 of 16 frozen
+    cells); quantizer = committed ``IVF_CENTROIDS`` artifact, mirrored
+    as literals in the oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES)).orderBy(
+    return ivf_topk_pretrained(emb, emb.filter(F.col("vec_id") < N_QUERIES)).orderBy(
         "query_id", "rank"
     )

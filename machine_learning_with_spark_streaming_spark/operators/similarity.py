@@ -9,12 +9,13 @@ Two strategies:
   side stays partitioned and is scanned once; the ranking shuffle moves
   only ``n_queries x corpus`` scored *rows* (id + double), never the
   vectors themselves.
-- **Sign-LSH bucketed ANN** (the scale path): an axis-aligned
-  random-hyperplane bucket id from the signs of the leading dimensions
-  turns the cross product into an equi-join on ``bucket`` — candidates
-  shrink ~2^bits-fold for isotropic data, and the join is a plain hash
-  join Catalyst can shuffle-partition. Recall<1 by construction;
-  the oracle mirrors the same bucketing so the contract is exact.
+- **Sign-LSH bucketed ANN** (the scale path): a random-hyperplane
+  bucket id (signs of projections onto frozen seeded unit planes —
+  ``functions.artifacts.HYPERPLANES``) turns the cross product into an
+  equi-join on ``bucket`` — candidates shrink ~2^bits-fold even on
+  correlated embeddings, and the join is a plain hash join Catalyst can
+  shuffle-partition. Recall<1 by construction; the oracle embeds the
+  same literal planes so the contract is exact.
 
 Cosine is computed in double with sequential element order in both
 engines — results are bit-identical to the DuckDB oracle (verified), so
@@ -26,10 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from machine_learning_with_spark_streaming_spark.functions.artifacts import HYPERPLANES
 from machine_learning_with_spark_streaming_spark.functions.vectors import (
     as_double_array,
     cosine_similarity,
-    sign_bucket,
+    hyperplane_bucket,
 )
 from machine_learning_with_spark_streaming_spark.registry import register
 from machine_learning_with_spark_streaming_spark.schemas import load_table
@@ -87,12 +89,12 @@ def topk_cosine_bucketed(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double_array(vec_col).alias("__qv"),
-        sign_bucket(as_double_array(vec_col), n_bits).alias("bucket"),
+        hyperplane_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(vec_col).alias("__cv"),
-        sign_bucket(as_double_array(vec_col), n_bits).alias("bucket"),
+        hyperplane_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -144,8 +146,13 @@ FROM ranked WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """
 
+def _plane_lit(i: int) -> str:
+    return "[" + ", ".join(repr(x) for x in HYPERPLANES[i]) + "]"
+
+
 _BUCKET_SQL = " + ".join(
-    f"(CASE WHEN {{v}}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    f"(CASE WHEN list_dot_product(list_transform({{v}}, x -> CAST(x AS DOUBLE)),"
+    f" {_plane_lit(i)}) >= 0 THEN {1 << i} ELSE 0 END)"
     for i in range(LSH_BITS)
 )
 
@@ -213,7 +220,7 @@ def cosine_dup_pairs(
     v = corpus.select(
         F.col(id_col).alias("id"),
         as_double_array(vec_col).alias("__v"),
-        sign_bucket(as_double_array(vec_col), n_bits).alias("bucket"),
+        hyperplane_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
     a, b = v.alias("a"), v.alias("b")
     return (

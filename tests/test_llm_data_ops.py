@@ -117,6 +117,53 @@ def test_decode_stubs_raise():
         decode_audio(b"RIFF")
 
 
+def test_hyperplane_buckets_spread_correlated_vectors(spark):
+    # all-positive leading dims: axis-aligned sign buckets collapse to a
+    # single bucket (no candidate pruning), random hyperplanes still spread
+    import numpy as np
+
+    from machine_learning_with_spark_streaming_spark.functions.vectors import hyperplane_bucket, sign_bucket
+
+    rng = np.random.RandomState(11)
+    vecs = rng.standard_normal((200, 64))
+    vecs[:, :8] = np.abs(vecs[:, :8]) + 0.5  # correlated, strictly positive
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    n_sign = df.select(sign_bucket("embedding", 4).alias("b")).distinct().count()
+    n_hyper = df.select(hyperplane_bucket("embedding", 4).alias("b")).distinct().count()
+    assert n_sign == 1  # the failure mode motivating random projections
+    assert n_hyper >= 8  # most of the 16 buckets occupied
+
+    # and the bucketed ANN still finds most true neighbors on this corpus
+    q = df.filter(F.col("vec_id") < 8)
+    exact = topk_cosine(df, q, k=5).select("query_id", "neighbor_id")
+    approx = topk_cosine_bucketed(df, q, k=5).select("query_id", "neighbor_id")
+    hits = exact.intersect(approx).count()
+    # deterministic on the seeded corpus (0.175): a gaussian corpus has
+    # weak true neighbors, so single-table 4-bit recall is modest — the
+    # invariant is that it stays well above the 1/16 random-bucket rate
+    assert hits / exact.count() >= 0.15
+
+
+def test_ivf_pretrained_matches_contract(spark, sf_dir):
+    # serving path: frozen centroids; injected duplicate surfaces at rank 1
+    from machine_learning_with_spark_streaming_spark.operators.ivf import assign_cells, ivf_topk_pretrained
+    from machine_learning_with_spark_streaming_spark.operators.similarity import embeddings_with_duplicates
+
+    corpus = embeddings_with_duplicates(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < 4)
+    top1 = {
+        r.query_id: (r.neighbor_id, r.cos)
+        for r in ivf_topk_pretrained(corpus, queries, k=3).collect()
+        if r.rank == 1
+    }
+    assert top1 == {q: (q + 100000, 1.0) for q in range(4)}
+    # every vector lands in exactly one of the 16 frozen cells
+    cells = assign_cells(corpus)
+    assert cells.count() == corpus.count()
+    assert cells.filter((F.col("cell") < 0) | (F.col("cell") > 15)).count() == 0
+
+
 def test_ivf_topk_recovers_duplicates_and_ranks(spark, sf_dir):
     from machine_learning_with_spark_streaming_spark.operators.ivf import ivf_topk
     from machine_learning_with_spark_streaming_spark.operators.similarity import (
