@@ -111,6 +111,42 @@ def shingles(col: Column | str, n: int = SHINGLE_N) -> Column:
     return _grams_from_words(ws, n)
 
 
+def jaccard_candidates(
+    sh_tab: DataFrame, max_shingle_df: int | None = None
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing at least one indexed shingle.
+
+    ``max_shingle_df`` is the stop-shingle cut: shingles appearing in more
+    than that many documents are dropped from the inverted index *before*
+    the self-join — a shingle with document frequency d otherwise yields
+    d²/2 candidate rows, the classic LSH-killer on web-scale boilerplate.
+    The hot-shingle set is tiny by construction (only shingles past the
+    cap), so the exclusion is a broadcast anti-join. Recall caveat: a pair
+    whose every shared shingle is hot is missed; at near-dup thresholds
+    pairs share many shingles, so in practice the cut trades negligible
+    recall for a bounded candidate set. Verification (in
+    :func:`jaccard_pairs`) always uses the full shingle arrays, so
+    reported Jaccard values are exact regardless of the cut."""
+    sh = sh_tab.select("id", F.explode("sh").alias("shingle"))
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -118,9 +154,12 @@ def jaccard_pairs(
     threshold: float = JACCARD_THRESHOLD,
     n: int = SHINGLE_N,
     persist_shingles: bool = True,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs by exact n-gram Jaccard via inverted-index
-    join. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """Near-duplicate pairs by exact n-gram Jaccard: inverted-index
+    candidate join (optionally stop-shingle-cut via ``max_shingle_df``),
+    then exact verification on the full shingle arrays. Returns
+    (id_a, id_b, jaccard) with id_a < id_b; jaccard values are exact.
 
     ``persist_shingles`` materializes the regex-heavy shingle table once
     (MEMORY_AND_DISK) instead of recomputing it per consumer subtree; on
@@ -129,23 +168,18 @@ def jaccard_pairs(
     sh_tab = shingle_table(df, text_col, id_col, n)
     if persist_shingles:
         sh_tab = sh_tab.persist(StorageLevel.MEMORY_AND_DISK)
-    sh = sh_tab.select("id", F.explode("sh").alias("shingle"))
-    # set sizes straight off the arrays — no second explode+aggregate
-    sizes = sh_tab.select("id", F.size("sh").alias("n_sh")).filter(F.col("n_sh") > 0)
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    cand = jaccard_candidates(sh_tab, max_shingle_df)
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(
+            sh_tab.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(
+            sh_tab.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+        )
         .withColumn(
             "jaccard",
-            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -181,11 +215,20 @@ def minhash_lsh_pairs(
     threshold: float = JACCARD_THRESHOLD,
     n: int = SHINGLE_N,
     persist_shingles: bool = True,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: band the signatures, join on band
     buckets, verify candidates with exact Jaccard. Output matches
     ``jaccard_pairs`` (full precision) while the band join keeps the
     candidate set ~linear for corpora where most pairs are dissimilar.
+
+    ``max_band_bucket`` caps band-bucket occupancy: a bucket with d
+    members yields d²/2 candidates, so template/boilerplate-heavy corpora
+    produce hot buckets that AQE skew-split can spread but not shrink —
+    dropping buckets past the cap is the principled bound. Recall caveat
+    mirrors the stop-shingle cut: near-dup pairs agree on several of the
+    ``bands`` band hashes, so they survive unless *every* shared bucket
+    is hot.
 
     ``persist_shingles`` materializes the shingle table once for its
     three consumers (signatures + both verification joins) — measured
@@ -213,6 +256,16 @@ def minhash_lsh_pairs(
         + ", ".join(f"{b}, band{b}" for b in range(bands))
         + ") as (band_idx, band_hash)",
     )
+    if max_band_bucket is not None:
+        hot = (
+            bands_long.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_band_bucket)
+            .select("band_idx", "band_hash")
+        )
+        bands_long = bands_long.join(
+            F.broadcast(hot), ["band_idx", "band_hash"], "left_anti"
+        )
     cand = (
         bands_long.alias("a")
         .join(
@@ -436,18 +489,22 @@ ORDER BY 1, 2
 
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE_BODY)
 def q_jaccard_pairs(spark, sf_dir):
-    """Exact n-gram-Jaccard near-dup pairs via shingle inverted index."""
+    """Exact n-gram-Jaccard near-dup pairs via shingle inverted index,
+    running the production stop-shingle path (DF cap 50 — above the max
+    DF at every test scale, so output matches the uncut oracle, while
+    the cut plan is what gets correctness-checked)."""
     corpus = corpus_with_duplicates(spark, sf_dir)
-    return jaccard_pairs(corpus).orderBy("id_a", "id_b")
+    return jaccard_pairs(corpus, max_shingle_df=50).orderBy("id_a", "id_b")
 
 
 @register("dedup_minhash_lsh", oracle=_JACCARD_ORACLE_BODY)
 def q_minhash_pairs(spark, sf_dir):
     """MinHash+LSH candidates verified by exact Jaccard — must find the
     same pairs as the exact inverted-index method (verified recall; the
-    banding only bounds the candidate set)."""
+    banding only bounds the candidate set). Runs with the hot-bucket cap
+    engaged (50, above any test-scale bucket size)."""
     corpus = corpus_with_duplicates(spark, sf_dir)
-    return minhash_lsh_pairs(corpus).orderBy("id_a", "id_b")
+    return minhash_lsh_pairs(corpus, max_band_bucket=50).orderBy("id_a", "id_b")
 
 
 def _simhash_oracle(bits: int = 60, max_hamming: int = 3) -> str:

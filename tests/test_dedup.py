@@ -107,11 +107,59 @@ def test_decontaminate_drops_exactly_flagged_docs(spark, sf_dir):
     assert flagged  # the synthetic docs share vocabulary: some overlap
 
     # a doc is always contaminated by its own copy in the benchmark
-    self_bench = corpus.limit(1)
-    self_id = self_bench.collect()[0].doc_id
+    # (pinned by id — limit(1) could pick different rows across the two
+    # plan evaluations under AQE)
+    self_id = min(all_ids)
+    self_bench = corpus.filter(F.col("doc_id") == self_id)
     assert self_id in {
         r.id for r in contamination_report(corpus, self_bench).collect()
     }
+
+
+def test_stop_shingle_cut_output_unchanged_when_cap_above_max_df(spark, sf_dir):
+    # cap 50 exceeds the max shingle DF at every test scale, so the cut
+    # plan must reproduce the uncut pair set and values exactly
+    corpus = corpus_with_duplicates(spark, sf_dir)
+    uncut = {tuple(r) for r in jaccard_pairs(corpus).collect()}
+    cut = {tuple(r) for r in jaccard_pairs(corpus, max_shingle_df=50).collect()}
+    assert cut == uncut
+    lsh_uncut = {tuple(r) for r in minhash_lsh_pairs(corpus).collect()}
+    lsh_cut = {
+        tuple(r) for r in minhash_lsh_pairs(corpus, max_band_bucket=50).collect()
+    }
+    assert lsh_cut == lsh_uncut
+
+
+def _boilerplate_corpus(spark):
+    """30 docs sharing an identical 6-word boilerplate prefix (every
+    prefix shingle has DF=30) with unique tails, plus one true near-dup
+    pair (ids 100/101) whose overlap lives in unique content."""
+    boiler = "terms of service apply to everything"
+    rows = []
+    for i in range(30):
+        tail = " ".join(f"unique{i}w{j}" for j in range(12))
+        rows.append((i, f"{boiler} {tail}"))
+    shared_tail = " ".join(f"dupw{j}" for j in range(30))
+    rows.append((100, f"alpha {shared_tail}"))
+    rows.append((101, f"alpha {shared_tail} beta"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_stop_shingle_cut_prunes_candidates_not_pairs(spark):
+    from machine_learning_with_spark_streaming_spark.operators.dedup import jaccard_candidates, shingle_table
+
+    corpus = _boilerplate_corpus(spark)
+    sh_tab = shingle_table(corpus)
+    n_uncut = jaccard_candidates(sh_tab).count()
+    n_cut = jaccard_candidates(sh_tab, max_shingle_df=10).count()
+    # boilerplate shingles (DF=30) generated 30*29/2 candidate pairs;
+    # the cut removes them but keeps the true near-dup candidate
+    assert n_uncut >= 30 * 29 // 2
+    assert n_cut < n_uncut
+    cut_pairs = {tuple(r) for r in jaccard_pairs(corpus, max_shingle_df=10).collect()}
+    uncut_pairs = {tuple(r) for r in jaccard_pairs(corpus).collect()}
+    assert cut_pairs == uncut_pairs
+    assert {(a, b) for a, b, _ in cut_pairs} == {(100, 101)}
 
 
 def test_decontaminate_empty_benchmark_keeps_everything(spark, sf_dir):
