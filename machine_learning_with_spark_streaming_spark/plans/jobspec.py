@@ -40,6 +40,10 @@ class JobSpec:
     """One feed's declarative normalization recipe."""
 
     name: str
+    # canonical -> candidate source names, resolved first-present (the
+    # reference's pick_col / material_candidates, pipeline/lib.py:149-154,
+    # runner.py:33) — lets one spec absorb feed schema drift
+    col_candidates: dict[str, list[str]] = field(default_factory=dict)
     rename_map: dict[str, str] = field(default_factory=dict)
     constants: dict[str, object] = field(default_factory=dict)
     value_col: str | None = None  # column to clean into `value`
@@ -60,6 +64,10 @@ def run_job(feed: DataFrame, spec: JobSpec) -> DataFrame:
     cleanup, BU remap, final projection + conformance gate.
     """
     df = feed
+    if spec.col_candidates:
+        from machine_learning_with_spark_streaming_spark.sources.files import resolve_columns
+
+        df = resolve_columns(df, spec.col_candidates)
     if spec.mapping is not None:
         df, _errors = enrich(
             df,

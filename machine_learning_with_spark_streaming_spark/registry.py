@@ -38,6 +38,7 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.functions.examples",
     "machine_learning_with_spark_streaming_spark.plans.examples",
     "machine_learning_with_spark_streaming_spark.streaming.examples",
+    "machine_learning_with_spark_streaming_spark.sources.examples",
 ]
 
 

@@ -26,6 +26,63 @@ from pyspark.sql import types as T
 from machine_learning_with_spark_streaming_spark.operators.validation import conformance_gate
 
 
+DEFAULT_HEADER_MARKERS: list[set[str]] = [
+    {"cal. year / month", "actual/forecast"},
+    {"sales organization", "country"},
+]
+
+
+def detect_header_row(
+    path: str,
+    marker_sets: list[set[str]] | None = None,
+    max_scan_rows: int = 10,
+    encoding: str = "ISO-8859-1",
+    default: int = 0,
+) -> int:
+    """Scan the first ``max_scan_rows`` raw lines for a row containing all
+    names of any marker set; return its 0-based index (reference
+    ``pipeline/lib.py:399-417``). Driver-side by design and O(lines
+    scanned) regardless of file size — it only decides what the
+    distributed scan skips."""
+    marker_sets = marker_sets or DEFAULT_HEADER_MARKERS
+    with open(path, encoding=encoding) as f:
+        for i in range(max_scan_rows):
+            line = f.readline()
+            if not line:
+                break
+            cells = {c.strip().strip('"').lower() for c in line.rstrip("\n").split(",")}
+            if any(markers <= cells for markers in marker_sets):
+                return i
+    return default
+
+
+def pick_col(df: DataFrame, candidates: list[str], required: bool = True) -> str | None:
+    """First present of N candidate column names (reference
+    ``pipeline/lib.py:149-154``; ``material_candidates`` in runner.py:33)."""
+    for c in candidates:
+        if c in df.columns:
+            return c
+    if required:
+        raise KeyError(f"Missing required column(s): {candidates}")
+    return None
+
+
+def resolve_columns(
+    df: DataFrame, col_candidates: dict[str, list[str]], required: bool = True
+) -> DataFrame:
+    """Rename the first present candidate of each entry to its canonical
+    name — the schema-drift shim messy feeds need before a JobSpec can
+    assume exact names."""
+    renames: dict[str, str] = {}
+    for canonical, candidates in col_candidates.items():
+        if canonical in df.columns:
+            continue
+        found = pick_col(df, candidates, required)
+        if found is not None:
+            renames[found] = canonical
+    return df.withColumnsRenamed(renames) if renames else df
+
+
 def read_csv(
     spark: SparkSession,
     paths: str | list[str],
@@ -36,9 +93,22 @@ def read_csv(
     required_cols: list[str] | None = None,
     with_filename: bool = False,
     column_names: list[str] | None = None,
+    detect_header: bool = False,
+    header_markers: list[set[str]] | None = None,
+    col_candidates: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """S1: multi-file CSV scan with optional explicit names, encoding,
-    lineage column and conformance gate (myFileClass.py:89-131)."""
+    lineage column and conformance gate (myFileClass.py:89-131).
+
+    ``detect_header=True`` scans the first file's first 10 raw lines for
+    a known header row (``detect_header_row``) and skips any junk
+    preamble above it; ``col_candidates`` then resolves drifting column
+    names to canonical ones (``resolve_columns``)."""
+    if detect_header:
+        first = paths[0] if isinstance(paths, list) else paths
+        idx = detect_header_row(first, header_markers, encoding=encoding)
+        if idx > 0:
+            skip_rows = idx
     if skip_rows:
         # The reference's `skiprows` trims junk preamble lines from small
         # report exports (myFileClass.py:117-120). Those inputs are
@@ -63,6 +133,8 @@ def read_csv(
         df = spark.createDataFrame(pdf)
         if column_names:
             df = df.toDF(*column_names)
+        if col_candidates:
+            df = resolve_columns(df, col_candidates)
         if required_cols:
             df = conformance_gate(df, required_cols)
         return df
@@ -81,6 +153,8 @@ def read_csv(
         df = df.toDF(*column_names)
     if with_filename:
         df = df.withColumn("file_name", F.input_file_name())
+    if col_candidates:
+        df = resolve_columns(df, col_candidates)
     if required_cols:
         df = conformance_gate(df, required_cols)
     return df

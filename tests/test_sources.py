@@ -78,3 +78,60 @@ def test_upsert_delta_rows_writes_only_changes(spark, tmp_path):
     assert n == 2
     keys = sorted(r["k"] for r in written[0])
     assert keys == [2, 3]
+
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_detect_header_row_finds_marker_row():
+    from machine_learning_with_spark_streaming_spark.sources.files import detect_header_row
+
+    path = os.path.join(FIXTURE_DIR, "messy_feed.csv")
+    assert detect_header_row(path) == 2
+
+
+def test_detect_header_row_clean_file_is_zero(csv_dir):
+    from machine_learning_with_spark_streaming_spark.sources.files import detect_header_row
+
+    # no marker row in the first 10 lines -> default 0 (clean export)
+    assert detect_header_row(str(csv_dir / "junk_feed.csv")) == 0
+
+
+def test_read_csv_detect_header_skips_preamble(spark):
+    df = read_csv(
+        spark, os.path.join(FIXTURE_DIR, "messy_feed.csv"), detect_header=True
+    )
+    assert "Sales Organization" in df.columns
+    assert df.count() == 60
+
+
+def test_pick_col_and_resolve_columns(spark):
+    from machine_learning_with_spark_streaming_spark.sources.files import pick_col, resolve_columns
+
+    df = spark.createDataFrame([(1, "x")], ["Material Number", "Country"])
+    assert pick_col(df, ["Material", "Material Number"]) == "Material Number"
+    assert pick_col(df, ["Missing"], required=False) is None
+    with pytest.raises(KeyError):
+        pick_col(df, ["Missing"])
+    out = resolve_columns(df, {"material": ["Material", "Material Number"]})
+    assert out.columns == ["material", "Country"]
+    # canonical already present -> untouched
+    again = resolve_columns(out, {"material": ["Material Number"]})
+    assert again.columns == ["material", "Country"]
+
+
+def test_jobspec_col_candidates_resolution(spark):
+    from machine_learning_with_spark_streaming_spark.plans.jobspec import JobSpec, run_job
+
+    feed = spark.createDataFrame(
+        [("M-1", 5.0)], ["Material Number", "Qty"]
+    )
+    spec = JobSpec(
+        name="drifty",
+        col_candidates={"material": ["Material", "Material Number"]},
+        constants={"source": "t", "sales_organization": "s", "country": "c",
+                   "bu": "b", "snapshot": None, "attribute": None},
+        value_col="Qty",
+    )
+    out = run_job(feed, spec)
+    assert out.select("material").first()[0] == "M-1"
