@@ -59,3 +59,31 @@ def month_window(
     Pass an explicit anchor for reproducible queries."""
     base = F.trunc(anchor, "month")
     return F.add_months(base, start_offset_months), F.add_months(base, end_offset_months)
+
+
+# ------------------------------------------------ FY label from free text
+
+def fy_end_year_from_text(col: Column | str) -> Column:
+    """End-year parsed from free attribute text, with the reference's
+    precedence (``pipeline/datavalidation.py:114-146``): explicit
+    ``FY2026`` first, then ``FY26`` (mapped 2000+yy), then any bare
+    ``20xx`` year; null when nothing matches."""
+    c = F.trim((F.col(col) if isinstance(col, str) else col).cast("string"))
+    y4 = F.regexp_extract(c, r"(?i)\bFY\s*(20[0-9]{2})\b", 1)
+    y2 = F.regexp_extract(c, r"(?i)\bFY\s*([0-9]{2})\b", 1)
+    yy = F.regexp_extract(c, r"\b(20[0-9]{2})\b", 1)
+    return (
+        F.when(y4 != "", y4.cast("int"))
+        .when(y2 != "", y2.cast("int") + 2000)
+        .when(yy != "", yy.cast("int"))
+        .cast("int")
+    )
+
+
+def fy_label(end_year: Column) -> Column:
+    """``FYxx`` label from an end-year (``derive_global_fy_label...``,
+    pipeline/datavalidation.py:148-170); null propagates."""
+    return F.when(
+        end_year.isNotNull(),
+        F.concat(F.lit("FY"), F.lpad((end_year % 100).cast("string"), 2, "0")),
+    )

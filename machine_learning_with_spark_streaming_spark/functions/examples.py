@@ -148,3 +148,79 @@ def q_null_sentinels(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("segment")
     )
+
+
+def _f9_oracle() -> str:
+    from machine_learning_with_spark_streaming_spark.functions.formatting import (
+        fmt_int_sql,
+        fmt_pct_sql,
+        fmt_val_sql,
+        human_format_sql,
+    )
+
+    def nz(expr: str) -> str:  # the reference's null path via 5-LOW
+        return f"(CASE WHEN priority = '5-LOW' THEN NULL ELSE {expr} END)"
+
+    return f"""
+WITH agg AS (
+  SELECT o_orderpriority AS priority, count(*) AS rc,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total
+  FROM orders GROUP BY 1
+), t AS (SELECT CAST(sum(rc) AS DOUBLE) AS all_rc FROM agg)
+SELECT priority,
+       {human_format_sql(nz('total * 10'))} AS human_b,
+       {human_format_sql(nz('total'))} AS human_m,
+       {human_format_sql(nz('total / 1e3'))} AS human_k,
+       {human_format_sql(nz('total / 1e8'))} AS human_unit,
+       {human_format_sql(nz('total / 1e9'))} AS human_small,
+       {human_format_sql(nz('-total'))} AS human_neg,
+       {fmt_int_sql(nz('rc'))} AS rc_str,
+       {fmt_pct_sql(nz('rc / all_rc'))} AS share_pct,
+       {fmt_val_sql(nz('total / 1e8'))} AS val_str
+FROM agg, t
+ORDER BY priority
+"""
+
+
+@register("f9_number_format", oracle=_f9_oracle())
+def q_number_format(spark, sf_dir):
+    """F9: human K/M/B, grouped-integer, percent and EA-value formatting
+    as engine-side expressions (qualitycheck.py:48-63,
+    datavalidation.py:79-111). One priority (5-LOW) is nulled to
+    exercise the null sentinels; scaled copies of the same exact
+    decimal-summed total hit every magnitude branch."""
+    from machine_learning_with_spark_streaming_spark.functions.formatting import (
+        fmt_int,
+        fmt_pct,
+        fmt_val,
+        human_format,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("total"),
+    )
+    t = agg.agg(F.sum("rc").cast("double").alias("all_rc"))
+
+    def nz(c):
+        return F.when(F.col("priority") != "5-LOW", c)
+
+    return (
+        agg.crossJoin(F.broadcast(t))
+        .select(
+            "priority",
+            human_format(nz(F.col("total") * 10)).alias("human_b"),
+            human_format(nz(F.col("total"))).alias("human_m"),
+            human_format(nz(F.col("total") / 1e3)).alias("human_k"),
+            human_format(nz(F.col("total") / 1e8)).alias("human_unit"),
+            human_format(nz(F.col("total") / 1e9)).alias("human_small"),
+            human_format(nz(-F.col("total"))).alias("human_neg"),
+            fmt_int(nz(F.col("rc"))).alias("rc_str"),
+            fmt_pct(nz(F.col("rc") / F.col("all_rc"))).alias("share_pct"),
+            fmt_val(nz(F.col("total") / 1e8)).alias("val_str"),
+        )
+        .orderBy("priority")
+    )

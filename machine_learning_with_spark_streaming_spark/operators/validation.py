@@ -375,3 +375,166 @@ def q_totals_compare(spark, sf_dir):
             "verdict"
         ),
     )
+
+
+# ------------------------------------------------------------------- V5
+
+def new_vs_old_variance(
+    new: DataFrame,
+    old: DataFrame,
+    keys: list[str],
+    count_alias: str = "rc",
+    value_col: str = "value",
+    value_alias: str = "ea",
+) -> DataFrame:
+    """V5: new-process vs old-process comparison by key — row counts and
+    value sums side by side with absolute and percent variances; percent
+    is null when the old-process baseline is 0 (the reference renders it
+    as '-': ``build_validation_with_variance_bu``,
+    pipeline/datavalidation.py:344-436). Outer join keeps keys present in
+    only one process, zero-filled. Value sums go through decimal(27,6) so
+    both engines aggregate exactly.
+    """
+
+    def side(df: DataFrame, suffix: str) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias(f"{count_alias}_{suffix}"),
+            F.sum(F.col(value_col).cast("decimal(27,6)"))
+            .cast("double")
+            .alias(f"{value_alias}_{suffix}"),
+        )
+
+    comp = side(new, "new").join(side(old, "old"), keys, "full_outer")
+    rc_n = F.coalesce(F.col(f"{count_alias}_new"), F.lit(0)).cast("long")
+    rc_o = F.coalesce(F.col(f"{count_alias}_old"), F.lit(0)).cast("long")
+    ea_n = F.coalesce(F.col(f"{value_alias}_new"), F.lit(0.0))
+    ea_o = F.coalesce(F.col(f"{value_alias}_old"), F.lit(0.0))
+    return comp.select(
+        *keys,
+        rc_n.alias(f"{count_alias}_new"),
+        rc_o.alias(f"{count_alias}_old"),
+        (rc_n - rc_o).alias(f"var_{count_alias}"),
+        F.when(rc_o != 0, F.round((rc_n - rc_o) / rc_o, 6)).alias(
+            f"var_{count_alias}_pct"
+        ),
+        F.round(ea_n, 6).alias(f"{value_alias}_new"),
+        F.round(ea_o, 6).alias(f"{value_alias}_old"),
+        F.round(ea_n - ea_o, 6).alias(f"var_{value_alias}"),
+        F.when(ea_o != 0.0, F.round((ea_n - ea_o) / ea_o, 6)).alias(
+            f"var_{value_alias}_pct"
+        ),
+    )
+
+
+_V5_FY4 = r"(?i)\bFY\s*(20[0-9]{2})\b"
+_V5_FY2 = r"(?i)\bFY\s*([0-9]{2})\b"
+_V5_Y4 = r"\b(20[0-9]{2})\b"
+
+
+def _fy_year_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN regexp_extract({expr}, '{_V5_FY4}', 1) <> ''"
+        f" THEN CAST(regexp_extract({expr}, '{_V5_FY4}', 1) AS INT)"
+        f" WHEN regexp_extract({expr}, '{_V5_FY2}', 1) <> ''"
+        f" THEN CAST(regexp_extract({expr}, '{_V5_FY2}', 1) AS INT) + 2000"
+        f" WHEN regexp_extract({expr}, '{_V5_Y4}', 1) <> ''"
+        f" THEN CAST(regexp_extract({expr}, '{_V5_Y4}', 1) AS INT)"
+        f" END"
+    )
+
+
+_V5_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority AS bu, o_totalprice,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'no fiscal info'
+              ELSE 'Current month to FY' ||
+                   substr(CAST(year(o_orderdate) AS VARCHAR), 3, 2) END AS attr
+  FROM orders
+),
+new AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0),
+old AS (SELECT * FROM base WHERE o_orderkey % 2 <> 0 AND bu <> '5-LOW'),
+fy AS (
+  SELECT coalesce(
+    (SELECT max({_fy_year_sql('attr')}) FROM new),
+    (SELECT max({_fy_year_sql('attr')}) FROM old)
+  ) AS end_year
+),
+n AS (
+  SELECT bu, count(*) AS rc_new,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS ea_new
+  FROM new GROUP BY 1
+),
+o AS (
+  SELECT bu, count(*) AS rc_old,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS ea_old
+  FROM old GROUP BY 1
+),
+comp AS (SELECT * FROM n FULL JOIN o USING (bu))
+SELECT bu,
+       CASE WHEN fy.end_year IS NOT NULL
+            THEN 'FY' || lpad(CAST(fy.end_year % 100 AS VARCHAR), 2, '0') END
+         AS fiscal_year,
+       CAST(coalesce(rc_new, 0) AS BIGINT) AS rc_new,
+       CAST(coalesce(rc_old, 0) AS BIGINT) AS rc_old,
+       CAST(coalesce(rc_new, 0) - coalesce(rc_old, 0) AS BIGINT) AS var_rc,
+       CASE WHEN coalesce(rc_old, 0) <> 0
+            THEN round((coalesce(rc_new, 0) - coalesce(rc_old, 0))
+                       / CAST(coalesce(rc_old, 0) AS DOUBLE), 6) END AS var_rc_pct,
+       round(coalesce(ea_new, 0), 6) AS ea_new,
+       round(coalesce(ea_old, 0), 6) AS ea_old,
+       round(coalesce(ea_new, 0) - coalesce(ea_old, 0), 6) AS var_ea,
+       CASE WHEN coalesce(ea_old, 0) <> 0
+            THEN round((coalesce(ea_new, 0) - coalesce(ea_old, 0))
+                       / coalesce(ea_old, 0), 6) END AS var_ea_pct
+FROM comp, fy
+ORDER BY bu
+"""
+
+
+@register("v5_new_vs_old_variance", oracle=_V5_ORACLE)
+def q_new_vs_old_variance(spark, sf_dir):
+    """V5: new-vs-old BU variance with row counts, EA-unit sums, abs/pct
+    variances and the run's FY label derived from free attribute text
+    (max end-year; new process preferred, old as fallback). The old
+    process is missing BU 5-LOW entirely — its zero baseline exercises
+    the null-percent rule."""
+    from machine_learning_with_spark_streaming_spark.functions.dates import fy_end_year_from_text, fy_label
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("bu"),
+        F.col("o_totalprice").alias("value"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("no fiscal info"))
+        .otherwise(
+            F.concat(
+                F.lit("Current month to FY"),
+                F.substring(F.year("o_orderdate").cast("string"), 3, 2),
+            )
+        )
+        .alias("attr"),
+    )
+    new = base.filter(F.col("o_orderkey") % 3 != 0)
+    old = base.filter((F.col("o_orderkey") % 2 != 0) & (F.col("bu") != "5-LOW"))
+    fy_new = new.agg(F.max(fy_end_year_from_text("attr")).alias("y_new"))
+    fy_old = old.agg(F.max(fy_end_year_from_text("attr")).alias("y_old"))
+    fy = fy_new.crossJoin(fy_old).select(
+        fy_label(F.coalesce("y_new", "y_old")).alias("fiscal_year")
+    )
+    comp = new_vs_old_variance(new, old, ["bu"])
+    return (
+        comp.crossJoin(F.broadcast(fy))
+        .select(
+            "bu",
+            "fiscal_year",
+            "rc_new",
+            "rc_old",
+            "var_rc",
+            "var_rc_pct",
+            "ea_new",
+            "ea_old",
+            "var_ea",
+            "var_ea_pct",
+        )
+        .orderBy("bu")
+    )

@@ -132,3 +132,32 @@ def test_calendar_invariants(spark, dates):
         assert 1 <= r.fms <= 12
         assert ((d.month - 10) % 12) + 1 == r.fms
         assert r.wk.weekday() == 0 and 0 <= (d - r.wk).days < 7
+
+
+def test_human_format_branches(spark):
+    from machine_learning_with_spark_streaming_spark.functions.formatting import (
+        fmt_int,
+        fmt_pct,
+        fmt_val,
+        human_format,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 2.5e9), (2, -1.25e6), (3, 1234.0), (4, 42.7), (5, 0.1230),
+        (6, 0.0), (7, None), (8, -0.5),
+    ]
+    df = spark.createDataFrame(rows, "id long, x double")
+    got = {r.id: r.s for r in df.select("id", human_format("x").alias("s")).collect()}
+    assert got[1] == "2.50 B"
+    assert got[2] == "-1.25 M"
+    assert got[3] == "1.23 K"
+    assert got[4] == "43"
+    assert got[5] == "0.123"
+    assert got[6] == "0"
+    assert got[7] == ""
+    assert got[8] == "-0.5"
+    one = df.filter(F.col("id") == 3).select(
+        fmt_int("x").alias("i"), fmt_val("x").alias("v"), fmt_pct(F.lit(0.1234)).alias("p")
+    ).first()
+    assert one.i == "1,234" and one.v == "1,234" and one.p == "12.34%"

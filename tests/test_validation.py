@@ -41,3 +41,51 @@ def test_unpivot_conserves_total(spark, sf_dir):
     )
     long = unpivot_months(wide, ["l_partkey"], MONTH_ABBRS, "mth", "qty")
     assert totals_conserved(li.select(F.col("l_quantity").alias("v")), long.select(F.col("qty").alias("v")), "v")
+
+
+def test_new_vs_old_variance_zero_baseline_and_outer_keys(spark):
+    from machine_learning_with_spark_streaming_spark.operators.validation import new_vs_old_variance
+
+    new = spark.createDataFrame(
+        [("A", 10.0), ("A", 5.0), ("C", 2.0)], ["bu", "value"]
+    )
+    old = spark.createDataFrame([("A", 10.0), ("B", 4.0)], ["bu", "value"])
+    out = {r.bu: r.asDict() for r in new_vs_old_variance(new, old, ["bu"]).collect()}
+    assert out["A"]["rc_new"] == 2 and out["A"]["rc_old"] == 1
+    assert out["A"]["var_ea"] == 5.0 and out["A"]["var_ea_pct"] == 0.5
+    # C: absent from old -> zero baseline -> pct null
+    assert out["C"]["rc_old"] == 0 and out["C"]["var_rc_pct"] is None
+    assert out["C"]["var_ea_pct"] is None
+    # B: absent from new -> negative variance
+    assert out["B"]["rc_new"] == 0 and out["B"]["var_rc"] == -1
+    assert out["B"]["var_rc_pct"] == -1.0
+
+
+def test_fy_extraction_precedence(spark):
+    from machine_learning_with_spark_streaming_spark.functions.dates import fy_end_year_from_text, fy_label
+
+    rows = [
+        (1, "Current month to FY26"),
+        (2, "FY2031 plan"),
+        (3, "fy 27 lowercase spaced"),
+        (4, "year 2029 bare"),
+        (5, "FY31 beats bare 2028"),
+        (6, "nothing here"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, attr string")
+    got = {
+        r.id: (r.y, r.lbl)
+        for r in df.select(
+            "id",
+            fy_end_year_from_text("attr").alias("y"),
+            fy_label(fy_end_year_from_text("attr")).alias("lbl"),
+        ).collect()
+    }
+    assert got[1] == (2026, "FY26")
+    assert got[2] == (2031, "FY31")
+    assert got[3] == (2027, "FY27")
+    assert got[4] == (2029, "FY29")
+    assert got[5] == (2031, "FY31")  # FY pattern wins over bare year
+    assert got[6] == (None, None)
+    assert got[7] == (None, None)
