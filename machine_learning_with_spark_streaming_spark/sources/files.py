@@ -178,12 +178,24 @@ def read_auto(spark: SparkSession, path: str, **kwargs) -> DataFrame:
 def read_excel_via_pandas(
     spark: SparkSession, path: str, sheet_name: str | int = 0, **kwargs
 ) -> DataFrame:
-    """S2: Excel scan — no core Spark reader, so pandas reads driver-side
-    and Arrow ships it to a DataFrame (report-sized inputs only, like the
-    reference's lookup xlsx files)."""
+    """S2: Excel scan — no core Spark reader, so the workbook is read
+    driver-side and Arrow ships it to a DataFrame (report-sized inputs
+    only, like the reference's lookup xlsx files). Prefers pandas'
+    reader when an xlsx engine is installed; otherwise falls back to the
+    stdlib zip+XML parser (``sources/xlsx.py``), so the path works with
+    no optional codec."""
     import pandas as pd
 
-    pdf = pd.read_excel(path, sheet_name=sheet_name)
+    try:
+        pdf = pd.read_excel(path, sheet_name=sheet_name)
+    except ImportError:
+        from machine_learning_with_spark_streaming_spark.sources.xlsx import read_xlsx_rows
+
+        rows = read_xlsx_rows(path, sheet_name)
+        if not rows:
+            raise ValueError(f"empty worksheet in {path}")
+        header = [str(h) for h in rows[0]]
+        pdf = pd.DataFrame(rows[1:], columns=header)
     return spark.createDataFrame(pdf)
 
 

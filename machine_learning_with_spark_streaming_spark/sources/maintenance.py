@@ -1,0 +1,67 @@
+"""K5: lake-maintenance helpers — the reference's SQL Server
+``DELETE``/``TRUNCATE``/stored-proc upkeep (``pipeline/SqlUpload.py:33-41``,
+``pipeline/Staging.py:30-44``) re-expressed for a parquet lake.
+
+Three tiers, cheapest first:
+
+- ``delete_partitions`` — drop whole partition directories. O(partitions
+  touched), no data rewrite; this is the 100 TB path and the reason fact
+  tables are written ``partitionBy`` the retention/snapshot key
+  (``files.write_partitioned``).
+- ``delete_where`` — rewrite surviving rows for arbitrary predicates:
+  read, anti-filter, write to a staging dir, atomic swap. On a real
+  lakehouse this maps to ``DELETE FROM`` on a Delta/Iceberg table
+  (copy-on-write under the hood — same cost shape, engine-managed).
+- ``truncate`` — drop all data, keep the schema by writing an empty
+  frame of the old schema.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import Column, SparkSession
+
+
+def delete_partitions(path: str, partition_col: str, values: list) -> int:
+    """Remove ``{partition_col}={value}`` directories; returns how many
+    existed. Metadata-only — never reads or rewrites rows."""
+    removed = 0
+    for v in values:
+        part_dir = os.path.join(path, f"{partition_col}={v}")
+        if os.path.isdir(part_dir):
+            shutil.rmtree(part_dir)
+            removed += 1
+    return removed
+
+
+def delete_where(spark: SparkSession, path: str, predicate: Column) -> int:
+    """Delete rows matching ``predicate`` from the parquet table at
+    ``path`` via copy-on-write: survivors are written to a staging dir
+    which then atomically replaces the table dir. Returns rows deleted."""
+    df = spark.read.parquet(path)
+    before = df.count()
+    survivors = df.filter(~predicate)
+    staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
+    survivors.write.mode("overwrite").parquet(staging)
+    after = spark.read.parquet(staging).count()
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return before - after
+
+
+def truncate(spark: SparkSession, path: str) -> None:
+    """Remove all rows but keep the table readable with its schema (the
+    ``TRUNCATE TABLE`` contract)."""
+    schema = spark.read.parquet(path).schema
+    empty = spark.createDataFrame([], schema)
+    staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
+    empty.write.mode("overwrite").parquet(staging)
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)

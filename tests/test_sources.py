@@ -135,3 +135,73 @@ def test_jobspec_col_candidates_resolution(spark):
     )
     out = run_job(feed, spec)
     assert out.select("material").first()[0] == "M-1"
+
+
+def test_xlsx_roundtrip_and_excel_read(spark, tmp_path):
+    # S2 executes for real: stdlib writer -> stdlib reader -> Spark DF
+    from machine_learning_with_spark_streaming_spark.sources.files import read_excel_via_pandas
+    from machine_learning_with_spark_streaming_spark.sources.xlsx import read_xlsx_rows, sheet_names, write_xlsx
+
+    path = str(tmp_path / "lookup.xlsx")
+    rows = [
+        ["Material", "Country", "Factor", "Active"],
+        ["M-1", "Germany", 1.5, True],
+        ["M-2", "France & Co <x>", 2.0, False],
+        ["M-3", None, 0.25, True],
+    ]
+    write_xlsx(path, rows, sheet_name="Mapping")
+    assert sheet_names(path) == ["Mapping"]
+    back = read_xlsx_rows(path)
+    assert back[0] == rows[0]
+    assert back[1] == ["M-1", "Germany", 1.5, True]
+    assert back[2][1] == "France & Co <x>"  # xml-escaped round trip
+    assert back[3][1] is None  # sparse cell -> gap preserved
+
+    df = read_excel_via_pandas(spark, path, sheet_name="Mapping")
+    assert df.columns == ["Material", "Country", "Factor", "Active"]
+    assert df.count() == 3
+    got = {r.Material: r.Factor for r in df.collect()}
+    assert got == {"M-1": 1.5, "M-2": 2.0, "M-3": 0.25}
+
+
+def test_read_auto_dispatches_xlsx(spark, tmp_path):
+    from machine_learning_with_spark_streaming_spark.sources.xlsx import write_xlsx
+
+    path = str(tmp_path / "t.xlsx")
+    write_xlsx(path, [["k", "v"], ["a", 1.0]])
+    df = read_auto(spark, path)
+    assert df.count() == 1
+
+
+def test_delete_where_and_truncate(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.sources.maintenance import delete_where, truncate
+
+    path = str(tmp_path / "fact")
+    spark.range(100).withColumn("v", F.col("id") * 2).write.parquet(path)
+    n = delete_where(spark, path, F.col("id") % 10 == 0)
+    assert n == 10
+    back = spark.read.parquet(path)
+    assert back.count() == 90
+    assert back.filter(F.col("id") % 10 == 0).count() == 0
+    truncate(spark, path)
+    empty = spark.read.parquet(path)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "v"}
+
+
+def test_delete_partitions_is_metadata_only(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.sources.maintenance import delete_partitions
+
+    path = str(tmp_path / "part_fact")
+    df = spark.range(40).withColumn("snap", (F.col("id") % 4).cast("string"))
+    df.write.partitionBy("snap").parquet(path)
+    removed = delete_partitions(path, "snap", ["1", "3", "9"])
+    assert removed == 2  # '9' never existed
+    back = spark.read.parquet(path)
+    assert back.count() == 20
+    # partition values are type-inferred on read (string dirs -> int)
+    assert {str(r.snap) for r in back.select("snap").distinct().collect()} == {"0", "2"}
