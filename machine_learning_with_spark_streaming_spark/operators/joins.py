@@ -29,27 +29,49 @@ def guarded_join(
     on: list[str],
     how: str = "left",
     broadcast_right: bool = True,
+    check: bool = True,
 ) -> DataFrame:
     """J1: left equi-join that refuses to fan out.
 
     The duplicate check is an aggregate over the dimension side only (cheap
     — dimensions are small); the fact table is never scanned for the check.
+    It is eager (one extra job per call); when composing many enrichments,
+    pass ``check=False`` and validate all dimensions in ONE job up front
+    with :func:`assert_unique_keys`.
     """
-    if how == "left":
-        dup = (
-            right.groupBy(*on)
+    if how == "left" and check:
+        assert_unique_keys([("right", right, on)])
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=on, how=how)
+
+
+def assert_unique_keys(checks: list[tuple[str, DataFrame, list[str]]]) -> None:
+    """Batched fan-out guard: one Spark job validating every (name, dim,
+    keys) triple — the per-dimension violation probes are unioned so a
+    pipeline with N enrichments pays one job, not N."""
+    probes = None
+    for name, df, on in checks:
+        v = (
+            df.groupBy(*on)
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") > 1)
             .limit(1)
-            .collect()
-        )
-        if dup:
-            key = {c: dup[0][c] for c in on}
-            raise DuplicateJoinKeyError(
-                f"duplicate keys on right side of guarded join: {key}"
+            .select(
+                F.lit(name).alias("dim"),
+                F.concat_ws(
+                    ",", *[F.col(c).cast("string") for c in on]
+                ).alias("key"),
             )
-    r = F.broadcast(right) if broadcast_right else right
-    return left.join(r, on=on, how=how)
+        )
+        probes = v if probes is None else probes.unionByName(v)
+    if probes is None:
+        return
+    rows = probes.collect()
+    if rows:
+        detail = "; ".join(f"{r.dim}:{r.key}" for r in rows)
+        raise DuplicateJoinKeyError(
+            f"duplicate keys on right side of guarded join: {detail}"
+        )
 
 
 def enrich(

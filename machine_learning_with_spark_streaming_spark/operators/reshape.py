@@ -56,12 +56,21 @@ def trim_snapshot_window(
     df: DataFrame, snap_col: str, first_rank: int, last_rank: int
 ) -> DataFrame:
     """R4: keep snapshots positionally ranked [first..last] newest-first
-    (myConversionsClass.py:506-530)."""
+    (myConversionsClass.py:506-530).
+
+    The unpartitioned rank runs over the *distinct snapshot values* only
+    (snapshots are monthly versions — dozens, never fact-scale), then a
+    broadcast semi-join keeps matching fact rows: the fact table itself
+    is never single-partition sorted."""
     w = Window.orderBy(F.desc(snap_col))
-    ranked = df.withColumn("__rk", F.dense_rank().over(w))
-    return ranked.filter(
-        (F.col("__rk") >= first_rank) & (F.col("__rk") <= last_rank)
-    ).drop("__rk")
+    keep = (
+        df.select(snap_col)
+        .distinct()
+        .withColumn("__rk", F.dense_rank().over(w))
+        .filter((F.col("__rk") >= first_rank) & (F.col("__rk") <= last_rank))
+        .select(snap_col)
+    )
+    return df.join(F.broadcast(keep), snap_col, "semi")
 
 
 # ---------------------------------------------------------------- queries

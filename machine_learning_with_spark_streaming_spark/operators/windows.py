@@ -108,7 +108,12 @@ def max_per_group(df: DataFrame, keys: list[str], value: str) -> DataFrame:
 
 def rank_snapshots(df: DataFrame, snap_col: str, k: int = 2) -> DataFrame:
     """W4: latest/previous snapshot ranking (qualitycheck
-    PostSql.py:56-78): dense_rank over distinct snapshot values desc."""
+    PostSql.py:56-78): dense_rank over distinct snapshot values desc.
+
+    The unpartitioned window is safe here by construction: it runs on
+    ``.distinct()`` snapshot values (monthly versions — dozens of rows),
+    never on a fact table. Callers joining the result back to facts
+    should broadcast it."""
     w = Window.orderBy(F.desc(snap_col))
     return (
         df.select(snap_col)

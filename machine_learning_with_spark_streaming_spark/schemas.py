@@ -81,6 +81,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+#: bump when the rewrite logic below changes (cache self-invalidation)
+_REWRITE_VERSION = "v2-tz-utc-us"
+
+
 def _load_nanos_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Rewrite a NANOS parquet file to µs precision once (atomic, cached
     by path+mtime+size under the system temp dir), then hand Spark the
@@ -92,6 +96,8 @@ def _load_nanos_parquet(spark: SparkSession, path: str) -> DataFrame:
     the JVM on every evaluation. The one-time rewrite keeps every query
     over the table a real parquet scan.
     """
+    import getpass
+    import glob
     import hashlib
     import os
     import tempfile
@@ -99,14 +105,29 @@ def _load_nanos_parquet(spark: SparkSession, path: str) -> DataFrame:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # _REWRITE_VERSION folds the rewrite logic into the key so a logic
+    # change self-invalidates old cache files instead of serving them.
     st = os.stat(path)
+    path_key = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:8]
     key = hashlib.md5(
-        f"{os.path.abspath(path)}:{st.st_mtime_ns}:{st.st_size}".encode()
+        f"{_REWRITE_VERSION}:{os.path.abspath(path)}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:16]
-    cache_dir = os.path.join(tempfile.gettempdir(), "mlwss_us_parquet")
-    os.makedirs(cache_dir, exist_ok=True)
-    cached = os.path.join(cache_dir, f"{key}.parquet")
+    # per-user cache dir (0700): the system temp dir is world-writable,
+    # so a shared path could be pre-created or poisoned by another user
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), f"mlwss_us_parquet_{getpass.getuser()}"
+    )
+    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+    if os.stat(cache_dir).st_uid != os.getuid():
+        raise RuntimeError(f"cache dir {cache_dir} owned by another user")
+    cached = os.path.join(cache_dir, f"{path_key}-{key}.parquet")
     if not os.path.exists(cached):
+        # prune stale entries for the same source (old mtime/size/version)
+        for old in glob.glob(os.path.join(cache_dir, f"{path_key}-*.parquet")):
+            try:
+                os.remove(old)
+            except OSError:
+                pass
         t = pq.read_table(path)
         # tz-aware µs so Spark reads TIMESTAMP (not NTZ) — watermarks and
         # event-time ops require it; naive source instants are UTC (the

@@ -83,6 +83,37 @@ def resolve_columns(
     return df.withColumnsRenamed(renames) if renames else df
 
 
+def dedupe_column_names(df: DataFrame, sep: str = "__dup") -> DataFrame:
+    """Positionally rename repeated column names (``x, x`` ->
+    ``x, x__dup1``) so each is addressable — messy exports (the SAP GERS
+    feed, reference ``pipeline/lib.py:300-319``) repeat header names."""
+    seen: dict[str, int] = {}
+    out = []
+    for c in df.columns:
+        k = seen.get(c, 0)
+        seen[c] = k + 1
+        out.append(c if k == 0 else f"{c}{sep}{k}")
+    return df.toDF(*out)
+
+
+def select_duplicate_columns(
+    df: DataFrame, specs: dict[str, tuple[str, int]]
+) -> DataFrame:
+    """Project specific occurrences of repeated column names:
+    ``{"country": ("Country", 1)}`` selects the second positional
+    ``Country`` as ``country`` (reference ``pick_duplicate``,
+    pipeline/lib.py:305-319). Raises KeyError when a name is absent,
+    IndexError when fewer occurrences exist."""
+    unique = dedupe_column_names(df)
+    cols = []
+    for alias, (name, index) in specs.items():
+        positions = [i for i, c in enumerate(df.columns) if c == name]
+        if not positions:
+            raise KeyError(f"Column {name!r} not found.")
+        cols.append(F.col(unique.columns[positions[index]]).alias(alias))
+    return unique.select(*cols)
+
+
 def read_csv(
     spark: SparkSession,
     paths: str | list[str],

@@ -37,3 +37,23 @@ def test_enrich_blank_null_both_sentineled(spark):
     dim = spark.createDataFrame([("US", "America")], ["country", "region"])
     enriched, _ = enrich(fact, dim, ["country"], {"region": "region_name"})
     assert all(r["country"] == "Blank" for r in enriched.collect())
+
+
+def test_assert_unique_keys_batched(spark):
+    import pytest as _pytest
+
+    from machine_learning_with_spark_streaming_spark.operators.joins import (
+        DuplicateJoinKeyError,
+        assert_unique_keys,
+        guarded_join,
+    )
+
+    clean = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], ["k", "v"])
+    assert_unique_keys([("c1", clean, ["k"]), ("c2", clean, ["k"])])
+    with _pytest.raises(DuplicateJoinKeyError, match="d2"):
+        assert_unique_keys([("c1", clean, ["k"]), ("d2", dup, ["k"])])
+    # check=False skips the eager probe entirely (batched validation path)
+    fact = spark.createDataFrame([(1, 10)], ["k", "x"])
+    out = guarded_join(fact, dup, ["k"], check=False)
+    assert out.count() == 2  # fan-out allowed when unchecked

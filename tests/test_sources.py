@@ -205,3 +205,31 @@ def test_delete_partitions_is_metadata_only(spark, tmp_path):
     assert back.count() == 20
     # partition values are type-inferred on read (string dirs -> int)
     assert {str(r.snap) for r in back.select("snap").distinct().collect()} == {"0", "2"}
+
+
+def test_duplicate_column_positional_selection(spark):
+    from machine_learning_with_spark_streaming_spark.sources.files import dedupe_column_names, select_duplicate_columns
+
+    df = spark.createDataFrame(
+        [("org1", "US", "DE", "M-1")], ["Sales Organization", "Country", "Country", "Material"]
+    )
+    deduped = dedupe_column_names(df)
+    assert deduped.columns == [
+        "Sales Organization", "Country", "Country__dup1", "Material"
+    ]
+    out = select_duplicate_columns(
+        df,
+        {
+            "sales_organization": ("Sales Organization", 0),
+            "country": ("Country", 1),  # SAP GERS: the second Country wins
+            "material": ("Material", 0),
+        },
+    )
+    row = out.first()
+    assert (row.sales_organization, row.country, row.material) == ("org1", "DE", "M-1")
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        select_duplicate_columns(df, {"x": ("Missing", 0)})
+    with _pytest.raises(IndexError):
+        select_duplicate_columns(df, {"x": ("Material", 1)})
