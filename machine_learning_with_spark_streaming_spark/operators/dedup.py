@@ -461,8 +461,10 @@ def q_exact_dedup(spark, sf_dir):
     return exact_dedup(corpus, by_hash=True).orderBy("doc_id")
 
 
-_JACCARD_ORACLE_BODY = f"""
-WITH {_CORPUS_SQL},
+#: CTE chain ending in ``pairs`` (verified near-dup pairs ≥ 0.8 Jaccard) —
+#: shared by the pair queries below and the connected-components oracle in
+#: operators/graph.py. Use as ``WITH {_JACCARD_PAIRS_CTES} SELECT ...``.
+_JACCARD_PAIRS_CTES = f"""{_CORPUS_SQL},
 words AS (
   SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM corpus
 ),
@@ -476,13 +478,19 @@ inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
-       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+),
+pairs AS (
+  SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+         round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+)"""
+
+_JACCARD_ORACLE_BODY = f"""
+WITH {_JACCARD_PAIRS_CTES}
+SELECT id_a, id_b, jaccard FROM pairs
 ORDER BY 1, 2
 """
 

@@ -1,0 +1,169 @@
+"""Connected components over near-duplicate pair lists — the clustering
+step that turns pairwise dedup output (operators/dedup.py) into document
+clusters with one canonical survivor each (BASELINE.json north-star:
+LLM training-data dedup at 100 TB keeps ONE copy per duplicate *cluster*,
+not per pair; pairs alone under-delete transitive chains a~b~c).
+
+Spark has no built-in connected components; GraphFrames is an external
+package. This is the DataFrame-native formulation: iterative min-label
+propagation with pointer jumping —
+
+- ``lab(u)`` starts as ``min(u, min neighbor)``;
+- each round takes the min label over neighbors (one shuffle join on the
+  symmetrized edge list) and then jumps ``lab(u) <- lab(lab(u))`` (one
+  self-join), which contracts label chains exponentially: a path of
+  length L converges in O(log L) rounds, not O(L);
+- ``localCheckpoint`` truncates lineage per round so plan size stays
+  constant across iterations (the classic iterative-DataFrame footgun).
+
+Per round this shuffles the edge list once on ``v`` and the label table
+twice on 8-byte keys — linear in |E|; no step ever materializes a
+component as one row or collects to the driver. Near-dup graphs are
+edge-sparse (bounded by the LSH candidate caps upstream), so rounds are
+cheap and few (real corpora: duplicate clusters have tiny diameter).
+
+The DuckDB oracle computes ground truth independently via a recursive
+CTE (min reachable id per node), so the driver check certifies the whole
+pipeline: shingle → MinHash/LSH → verified pairs → components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from machine_learning_with_spark_streaming_spark.operators.dedup import (
+    _JACCARD_PAIRS_CTES,
+    corpus_with_duplicates,
+    minhash_lsh_pairs,
+)
+from machine_learning_with_spark_streaming_spark.registry import register
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    node_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node, where ``component`` is the
+    smallest node id in its connected component.
+
+    ``nodes`` (optional) adds isolated nodes absent from the edge list —
+    they come back as singleton components (component = self).
+
+    Raises ``RuntimeError`` if labels have not stabilized after
+    ``max_iter`` rounds (with pointer jumping that allows components of
+    diameter ~2**max_iter — unreachable in practice).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    pts = sym.select("u").distinct()
+    if nodes is not None:
+        pts = pts.union(
+            nodes.select(F.col(node_col).cast("long").alias("u"))
+        ).distinct()
+
+    lab = (
+        pts.join(sym.groupBy("u").agg(F.min("v").alias("__nb")), "u", "left")
+        .select("u", F.least(F.col("u"), F.coalesce("__nb", F.col("u"))).alias("lab"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # min label over neighbors: shuffle sym on v to meet lab(v)
+        nbmin = (
+            sym.join(lab.select(F.col("u").alias("v"), "lab"), "v")
+            .groupBy("u")
+            .agg(F.min("lab").alias("__nlab"))
+        )
+        prop = lab.join(nbmin, "u", "left").select(
+            "u", F.least("lab", F.coalesce("__nlab", F.col("lab"))).alias("lab")
+        )
+        # pointer jump: lab(u) <- lab(lab(u)) (labels only shrink, so
+        # jumping against the pre-round table is still monotone-safe)
+        jumped = (
+            prop.join(
+                lab.select(F.col("u").alias("lab"), F.col("lab").alias("__plab")),
+                "lab",
+                "left",
+            )
+            .select(
+                "u",
+                F.least("lab", F.coalesce("__plab", F.col("lab"))).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.join(lab.select("u", F.col("lab").alias("__old")), "u")
+            .filter(F.col("lab") != F.col("__old"))
+            .limit(1)
+            .count()
+        )
+        lab = jumped
+        if changed == 0:
+            return lab.select(F.col("u").alias("node"), F.col("lab").alias("component"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def canonical_docs(
+    corpus: DataFrame, components: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one survivor per duplicate cluster: the min-id doc (== its own
+    component label). Non-survivors are dropped; survivors keep all
+    corpus columns."""
+    keep = components.filter(F.col("node") == F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return corpus.join(keep, id_col, "left_semi")
+
+
+_CC_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lab FROM corpus
+  UNION
+  SELECT e.v AS node, r.lab FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (
+  SELECT node, min(lab) AS component FROM reach GROUP BY node
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(component AS BIGINT) AS component,
+       CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+FROM comp
+ORDER BY 1
+"""
+
+
+@register("dedup_connected_components", oracle=_CC_ORACLE)
+def q_connected_components(spark, sf_dir):
+    """Full dedup-clustering pipeline: MinHash/LSH verified pairs →
+    connected components → (doc, component, cluster_size) for every doc
+    in the duplicate-injected corpus (singletons included). The oracle
+    recomputes components from scratch with a recursive CTE."""
+    corpus = corpus_with_duplicates(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus, max_band_bucket=50)
+    cc = connected_components(pairs, nodes=corpus)
+    return (
+        cc.withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("component")),
+        )
+        .select(
+            F.col("node").alias("doc_id"),
+            "component",
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+        .orderBy("doc_id")
+    )

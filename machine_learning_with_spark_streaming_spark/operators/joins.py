@@ -11,7 +11,7 @@ on the (small) dimension only — never on the fact. Enrichment defaults via
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from machine_learning_with_spark_streaming_spark.registry import register
@@ -346,3 +346,125 @@ def q_compare_join(spark, sf_dir):
         )
         .orderBy("priority")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    value_cols: dict[str, str],
+    strict: bool = False,
+) -> DataFrame:
+    """J10 (beyond the reference surface): backward as-of join — attach to
+    each left row the most recent right row at-or-before its timestamp
+    (``strict=True``: strictly before), per join key.
+
+    Spark has no AS OF join operator; the naive range-join formulation
+    (``l.key = r.key AND r.t <= l.t`` + max-per-group) explodes into one
+    row per (left row x earlier right row) before the aggregate prunes
+    it. This implementation is the scale-shape: tag both sides, union,
+    and carry the last non-null right payload forward over a
+    key-partitioned window — ONE shuffle of left ∪ right on the key and
+    a per-key sort, linear in input size. Equal-timestamp semantics are
+    encoded in the secondary sort: right rows sort before left rows for
+    inclusive (<=) matching, after them for strict (<).
+
+    ``right`` must be unique per (key, right_time) — pre-dedup with
+    keep-latest semantics (``keep_first_per_key`` / row_number) first;
+    with timestamp ties the matched row is otherwise nondeterministic in
+    any as-of engine.
+
+    Skew note: one hot key serializes its window sort into one task; at
+    100 TB salt such keys by coarse time bucket and stitch bucket
+    boundaries with a second pass over per-bucket tails.
+    """
+    r_ord, l_ord = (0, 1) if not strict else (1, 0)
+    payload = F.struct(*[F.col(c) for c in value_cols])
+    rt = right.select(
+        *[F.col(k) for k in on],
+        F.col(right_time).alias("__t"),
+        F.lit(r_ord).alias("__ord"),
+        F.lit(False).alias("__is_left"),
+        payload.alias("__payload"),
+    )
+    lt = left.select(
+        *left.columns,
+        F.col(left_time).alias("__t"),
+        F.lit(l_ord).alias("__ord"),
+        F.lit(True).alias("__is_left"),
+    )
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__t", "__ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
+    return matched.filter(F.col("__is_left")).select(
+        *left.columns,
+        *[F.col(f"__m.{src}").alias(dst) for src, dst in value_cols.items()],
+    )
+
+
+_J10_ORACLE = """
+WITH ded AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                              ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+)
+SELECT l.o_orderkey, l.o_custkey,
+       CAST(l.o_orderdate AS TIMESTAMP) AS o_orderdate,
+       r.o_orderkey AS prev_order_key,
+       round(r.o_totalprice, 2) AS prev_order_price,
+       CAST(datediff('day', r.o_orderdate, l.o_orderdate) AS INT)
+         AS days_since_prev
+FROM orders l ASOF LEFT JOIN ded r
+  ON l.o_custkey = r.o_custkey AND l.o_orderdate > r.o_orderdate
+ORDER BY 1
+"""
+
+
+@register("j10_asof_join", oracle=_J10_ORACLE)
+def q_asof_join(spark, sf_dir):
+    """J10: self as-of join — each order matched to the same customer's
+    most recent strictly-earlier order (DuckDB ASOF LEFT JOIN oracle).
+    The right side is deduped to one row per (custkey, orderdate)
+    keeping the max orderkey, making tie behavior deterministic in both
+    engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    ded = (
+        orders.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    out = asof_join(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        ded,
+        on=["o_custkey"],
+        left_time="o_orderdate",
+        right_time="o_orderdate",
+        value_cols={
+            "o_orderkey": "prev_order_key",
+            "o_totalprice": "prev_order_price",
+            "o_orderdate": "prev_order_date",
+        },
+        strict=True,
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "prev_order_key",
+        F.round("prev_order_price", 2).alias("prev_order_price"),
+        F.datediff("o_orderdate", "prev_order_date")
+        .cast("int")
+        .alias("days_since_prev"),
+    ).orderBy("o_orderkey")

@@ -29,6 +29,7 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.operators.setops",
     "machine_learning_with_spark_streaming_spark.operators.validation",
     "machine_learning_with_spark_streaming_spark.operators.dedup",
+    "machine_learning_with_spark_streaming_spark.operators.graph",
     "machine_learning_with_spark_streaming_spark.operators.sampling",
     "machine_learning_with_spark_streaming_spark.operators.similarity",
     "machine_learning_with_spark_streaming_spark.operators.ivf",
