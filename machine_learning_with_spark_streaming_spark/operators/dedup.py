@@ -40,9 +40,10 @@ def normalize_text(col: Column | str) -> Column:
     return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
 
 
-def _grams_from_words(ws: Column, n: int) -> Column:
-    """Distinct word n-grams via shifted-slice ``zip_with`` — references
-    ``ws`` exactly ``n`` times total.
+def _grams_from_words(ws: Column, n: int, distinct: bool = True) -> Column:
+    """Word n-grams via shifted-slice ``zip_with`` — references ``ws``
+    exactly ``n`` times total. ``distinct=False`` keeps positional
+    multiplicity (frequency analyses need it; shingle sets don't).
 
     The naive form (``transform`` over an index ``sequence`` with
     ``element_at(ws, i+j)``) references ``ws`` once per gram per
@@ -57,7 +58,7 @@ def _grams_from_words(ws: Column, n: int) -> Column:
         grams = F.zip_with(
             grams, F.slice(ws, j + 1, k), lambda a, b: F.concat_ws(" ", a, b)
         )
-    return F.array_distinct(grams)
+    return F.array_distinct(grams) if distinct else grams
 
 
 def shingle_table(

@@ -397,3 +397,117 @@ def q_llm_data_prep(spark, sf_dir):
         )
         .orderBy("quality", "pred_lang")
     )
+
+
+# ------------------------------------------------- repetition filtering
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 repetition filters — public paper):
+
+    - ``dup_word_ratio``: fraction of word occurrences that repeat an
+      earlier word (1 - distinct/total);
+    - ``top_word_ratio``: occurrence share of the most frequent word;
+    - ``top_bigram_ratio``: occurrence share of the most frequent word
+      bigram.
+
+    Shape: explode → two-level aggregate (token counts, then per-doc
+    max/sum). Both group-bys get map-side partial aggregation and the
+    shuffle key is (doc, token) — no document bodies move after the
+    split, so the op is linear in corpus token count at 100 TB. Bigram
+    multiplicity is preserved (non-distinct grams).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(text_col), " ").alias("__ws"),
+    )
+    wc = (
+        base.select("id", F.explode("__ws").alias("t"))
+        .groupBy("id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_w"),
+        )
+    )
+    bc = (
+        base.select(
+            "id",
+            F.explode(
+                _grams_from_words(F.col("__ws"), 2, distinct=False)
+            ).alias("t"),
+        )
+        .groupBy("id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_b"))
+    )
+    return wc.join(bc, "id").select(
+        F.col("id").alias(id_col),
+        F.col("n_words").cast("int").alias("n_words"),
+        F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_words"), 6).alias(
+            "dup_word_ratio"
+        ),
+        F.round(F.col("top_w") / F.col("n_words"), 6).alias("top_word_ratio"),
+        F.round(F.col("top_b") / F.col("n_bigrams"), 6).alias("top_bigram_ratio"),
+    )
+
+
+#: thresholds chosen against the testdata distribution (p80 bigram share,
+#: above-mean dup-word share) so both classes are populated at every SF
+REPETITION_MAX_TOP_BIGRAM = 0.05
+REPETITION_MAX_DUP_WORD = 0.6
+
+
+def repetition_gate(feats: DataFrame) -> DataFrame:
+    """1 = repetitive (drop from training corpus), 0 = keep."""
+    return feats.withColumn(
+        "repetitive",
+        (
+            (F.col("top_bigram_ratio") > REPETITION_MAX_TOP_BIGRAM)
+            | (F.col("dup_word_ratio") > REPETITION_MAX_DUP_WORD)
+        ).cast("int"),
+    )
+
+
+_REPETITION_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {_WS} AS ws FROM documents
+),
+wc AS (
+  SELECT doc_id, w AS t, count(*) AS c
+  FROM (SELECT doc_id, unnest(ws) AS w FROM w) GROUP BY 1, 2
+),
+wagg AS (
+  SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct, max(c) AS top_w
+  FROM wc GROUP BY 1
+),
+bg AS (
+  SELECT doc_id, ws[g.i] || ' ' || ws[g.i+1] AS t
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
+),
+bc AS (SELECT doc_id, t, count(*) AS c FROM bg GROUP BY 1, 2),
+bagg AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_b FROM bc GROUP BY 1)
+SELECT CAST(wagg.doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS INT) AS n_words,
+       round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_ratio,
+       round(CAST(top_w AS DOUBLE) / n_words, 6) AS top_word_ratio,
+       round(CAST(top_b AS DOUBLE) / n_bigrams, 6) AS top_bigram_ratio,
+       CAST(CASE WHEN CAST(top_b AS DOUBLE) / n_bigrams > {REPETITION_MAX_TOP_BIGRAM}
+                   OR 1.0 - CAST(n_distinct AS DOUBLE) / n_words > {REPETITION_MAX_DUP_WORD}
+            THEN 1 ELSE 0 END AS INT) AS repetitive
+FROM wagg JOIN bagg ON wagg.doc_id = bagg.doc_id
+ORDER BY 1
+"""
+
+
+@register("text_repetition", oracle=_REPETITION_ORACLE)
+def q_repetition(spark, sf_dir):
+    """Repetition quality gate: dup-word / top-word / top-bigram shares +
+    drop flag per document."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_gate(repetition_features(docs)).orderBy("doc_id")

@@ -57,3 +57,55 @@ def test_assert_unique_keys_batched(spark):
     fact = spark.createDataFrame([(1, 10)], ["k", "x"])
     out = guarded_join(fact, dup, ["k"], check=False)
     assert out.count() == 2  # fan-out allowed when unchecked
+
+
+# ------------------------------------------------------------ as-of join
+
+def _asof(spark, strict):
+    from machine_learning_with_spark_streaming_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (1, 5, "e0"), (2, 10, "e3")],
+        "k long, t long, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (3, 1, 999.0)],
+        "k long, t long, px double",
+    )
+    out = asof_join(
+        left, right, ["k"], "t", "t", {"px": "px", "t": "rt"}, strict=strict
+    )
+    return {r["ev"]: (r["px"], r["rt"]) for r in out.collect()}
+
+
+def test_asof_join_inclusive(spark):
+    m = _asof(spark, strict=False)
+    # e1 at t=10 matches the t=10 quote inclusively; e2 takes t=15;
+    # e0 precedes all quotes; k=2 has no quotes at all
+    assert m == {
+        "e1": (100.0, 10),
+        "e2": (150.0, 15),
+        "e0": (None, None),
+        "e3": (None, None),
+    }
+
+
+def test_asof_join_strict(spark):
+    m = _asof(spark, strict=True)
+    # strict: the t=10 quote no longer matches the t=10 event
+    assert m["e1"] == (None, None)
+    assert m["e2"] == (150.0, 15)
+
+
+def test_asof_join_preserves_left_rowcount(spark):
+    from machine_learning_with_spark_streaming_spark.operators.joins import asof_join
+
+    left = spark.range(100).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("t")
+    )
+    right = spark.range(10).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") * 11).alias("t"),
+        F.col("id").alias("v"),
+    )
+    out = asof_join(left, right, ["k"], "t", "t", {"v": "v"})
+    assert out.count() == 100

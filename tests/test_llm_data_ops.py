@@ -231,3 +231,61 @@ def test_llm_data_prep_pipeline_invariants(spark, sf_dir):
     # the quality gate ran before dedup
     assert all(r.quality != "junk" for r in rows)
     assert len(ids) == len(set(ids))
+
+
+def test_repetition_features_constructed(spark):
+    from machine_learning_with_spark_streaming_spark.operators.text import (
+        repetition_features,
+        repetition_gate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # one word repeated
+            # 26 distinct words: top bigram share 1/25 stays under the
+            # 0.05 gate (short distinct docs have high shares by n-1 math)
+            (2, " ".join(chr(c) for c in range(ord("a"), ord("z") + 1))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_gate(repetition_features(docs)).collect()
+    }
+    assert out[1]["dup_word_ratio"] == 0.75
+    assert out[1]["top_word_ratio"] == 1.0
+    assert out[1]["top_bigram_ratio"] == 1.0
+    assert out[1]["repetitive"] == 1
+    assert out[2]["dup_word_ratio"] == 0.0
+    assert out[2]["top_bigram_ratio"] == 0.04  # 1/25
+    assert out[2]["repetitive"] == 0
+
+
+def test_pii_counts_and_redaction(spark):
+    from machine_learning_with_spark_streaming_spark.operators.pii import (
+        pii_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.io call 555-123-4567 ip 10.0.0.1 ssn 123-45-6789"),
+            (2, "clean text with no identifiers at all"),
+        ],
+        "doc_id long, text string",
+    )
+    counted = {r["doc_id"]: r.asDict() for r in pii_counts(df).collect()}
+    assert (
+        counted[1]["n_email"],
+        counted[1]["n_phone"],
+        counted[1]["n_ipv4"],
+        counted[1]["n_ssn"],
+    ) == (1, 1, 1, 1)
+    assert sum(counted[2][f"n_{k}"] for k in ("email", "phone", "ipv4", "ssn")) == 0
+
+    red = {
+        r["doc_id"]: r["red"]
+        for r in df.select("doc_id", redact_pii("text").alias("red")).collect()
+    }
+    assert red[1] == "mail [EMAIL] call [PHONE] ip [IPV4] ssn [SSN]"
+    assert red[2] == "clean text with no identifiers at all"
