@@ -46,6 +46,11 @@ HEADLINE = [
     "text_quality",
     "sim_topk_cosine",
     "pipeline_llm_data_prep",
+    # added round 2 (no r1 baseline; first measured in BENCH_r02):
+    "j10_asof_join",
+    "dedup_connected_components",
+    "text_repetition",
+    "pii_redact",
 ]
 
 

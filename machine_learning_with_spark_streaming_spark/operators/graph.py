@@ -61,7 +61,17 @@ def connected_components(
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # lazily checkpoint the edge list: it joins into EVERY round, and an
+    # untruncated lineage would re-run the (expensive) pair-producing
+    # upstream — e.g. the whole MinHash/LSH pipeline — once per round.
+    # eager=False defers materialization to the first round's aggregate,
+    # so no standalone job is paid for it, while still replacing the
+    # logical plan with a flat RDD scan (plain persist() keeps the nested
+    # plan and Catalyst analysis grows ~3x per round — measured hang by
+    # round ~10 on chain graphs).
+    sym = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
 
     pts = sym.select("u").distinct()
     if nodes is not None:
@@ -69,11 +79,15 @@ def connected_components(
             nodes.select(F.col(node_col).cast("long").alias("u"))
         ).distinct()
 
-    lab = (
-        pts.join(sym.groupBy("u").agg(F.min("v").alias("__nb")), "u", "left")
-        .select("u", F.least(F.col("u"), F.coalesce("__nb", F.col("u"))).alias("lab"))
-        .localCheckpoint(eager=True)
-    )
+    lab = pts.join(sym.groupBy("u").agg(F.min("v").alias("__nb")), "u", "left").select(
+        "u", F.least(F.col("u"), F.coalesce("__nb", F.col("u"))).alias("lab")
+    ).localCheckpoint(eager=False)
+    # convergence witness: labels only ever shrink, so the label total is
+    # strictly decreasing until fixpoint — one cheap aggregate (which also
+    # materializes the round's persist) replaces a join-based changed-row
+    # count. decimal(38,0) keeps the total exact for 64-bit ids.
+    total = F.sum(F.col("lab").cast("decimal(38,0)")).alias("t")
+    prev = lab.agg(total).collect()[0]["t"]
 
     for _ in range(max_iter):
         # min label over neighbors: shuffle sym on v to meet lab(v)
@@ -87,27 +101,21 @@ def connected_components(
         )
         # pointer jump: lab(u) <- lab(lab(u)) (labels only shrink, so
         # jumping against the pre-round table is still monotone-safe)
-        jumped = (
-            prop.join(
-                lab.select(F.col("u").alias("lab"), F.col("lab").alias("__plab")),
-                "lab",
-                "left",
-            )
-            .select(
-                "u",
-                F.least("lab", F.coalesce("__plab", F.col("lab"))).alias("lab"),
-            )
-            .localCheckpoint(eager=True)
+        jumped = prop.join(
+            lab.select(F.col("u").alias("lab"), F.col("lab").alias("__plab")),
+            "lab",
+            "left",
+        ).select(
+            "u", F.least("lab", F.coalesce("__plab", F.col("lab"))).alias("lab")
         )
-        changed = (
-            jumped.join(lab.select("u", F.col("lab").alias("__old")), "u")
-            .filter(F.col("lab") != F.col("__old"))
-            .limit(1)
-            .count()
-        )
+        # lazy checkpoint per round: flat plan, materialized by the
+        # convergence aggregate below — one job per round total
+        jumped = jumped.localCheckpoint(eager=False)
+        cur = jumped.agg(total).collect()[0]["t"]
         lab = jumped
-        if changed == 0:
+        if cur == prev:
             return lab.select(F.col("u").alias("node"), F.col("lab").alias("component"))
+        prev = cur
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
