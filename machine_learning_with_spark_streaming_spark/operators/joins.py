@@ -468,3 +468,90 @@ def q_asof_join(spark, sf_dir):
         .cast("int")
         .alias("days_since_prev"),
     ).orderBy("o_orderkey")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    lower_sec: int,
+    upper_sec: int,
+) -> DataFrame:
+    """J11 (beyond the reference surface): keyed interval/band join —
+    pairs (l, r) with the same key and ``r.t ∈ [l.t + lower, l.t +
+    upper]``.
+
+    Spark plans a raw inequality join as a cartesian/broadcast-nested-
+    loop per key group. The scale shape instead buckets time into
+    ``upper-lower``-wide slots: the right side equi-joins on (key,
+    bucket) and the left side explodes onto the (at most 2) buckets its
+    window can touch, then the exact interval predicate filters. The
+    shuffle is an equi-join shuffle; candidate pairs are bounded by real
+    temporal locality instead of key cardinality. Bucket ids come from
+    second-truncated epochs — truncation keeps every true match's bucket
+    within [lb, ub] (proof in tests), the exact predicate then uses full
+    timestamp precision.
+    """
+    w = max(int(upper_sec - lower_sec), 1)
+    lsec = F.unix_timestamp(F.col(left_time))
+    rsec = F.unix_timestamp(F.col(right_time))
+    lb = F.floor((lsec + F.lit(lower_sec)) / F.lit(w)).cast("long")
+    ub = F.floor((lsec + F.lit(upper_sec)) / F.lit(w)).cast("long")
+    le = left.withColumn("__b", F.explode(F.sequence(lb, ub)))
+    re_ = right.withColumn("__b", F.floor(rsec / F.lit(w)).cast("long"))
+    joined = le.join(re_, on=[*on, "__b"], how="inner")
+    pred = (
+        F.col(right_time)
+        >= F.col(left_time) + F.make_dt_interval(secs=F.lit(float(lower_sec)))
+    ) & (
+        F.col(right_time)
+        <= F.col(left_time) + F.make_dt_interval(secs=F.lit(float(upper_sec)))
+    )
+    return joined.filter(pred).drop("__b")
+
+
+_J11_ORACLE = """
+WITH e AS (
+  SELECT event_id AS error_id, user_id, ts AS e_ts
+  FROM events WHERE event_type = 'error'
+),
+c AS (
+  SELECT event_id AS click_id, user_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT e.error_id, c.click_id, e.user_id,
+       round(date_diff('microsecond', c.c_ts, e.e_ts) / 1000000.0, 6)
+         AS secs_before
+FROM e JOIN c
+  ON e.user_id = c.user_id
+ AND c.c_ts >= e.e_ts - INTERVAL 1800 SECOND
+ AND c.c_ts <= e.e_ts
+ORDER BY 1, 2
+"""
+
+
+@register("j11_interval_join", oracle=_J11_ORACLE)
+def q_interval_join(spark, sf_dir):
+    """J11: clicks within 30 minutes before each error event of the same
+    user, via the bucketed interval join (oracle: plain inequality
+    join)."""
+    events = load_table(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("e_ts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    out = interval_join(
+        errors, clicks, ["user_id"], "e_ts", "c_ts", lower_sec=-1800, upper_sec=0
+    )
+    return out.select(
+        "error_id",
+        "click_id",
+        "user_id",
+        F.round(
+            (F.unix_micros("e_ts") - F.unix_micros("c_ts")) / 1_000_000.0, 6
+        ).alias("secs_before"),
+    ).orderBy("error_id", "click_id")

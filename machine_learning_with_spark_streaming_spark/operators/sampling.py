@@ -19,7 +19,7 @@ md5_hash60) so the DuckDB oracle computes the identical sample.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from machine_learning_with_spark_streaming_spark.operators.dedup import md5_hash60
@@ -146,4 +146,115 @@ def q_stratified_sample(spark, sf_dir):
         stratified_hash_sample(docs, MIX_RATES, strata_col="lang")
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------- per-domain caps / packing
+
+def cap_per_group(
+    df: DataFrame, keys: list[str], order_by: list[Column], k: int
+) -> DataFrame:
+    """Keep at most ``k`` rows per group under a deterministic priority —
+    the per-domain document cap of web-corpus pipelines (C4/Dolma-style
+    host caps; public-pipeline practice). One shuffle on the group key;
+    ties must be broken by a unique trailing order column for
+    reproducibility."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def pack_token_budget(
+    df: DataFrame,
+    budget: int,
+    tokens_col: str,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to fixed token-budget chunks per stream
+    (sequence packing for training): chunk = floor(exclusive-cumsum /
+    budget) over a deterministic per-partition order. This is the
+    streaming-chunk form — a document may straddle a chunk boundary by
+    less than one document; byte-exact greedy packing (reset at the
+    boundary) is inherently sequential and belongs in a per-group
+    ``applyInPandas`` if required. One shuffle on ``part_col``; window
+    frame is a running sum (no whole-partition buffering)."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return df.withColumn("chunk_id", F.floor(cum / budget).cast("int"))
+
+
+_CAP_ORACLE = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 15
+ORDER BY doc_id
+"""
+
+
+@register("sample_cap_per_source", oracle=_CAP_ORACLE)
+def q_cap_per_source(spark, sf_dir):
+    """Per-source document cap: keep the 15 largest docs per source
+    (deterministic doc_id tiebreak)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return cap_per_group(
+        docs, ["source"], [F.col("n_chars").desc(), F.col("doc_id")], 15
+    ).orderBy("doc_id")
+
+
+_PACK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+           AS ws_tokens
+  FROM documents
+),
+packed AS (
+  SELECT source, ws_tokens,
+         CAST(floor(coalesce(sum(ws_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) / 512) AS INT) AS chunk_id
+  FROM toks
+)
+SELECT source, chunk_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ws_tokens) AS BIGINT) AS sum_tokens
+FROM packed
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("pack_token_budget", oracle=_PACK_ORACLE)
+def q_pack_token_budget(spark, sf_dir):
+    """Sequence packing: 512-token chunks per source stream; output
+    chunk occupancy (docs + token sums per chunk)."""
+    from machine_learning_with_spark_streaming_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(words("text")).alias("ws_tokens")
+    )
+    packed = pack_token_budget(docs, 512, "ws_tokens")
+    return (
+        packed.groupBy("source", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").cast("bigint").alias("sum_tokens"),
+        )
+        .orderBy("source", "chunk_id")
     )

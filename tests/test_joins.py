@@ -109,3 +109,54 @@ def test_asof_join_preserves_left_rowcount(spark):
     )
     out = asof_join(left, right, ["k"], "t", "t", {"v": "v"})
     assert out.count() == 100
+
+
+# --------------------------------------------------------- interval join
+
+def test_interval_join_matches_naive(spark):
+    """Bucketed candidates must reproduce the naive inequality join
+    exactly — including matches that straddle bucket boundaries and
+    sub-second timestamp fractions the second-truncated buckets miss."""
+    import datetime as dt
+
+    from machine_learning_with_spark_streaming_spark.operators.joins import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    # events at awkward offsets incl. microseconds around the 1800s width
+    lrows = [
+        (i, 1, base + dt.timedelta(seconds=s))
+        for i, s in enumerate([0, 1799.999999, 1800, 1800.5, 3600, 7200])
+    ]
+    rrows = [
+        (100 + i, 1, base + dt.timedelta(seconds=s))
+        for i, s in enumerate([0.5, 900, 1799.5, 1800.000001, 5400.25])
+    ]
+    left = spark.createDataFrame(lrows, "lid long, k long, lt timestamp")
+    right = spark.createDataFrame(rrows, "rid long, k long, rt timestamp")
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_join(
+            left, right, ["k"], "lt", "rt", lower_sec=-1800, upper_sec=0
+        ).collect()
+    }
+    want = {
+        (lid, rid)
+        for lid, _, lt in lrows
+        for rid, _, rt in rrows
+        if lt - dt.timedelta(seconds=1800) <= rt <= lt
+    }
+    assert got == want and want  # non-empty ground truth
+
+
+def test_interval_join_disjoint_keys_empty(spark):
+    from machine_learning_with_spark_streaming_spark.operators.joins import interval_join
+
+    left = spark.createDataFrame([(1, 1, 1000)], "lid long, k long, s long").select(
+        "lid", "k", F.timestamp_seconds("s").alias("lt")
+    )
+    right = spark.createDataFrame([(2, 9, 1000)], "rid long, k long, s long").select(
+        "rid", "k", F.timestamp_seconds("s").alias("rt")
+    )
+    assert (
+        interval_join(left, right, ["k"], "lt", "rt", -10, 10).count() == 0
+    )

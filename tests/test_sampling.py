@@ -65,3 +65,31 @@ def test_mix_corpora_weighted_union(spark, sf_dir):
     lo_ids = {r.doc_id for r in mixed.filter("source = 'lo'").collect()}
     lo_wider = {r.doc_id for r in wider.filter("source = 'lo'").collect()}
     assert lo_ids <= lo_wider
+
+
+def test_cap_per_group_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [("a", i, i % 3) for i in range(9)] + [("b", 100, 0)],
+        "g string, id long, prio long",
+    )
+    out = cap_per_group(df, ["g"], [F.col("prio").desc(), F.col("id")], 2)
+    got = sorted((r["g"], r["id"]) for r in out.collect())
+    # group a: prio 2 rows are ids 2,5,8 -> keep 2,5; group b: only row
+    assert got == [("a", 2), ("a", 5), ("b", 100)]
+
+
+def test_pack_token_budget_chunks(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from machine_learning_with_spark_streaming_spark.operators.sampling import pack_token_budget
+
+    df = spark.createDataFrame(
+        [(i, "s", 300) for i in range(5)], "doc_id long, source string, t long"
+    )
+    out = {r["doc_id"]: r["chunk_id"] for r in pack_token_budget(df, 1000, "t").collect()}
+    # exclusive cumsums: 0,300,600,900,1200 -> chunks 0,0,0,0,1
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 1}
