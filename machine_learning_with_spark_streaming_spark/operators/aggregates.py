@@ -367,3 +367,36 @@ def q_sketch_bounds(spark, sf_dir):
         F.col("n").cast("bigint").alias("n"),
         F.col("n_le_p50").cast("bigint").alias("n_le_p50"),
     )
+
+
+_A14_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50,
+       round(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 4) AS p90,
+       round(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 4) AS p99
+FROM lineitem
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("a14_group_percentiles", oracle=_A14_ORACLE)
+def q_group_percentiles(spark, sf_dir):
+    """A14 (beyond the reference): exact interpolated percentiles per
+    group — Spark's ``percentile`` aggregate (exact, SQL
+    PERCENTILE_CONT semantics) against DuckDB ``quantile_cont``. The
+    exact form sorts each group's values; at 100 TB swap in
+    ``percentile_approx`` (t-digest sketch, mergeable map-side) and
+    a13's error-bound check pattern."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -258,3 +258,91 @@ def q_pack_token_budget(spark, sf_dir):
         )
         .orderBy("source", "chunk_id")
     )
+
+
+def pack_token_budget_exact(
+    df: DataFrame,
+    budget: int,
+    tokens_col: str,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Byte-exact greedy sequence packing: walk each stream in id order,
+    filling a chunk until the next document would exceed ``budget``, then
+    reset (an over-budget document gets a chunk to itself).
+
+    The reset makes the recurrence inherently sequential, so this is the
+    engine's one legitimate Arrow-batched Python stage for packing:
+    ``applyInPandas`` per stream — each stream walks in one task, Arrow
+    transfers columnar batches, and parallelism comes from the number of
+    streams (at 100 TB: thousands of sources / shard keys; a single
+    giant stream should be pre-split by a coarse chunk of the
+    approximate :func:`pack_token_budget` first). Despite the Python
+    stage the result is deterministic, and the DuckDB oracle replays the
+    identical walk as a linear recursive CTE — the driver still
+    hash-certifies it.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("chunk_id", T.IntegerType())]
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        chunk, used, out = 0, 0, []
+        for t in pdf[tokens_col]:
+            if used > 0 and used + t > budget:
+                chunk, used = chunk + 1, 0
+            out.append(chunk)
+            used += t
+        return pdf.assign(chunk_id=out)
+
+    return df.groupBy(part_col).applyInPandas(pack, schema)
+
+
+_PACK_EXACT_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, source,
+         len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+           AS ws_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+walk AS (
+  SELECT source, rn, ws_tokens, 0 AS chunk_id, ws_tokens AS used
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.rn, t.ws_tokens,
+         CASE WHEN w.used + t.ws_tokens > 512 THEN w.chunk_id + 1 ELSE w.chunk_id END,
+         CASE WHEN w.used + t.ws_tokens > 512 THEN t.ws_tokens ELSE w.used + t.ws_tokens END
+  FROM walk w JOIN toks t ON t.source = w.source AND t.rn = w.rn + 1
+)
+SELECT source, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ws_tokens) AS BIGINT) AS sum_tokens
+FROM walk
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("pack_token_budget_exact", oracle=_PACK_EXACT_ORACLE)
+def q_pack_token_budget_exact(spark, sf_dir):
+    """Exact greedy 512-token packing per source stream (Arrow-batched
+    sequential walk), chunk occupancy output; the oracle replays the
+    walk as a recursive CTE."""
+    from machine_learning_with_spark_streaming_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(words("text")).cast("long").alias("ws_tokens")
+    )
+    packed = pack_token_budget_exact(docs, 512, "ws_tokens")
+    return (
+        packed.groupBy("source", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").cast("bigint").alias("sum_tokens"),
+        )
+        .orderBy("source", "chunk_id")
+    )

@@ -93,3 +93,25 @@ def test_pack_token_budget_chunks(spark):
     out = {r["doc_id"]: r["chunk_id"] for r in pack_token_budget(df, 1000, "t").collect()}
     # exclusive cumsums: 0,300,600,900,1200 -> chunks 0,0,0,0,1
     assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 1}
+
+
+def test_pack_token_budget_exact_greedy_reset(spark):
+    from machine_learning_with_spark_streaming_spark.operators.sampling import (
+        pack_token_budget_exact,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "s", 400),
+            (1, "s", 400),
+            (2, "s", 400),   # 400+400=800, +400 > 1000 -> reset
+            (3, "s", 1500),  # over-budget doc gets its own chunk
+            (4, "s", 100),
+        ],
+        "doc_id long, source string, t long",
+    )
+    out = {
+        r["doc_id"]: r["chunk_id"]
+        for r in pack_token_budget_exact(df, 1000, "t").collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3}
