@@ -127,3 +127,39 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    lower_sec: int,
+    upper_sec: int,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join on a key plus an event-time range
+    (`right_time ∈ [left_time + lower, left_time + upper]`).
+
+    On streaming frames both sides carry watermarks and the time-range
+    condition is exactly what lets Spark BOUND the join state: each
+    side's buffered rows are evicted once the other side's watermark
+    passes their range (unbounded stream-stream joins otherwise keep
+    state forever). On batch frames the identical condition runs
+    stateless, so stream-batch parity is testable by construction.
+    Column names other than ``key`` must be disjoint between the sides.
+    """
+    l, r = left, right
+    if l.isStreaming:
+        l = l.withWatermark(left_time, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(right_time, watermark)
+    lo = F.make_dt_interval(secs=F.lit(float(lower_sec)))
+    hi = F.make_dt_interval(secs=F.lit(float(upper_sec)))
+    cond = (
+        (l[key] == r[key])
+        & (r[right_time] >= l[left_time] + lo)
+        & (r[right_time] <= l[left_time] + hi)
+    )
+    return l.join(r, cond).drop(r[key])

@@ -69,3 +69,36 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM") == target
     ).count()
     assert q.count() == expected
+
+
+def test_asof_join_single_shuffle_plan(spark, sf_dir):
+    """The as-of join must cost exactly one hash-partitioning exchange
+    (the union shuffle on the key) — a range-join or per-key nested-loop
+    formulation would show more/other exchanges or BNLJ nodes."""
+    from machine_learning_with_spark_streaming_spark.operators.joins import asof_join
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = asof_join(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        orders.select("o_custkey", "o_orderdate", "o_totalprice"),
+        on=["o_custkey"],
+        left_time="o_orderdate",
+        right_time="o_orderdate",
+        value_cols={"o_totalprice": "prev_price"},
+        strict=True,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_interval_join_no_nested_loop_plan(spark, sf_dir):
+    """The bucketed interval join must plan as an equi-join (hash/SMJ),
+    never a per-key nested loop or cartesian product."""
+    from machine_learning_with_spark_streaming_spark.operators.joins import q_interval_join
+
+    out = q_interval_join(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan), plan

@@ -143,3 +143,58 @@ def test_foreach_batch_upsert_only_appends_changes(spark, tmp_path):
     final = spark.read.parquet(target)
     assert final.count() == 3  # 2 initial + 1 changed row appended
     assert final.filter("k = 2").count() == 2
+
+
+def test_stream_stream_interval_join_parity(spark, sf_dir, tmp_path):
+    """Stream-stream time-range join == the batch interval join on the
+    same events (clicks within 30 min before each error)."""
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+    from machine_learning_with_spark_streaming_spark.streaming.pipeline import (
+        stream_stream_interval_join,
+    )
+
+    events_dir = str(tmp_path / "events_us_ssj")
+    load_table(spark, sf_dir, "events").write.parquet(events_dir)
+    batch = spark.read.parquet(events_dir)
+
+    def split(df):
+        errors = df.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id"),
+            F.col("ts").alias("e_ts"),
+        )
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        return errors, clicks
+
+    be, bc = split(batch)
+    expected = sorted(
+        (r["error_id"], r["click_id"])
+        for r in stream_stream_interval_join(
+            be, bc, "user_id", "e_ts", "c_ts", -1800, 0
+        ).collect()
+    )
+    assert expected  # ground truth non-empty
+
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+    se, sc = split(stream)
+    joined = stream_stream_interval_join(
+        se, sc, "user_id", "e_ts", "c_ts", -1800, 0, watermark="1 minute"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["error_id"], r["click_id"])
+        for r in spark.sql("select * from ssj").collect()
+    )
+    assert got == expected
