@@ -161,3 +161,96 @@ def test_human_format_branches(spark):
         fmt_int("x").alias("i"), fmt_val("x").alias("v"), fmt_pct(F.lit(0.1234)).alias("p")
     ).first()
     assert one.i == "1,234" and one.v == "1,234" and one.p == "12.34%"
+
+
+# ------------------------------------------------ as-of join vs naive SQL
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 999)),
+        min_size=0,
+        max_size=25,
+    ),
+    st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_naive(spark, lrows, rrows, strict):
+    """asof_join == argmax-per-left-row of the naive range join, for any
+    keyed timeline (right deduped per (key, t) keeping max value)."""
+    from machine_learning_with_spark_streaming_spark.operators.joins import asof_join
+
+    # dedup right per (key, t): keep max v (mirrors the documented contract)
+    rmap = {}
+    for k, t, v in rrows:
+        rmap[(k, t)] = max(rmap.get((k, t), -1), v)
+    rded = [(k, t, v) for (k, t), v in rmap.items()]
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)], "lid long, k long, t long"
+    )
+    right = spark.createDataFrame(rded or [(99, -1, -1)], "k long, t long, v long")
+    if not rded:
+        right = right.filter("k < -1")  # empty frame with schema
+
+    got = {
+        r["lid"]: r["mv"]
+        for r in asof_join(
+            left, right, ["k"], "t", "t", {"v": "mv"}, strict=strict
+        ).collect()
+    }
+    for i, (k, t) in enumerate(lrows):
+        cand = [
+            v for (kk, tt, v) in rded if kk == k and (tt < t if strict else tt <= t)
+        ]
+        best = max(
+            ((tt, v) for (kk, tt, v) in rded
+             if kk == k and (tt < t if strict else tt <= t)),
+            default=None,
+        )
+        assert got[i] == (best[1] if best else None), (i, k, t, cand)
+
+
+# -------------------------------------- connected components vs union-find
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)), min_size=0, max_size=30
+    )
+)
+@settings(**_SETTINGS)
+def test_connected_components_property(spark, raw_edges):
+    from machine_learning_with_spark_streaming_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    nodes = sorted({n for e in edges for n in e} | {0, 20})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), set()).add(n)
+    want = {n: min(m) for m in comp.values() for n in m}
+
+    e = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+    if not edges:
+        e = e.filter("id_a < 0")
+    n = spark.createDataFrame([(x,) for x in nodes], "doc_id long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(e, nodes=n).collect()
+    }
+    assert got == want
