@@ -51,6 +51,7 @@ HEADLINE = [
     "dedup_connected_components",
     "text_repetition",
     "pii_redact",
+    "pipeline_llm_data_prep_v2",
 ]
 
 

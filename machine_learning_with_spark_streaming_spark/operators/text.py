@@ -511,3 +511,146 @@ def q_repetition(spark, sf_dir):
     drop flag per document."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return repetition_gate(repetition_features(docs)).orderBy("doc_id")
+
+
+# ------------------------------------- composed training-data prep v2
+
+def llm_data_prep_v2(
+    corpus: DataFrame, budget: int = 512, cap: int = 15
+) -> DataFrame:
+    """Round-2 composed corpus prep: quality gate → repetition gate →
+    PII redaction → exact dedup (on redacted text) → per-source cap →
+    token-budget packing. Aside from the window stages this is one
+    Catalyst plan; every gate is an operator also certified standalone
+    (text_quality, text_repetition, pii_redact, dedup_exact,
+    sample_cap_per_source, pack_token_budget).
+
+    Returns per-source corpus stats (docs kept, token sum, chunk count).
+    """
+    from machine_learning_with_spark_streaming_spark.operators.pii import redact_pii
+    from machine_learning_with_spark_streaming_spark.operators.sampling import (
+        cap_per_group,
+        pack_token_budget,
+    )
+
+    feats = quality_class(quality_features(corpus))
+    kept = feats.filter(F.col("quality") != "junk")
+    rep = repetition_gate(repetition_features(kept)).select("doc_id", "repetitive")
+    clean = kept.join(rep, "doc_id").filter(F.col("repetitive") == 0)
+    red = clean.withColumn("__nrm", normalize_text(redact_pii("text")))
+    wded = Window.partitionBy("__nrm").orderBy("doc_id")
+    deduped = (
+        red.withColumn("__rn", F.row_number().over(wded))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    capped = cap_per_group(
+        deduped, ["source"], [F.col("n_words").desc(), F.col("doc_id")], cap
+    )
+    toks = capped.withColumn("ws_tokens", F.size(F.split(F.col("__nrm"), " ")))
+    packed = pack_token_budget(toks, budget, "ws_tokens", "source", "doc_id")
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").cast("bigint").alias("sum_tokens"),
+            (F.max("chunk_id") + 1).cast("int").alias("n_chunks"),
+        )
+        .orderBy("source")
+    )
+
+
+def _prep_v2_oracle() -> str:
+    from machine_learning_with_spark_streaming_spark.operators.dedup import _CORPUS_SQL
+    from machine_learning_with_spark_streaming_spark.operators.pii import PII_PATTERNS
+
+    redacted = "text"
+    for kind, p in PII_PATTERNS.items():
+        pat = p.replace("'", "''")
+        redacted = f"regexp_replace({redacted}, '{pat}', '[{kind.upper()}]', 'g')"
+    return f"""
+WITH {_CORPUS_SQL},
+corpus2 AS (
+  SELECT doc_id, text, 'src' || CAST(doc_id % 20 AS VARCHAR) AS source FROM corpus
+),
+feats AS (
+  SELECT doc_id, text, source,
+         len({_WS}) AS n_words,
+         length({_NORM}) AS n_chars,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         {_count_sql(QUALITY_STOPWORDS)} AS n_stop
+  FROM corpus2
+),
+kept AS (
+  SELECT doc_id, text, source, n_words FROM feats
+  WHERE NOT (n_words < 5)
+),
+rw AS (SELECT doc_id, {_WS} AS ws FROM kept),
+rwc AS (
+  SELECT doc_id, w AS t, count(*) AS c
+  FROM (SELECT doc_id, unnest(ws) AS w FROM rw) GROUP BY 1, 2
+),
+rwagg AS (
+  SELECT doc_id, sum(c) AS nw, count(*) AS nd, max(c) AS topw FROM rwc GROUP BY 1
+),
+rbg AS (
+  SELECT doc_id, ws[g.i] || ' ' || ws[g.i+1] AS t
+  FROM rw, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
+),
+rbc AS (SELECT doc_id, t, count(*) AS c FROM rbg GROUP BY 1, 2),
+rbagg AS (SELECT doc_id, sum(c) AS nb, max(c) AS topb FROM rbc GROUP BY 1),
+rep_ok AS (
+  SELECT rwagg.doc_id
+  FROM rwagg JOIN rbagg ON rwagg.doc_id = rbagg.doc_id
+  WHERE NOT (round(CAST(topb AS DOUBLE) / nb, 6) > {REPETITION_MAX_TOP_BIGRAM}
+             OR round(1.0 - CAST(nd AS DOUBLE) / nw, 6) > {REPETITION_MAX_DUP_WORD})
+),
+clean AS (SELECT k.* FROM kept k JOIN rep_ok USING (doc_id)),
+red AS (
+  SELECT doc_id, source, n_words,
+         lower(trim(regexp_replace({redacted}, '\\s+', ' ', 'g'))) AS nrm
+  FROM clean
+),
+dedup AS (
+  SELECT doc_id, source, n_words, nrm FROM (
+    SELECT *, row_number() OVER (PARTITION BY nrm ORDER BY doc_id) AS rn FROM red
+  ) WHERE rn = 1
+),
+capped AS (
+  SELECT doc_id, source, nrm FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY n_words DESC, doc_id) AS rn
+    FROM dedup
+  ) WHERE rn <= 15
+),
+toks AS (
+  SELECT doc_id, source, len(string_split(nrm, ' ')) AS ws_tokens FROM capped
+),
+packed AS (
+  SELECT source, ws_tokens,
+         CAST(floor(coalesce(sum(ws_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) / 512) AS INT) AS chunk_id
+  FROM toks
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ws_tokens) AS BIGINT) AS sum_tokens,
+       CAST(max(chunk_id) + 1 AS INT) AS n_chunks
+FROM packed
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("pipeline_llm_data_prep_v2", oracle=_prep_v2_oracle())
+def q_llm_data_prep_v2(spark, sf_dir):
+    """Composed v2 corpus prep over the duplicate-injected corpus, with
+    derived per-source provenance (injected ids inherit the base doc's
+    source: the +100000/+200000 offsets are multiples of the 20-source
+    cycle)."""
+    corpus = corpus_with_duplicates(spark, sf_dir).withColumn(
+        "source", F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string"))
+    )
+    return llm_data_prep_v2(corpus)
