@@ -401,8 +401,36 @@ def q_llm_data_prep(spark, sf_dir):
 
 # ------------------------------------------------- repetition filtering
 
+def _max_run(sorted_arr: Column) -> Column:
+    """Longest equal-element run in a SORTED array == max frequency of
+    any element — computed per row with the ``aggregate`` higher-order
+    function (struct fold: previous element, current run, best run).
+    JVM-side, no explode, no shuffle."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(
+            acc.getField("prev").isNotNull() & (acc.getField("prev") == x),
+            acc.getField("run") + 1,
+        ).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.getField("best"), run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc.getField("best"))
+
+
 def repetition_features(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "expr",
 ) -> DataFrame:
     """Gopher-style repetition signals per document (Rae et al. 2021,
     "Scaling Language Models" §A1.1 repetition filters — public paper):
@@ -413,12 +441,36 @@ def repetition_features(
     - ``top_bigram_ratio``: occurrence share of the most frequent word
       bigram.
 
-    Shape: explode → two-level aggregate (token counts, then per-doc
-    max/sum). Both group-bys get map-side partial aggregation and the
-    shuffle key is (doc, token) — no document bodies move after the
-    split, so the op is linear in corpus token count at 100 TB. Bigram
-    multiplicity is preserved (non-distinct grams).
+    ``method="expr"`` (default, the 100 TB shape) computes everything as
+    per-row expressions — ``array_distinct`` sizes for the dup share and
+    a sorted-run-length fold (:func:`_max_run`) for the top-element
+    shares. Zero shuffle: the operator composes with any upstream plan
+    as a pure projection. ``method="explode"`` keeps the explode →
+    two-level-aggregate formulation (two (doc, token)-keyed shuffles
+    with map-side partials) — both produce identical output
+    (equivalence-tested), and the explode form is what the DuckDB
+    oracle mirrors.
     """
+    if method == "expr":
+        base = df.select(
+            F.col(id_col).alias(id_col),
+            F.split(normalize_text(text_col), " ").alias("__ws"),
+        ).withColumn("__bg", _grams_from_words(F.col("__ws"), 2, distinct=False))
+        n_words = F.size("__ws")
+        n_bigrams = F.size("__bg")
+        return base.select(
+            id_col,
+            n_words.cast("int").alias("n_words"),
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct("__ws")) / n_words, 6
+            ).alias("dup_word_ratio"),
+            F.round(_max_run(F.array_sort("__ws")) / n_words, 6).alias(
+                "top_word_ratio"
+            ),
+            F.round(_max_run(F.array_sort("__bg")) / n_bigrams, 6).alias(
+                "top_bigram_ratio"
+            ),
+        )
     base = df.select(
         F.col(id_col).alias("id"),
         F.split(normalize_text(text_col), " ").alias("__ws"),

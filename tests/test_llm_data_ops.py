@@ -289,3 +289,13 @@ def test_pii_counts_and_redaction(spark):
     }
     assert red[1] == "mail [EMAIL] call [PHONE] ip [IPV4] ssn [SSN]"
     assert red[2] == "clean text with no identifiers at all"
+
+
+def test_repetition_expr_equals_explode(spark, sf_dir):
+    from machine_learning_with_spark_streaming_spark.operators.text import repetition_features
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = {tuple(r) for r in repetition_features(docs, method="expr").collect()}
+    b = {tuple(r) for r in repetition_features(docs, method="explode").collect()}
+    assert a == b and a
