@@ -706,3 +706,66 @@ def q_llm_data_prep_v2(spark, sf_dir):
         "source", F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string"))
     )
     return llm_data_prep_v2(corpus)
+
+
+# ------------------------------------------------ unigram LM scoring
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-derived unigram LM score per document: mean ln P(word)
+    under the corpus's own unigram distribution — the cheap end of the
+    CCNet-style LM quality filter (public pipeline practice: KenLM
+    perplexity gates; the n-gram upgrade reuses this exact two-pass
+    plumbing with a different probability table).
+
+    Pass 1 builds the word-frequency table (explode → groupBy word,
+    map-side partials; the vocabulary, not the corpus, is the shuffle
+    payload). The corpus total joins back in-plan via a broadcast 1-row
+    cross join — no driver collect. Pass 2 re-joins log-probs onto the
+    exploded corpus by word and averages per document. Self-derived
+    vocabulary ⇒ no OOV smoothing needed; external LMs plug in as a
+    (word, logp) table in the same shape.
+    """
+    w = df.select(F.col(id_col).alias("id"), F.explode(words(text_col)).alias("w"))
+    vocab = w.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    logp = vocab.crossJoin(F.broadcast(total)).select(
+        "w", F.log(F.col("c") / F.col("t")).alias("logp")
+    )
+    return (
+        w.join(logp, "w")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.avg("logp"), 4).alias("avg_logprob"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_words").cast("int").alias("n_words"),
+            "avg_logprob",
+        )
+    )
+
+
+_UNIGRAM_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest({_WS}) AS w FROM documents
+),
+vocab AS (SELECT w, count(*) AS c FROM w GROUP BY 1),
+total AS (SELECT sum(c) AS t FROM vocab),
+logp AS (SELECT w, ln(CAST(c AS DOUBLE) / t) AS logp FROM vocab, total)
+SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS INT) AS n_words,
+       round(avg(logp.logp), 4) AS avg_logprob
+FROM w JOIN logp ON w.w = logp.w
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("text_unigram_logprob", oracle=_UNIGRAM_ORACLE)
+def q_unigram_logprob(spark, sf_dir):
+    """Unigram LM quality score per document (corpus-fit distribution)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_logprob(docs).orderBy("doc_id")
