@@ -711,7 +711,10 @@ def q_llm_data_prep_v2(spark, sf_dir):
 # ------------------------------------------------ unigram LM scoring
 
 def unigram_logprob(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist_words: bool = True,
 ) -> DataFrame:
     """Corpus-derived unigram LM score per document: mean ln P(word)
     under the corpus's own unigram distribution — the cheap end of the
@@ -726,8 +729,18 @@ def unigram_logprob(
     exploded corpus by word and averages per document. Self-derived
     vocabulary ⇒ no OOV smoothing needed; external LMs plug in as a
     (word, logp) table in the same shape.
+
+    ``persist_words`` materializes the exploded word table once for its
+    two consumers (vocab build + score join) — without it the plan scans
+    and re-splits the corpus per consumer (same pattern and rationale as
+    the shingle-table persist in operators/dedup.py; the cluster-scale
+    analog is a temp-table write).
     """
+    from pyspark.storagelevel import StorageLevel
+
     w = df.select(F.col(id_col).alias("id"), F.explode(words(text_col)).alias("w"))
+    if persist_words:
+        w = w.persist(StorageLevel.MEMORY_AND_DISK)
     vocab = w.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     total = vocab.agg(F.sum("c").alias("t"))
     logp = vocab.crossJoin(F.broadcast(total)).select(
