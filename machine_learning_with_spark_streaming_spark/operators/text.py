@@ -782,3 +782,67 @@ def q_unigram_logprob(spark, sf_dir):
     """Unigram LM quality score per document (corpus-fit distribution)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return unigram_logprob(docs).orderBy("doc_id")
+
+
+# ------------------------------------------------ chunking for embedding
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_windows(
+    df: DataFrame,
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token windows per document (RAG/embedding chunking:
+    size-token chunks every stride tokens, so consecutive chunks share
+    size-stride tokens of context). Pure array expressions — sequence of
+    starts → slice per start → explode; no UDF, no shuffle beyond the
+    explode's row growth (bounded: ~n_tokens/stride chunks per doc)."""
+    ws = words(text_col)
+    base = df.select(F.col(id_col).alias(id_col), ws.alias("__ws"))
+    starts = F.sequence(F.lit(0), F.size("__ws") - 1, F.lit(stride))
+    chunk = F.explode(
+        F.transform(
+            starts,
+            lambda st: F.struct(
+                (st / stride).cast("int").alias("chunk_idx"),
+                F.slice(F.col("__ws"), st + 1, size).alias("toks"),
+            ),
+        )
+    )
+    return base.select(id_col, chunk.alias("c")).select(
+        id_col,
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.size("c.toks").cast("int").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("c.toks"))).alias("chunk_md5"),
+    )
+
+
+_CHUNK_ORACLE = f"""
+WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents),
+st AS (
+  SELECT doc_id, ws, g.s AS start
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(0, len(ws) - 1, {CHUNK_STRIDE})) AS s
+  ) g
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(start / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(len(list_slice(ws, start + 1, start + {CHUNK_SIZE})) AS INT) AS n_tokens,
+       md5(array_to_string(list_slice(ws, start + 1, start + {CHUNK_SIZE}), ' '))
+         AS chunk_md5
+FROM st
+ORDER BY 1, 2
+"""
+
+
+@register("text_chunk_windows", oracle=_CHUNK_ORACLE)
+def q_chunk_windows(spark, sf_dir):
+    """64-token chunks with 16-token overlap per document; md5 of each
+    chunk's text proves byte-identical windowing cross-engine."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_windows(docs).orderBy("doc_id", "chunk_idx")
