@@ -74,24 +74,28 @@ def main() -> None:
     names = [n for n in HEADLINE if n in queries]
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
-        run_query(queries[name](spark, SF_DIR))  # untimed: plan codegen + JIT
-        t0 = time.time()
-        run_query(queries[name](spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        # a single failing query must not wipe out the whole bench record
+        try:
+            run_query(queries[name](spark, SF_DIR))  # untimed: codegen + JIT
+            t0 = time.time()
+            run_query(queries[name](spark, SF_DIR))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
