@@ -846,3 +846,53 @@ def q_chunk_windows(spark, sf_dir):
     chunk's text proves byte-identical windowing cross-engine."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return chunk_windows(docs).orderBy("doc_id", "chunk_idx")
+
+
+_REPEATED_CHUNKS_ORACLE = f"""
+WITH {_CORPUS_SQL},
+w AS (SELECT doc_id, {_WS} AS ws FROM corpus),
+st AS (
+  SELECT doc_id, ws, g.s AS start
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(0, len(ws) - 1, {CHUNK_STRIDE})) AS s
+  ) g
+),
+ch AS (
+  SELECT doc_id,
+         len(list_slice(ws, start + 1, start + {CHUNK_SIZE})) AS n_tokens,
+         md5(array_to_string(list_slice(ws, start + 1, start + {CHUNK_SIZE}), ' '))
+           AS chunk_md5
+  FROM st
+)
+SELECT chunk_md5,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM ch
+WHERE n_tokens = {CHUNK_SIZE}
+GROUP BY 1
+HAVING count(DISTINCT doc_id) > 1
+ORDER BY 1
+"""
+
+
+@register("dedup_repeated_chunks", oracle=_REPEATED_CHUNKS_ORACLE)
+def q_repeated_chunks(spark, sf_dir):
+    """Sub-document span dedup: full-size token windows repeated across
+    documents (the scalable stand-in for suffix-array substring dedup —
+    fixed-stride windows + hash grouping instead of O(n log n) global
+    suffix sorting). Composes chunk_windows with a hash groupBy; the
+    shuffle key is the 16-byte chunk hash, never the window text."""
+    corpus = corpus_with_duplicates(spark, sf_dir)
+    ch = chunk_windows(corpus)
+    return (
+        ch.filter(F.col("n_tokens") == CHUNK_SIZE)
+        .groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("chunk_md5")
+    )
