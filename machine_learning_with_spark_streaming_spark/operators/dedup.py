@@ -658,3 +658,62 @@ def q_decontaminate(spark, sf_dir):
         .select(F.col("id").alias("doc_id"), "n_hits")
         .orderBy("doc_id")
     )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    base: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingest dedup: drop new-batch documents whose
+    normalized text already exists in the base corpus — an anti-join on
+    ``xxhash64(norm)``, so the comparison shuffles 8-byte keys, never
+    document bodies, and the base side can be a pre-computed fingerprint
+    table maintained across ingests (at 100 TB: store the hash column
+    partitioned/bucketed and this becomes a co-located join). Exact
+    duplicates only; chain :func:`minhash_lsh_pairs` over survivors for
+    the near-dup pass (same composition as the batch pipeline)."""
+    base_hashes = base.select(
+        F.xxhash64(normalize_text(text_col)).alias("__h")
+    ).distinct()
+    return batch.withColumn(
+        "__h", F.xxhash64(normalize_text(text_col))
+    ).join(base_hashes, "__h", "left_anti").drop("__h")
+
+
+_INCR_ORACLE = f"""
+WITH batch AS (
+  SELECT doc_id + 100000 AS doc_id, text || ' zzz extra' AS text
+  FROM documents WHERE doc_id < 25
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents
+  WHERE doc_id >= 25 AND doc_id < 50
+),
+base_norms AS (SELECT DISTINCT {_NORM} AS nrm FROM documents)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id
+FROM batch b
+LEFT JOIN base_norms d ON {_NORM.replace("text", "b.text")} = d.nrm
+WHERE d.nrm IS NULL
+ORDER BY 1
+"""
+
+
+@register("dedup_incremental", oracle=_INCR_ORACLE)
+def q_incremental_dedup(spark, sf_dir):
+    """Daily-ingest dedup: the injected batch (25 near copies + 25 exact
+    copies) against the base corpus — exact copies drop, near copies
+    survive for the downstream near-dup pass. The Spark side anti-joins
+    on xxhash64; the oracle anti-joins on the normalized text itself
+    (identical output on collision-free corpora, same contract as
+    dedup_exact)."""
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = base.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz extra")).alias("text"),
+    )
+    exact = base.filter((F.col("doc_id") >= 25) & (F.col("doc_id") < 50)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    batch = near.unionByName(exact)
+    return incremental_dedup(batch, base).select("doc_id").orderBy("doc_id")
