@@ -431,6 +431,7 @@ def repetition_features(
     text_col: str = "text",
     id_col: str = "doc_id",
     method: str = "expr",
+    keep_input: bool = False,
 ) -> DataFrame:
     """Gopher-style repetition signals per document (Rae et al. 2021,
     "Scaling Language Models" §A1.1 repetition filters — public paper):
@@ -452,15 +453,21 @@ def repetition_features(
     oracle mirrors.
     """
     if method == "expr":
-        base = df.select(
-            F.col(id_col).alias(id_col),
-            F.split(normalize_text(text_col), " ").alias("__ws"),
-        ).withColumn("__bg", _grams_from_words(F.col("__ws"), 2, distinct=False))
+        # ``keep_input=True`` appends the feature columns to the input
+        # frame (zero-shuffle projection — lets pipelines gate on
+        # repetition without a join back); False returns the compact
+        # (id, features) frame the oracle mirrors.
+        front = list(df.columns) if keep_input else [id_col]
+        base = (
+            df.withColumn("__ws", F.split(normalize_text(text_col), " "))
+            .withColumn("__bg", _grams_from_words(F.col("__ws"), 2, distinct=False))
+        )
         n_words = F.size("__ws")
         n_bigrams = F.size("__bg")
         return base.select(
-            id_col,
-            n_words.cast("int").alias("n_words"),
+            *front,
+            n_words.cast("int").alias("n_words") if not keep_input else
+            n_words.cast("int").alias("rep_n_words"),
             F.round(
                 F.lit(1.0) - F.size(F.array_distinct("__ws")) / n_words, 6
             ).alias("dup_word_ratio"),
@@ -471,6 +478,8 @@ def repetition_features(
                 "top_bigram_ratio"
             ),
         )
+    if keep_input:
+        raise ValueError("keep_input=True requires method='expr'")
     base = df.select(
         F.col(id_col).alias("id"),
         F.split(normalize_text(text_col), " ").alias("__ws"),
@@ -587,8 +596,17 @@ def llm_data_prep_v2(
 
     feats = quality_class(quality_features(corpus))
     kept = feats.filter(F.col("quality") != "junk")
-    rep = repetition_gate(repetition_features(kept)).select("doc_id", "repetitive")
-    clean = kept.join(rep, "doc_id").filter(F.col("repetitive") == 0)
+    # repetition gate as a zero-shuffle projection (expr path +
+    # keep_input) — no feature frame, no join back
+    clean = repetition_gate(
+        repetition_features(kept, keep_input=True)
+    ).filter(F.col("repetitive") == 0).drop(
+        "rep_n_words",
+        "dup_word_ratio",
+        "top_word_ratio",
+        "top_bigram_ratio",
+        "repetitive",
+    )
     red = clean.withColumn("__nrm", normalize_text(redact_pii("text")))
     wded = Window.partitionBy("__nrm").orderBy("doc_id")
     deduped = (
