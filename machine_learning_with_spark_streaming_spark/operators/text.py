@@ -914,3 +914,140 @@ def q_repeated_chunks(spark, sf_dir):
         .filter(F.col("n_docs") > 1)
         .orderBy("chunk_md5")
     )
+
+
+def vocabulary(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Global token vocabulary: corpus-wide term frequency + document
+    frequency per token. Explode → one ``groupBy(token)`` — map-side
+    partial aggregation combines each partition's counts before the
+    single token-keyed shuffle, so shuffled bytes scale with the
+    *vocabulary* per partition (Heaps' law sublinear), not the corpus.
+    ``countDistinct`` adds the standard distinct pre-aggregation on
+    (token, doc) — also map-side combined.
+    """
+    wt = df.select(
+        F.col(id_col).alias("__id"), F.explode(words(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    return wt.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("__id").alias("df"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 100, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-``k`` vocabulary by corpus frequency, ranked. The top-k is
+    ``orderBy(...).limit(k)`` — Spark plans a per-partition TakeOrdered
+    then a k-row merge on the driver, never a global sort. The rank
+    window orders only the k surviving rows (tiny by construction)."""
+    top = vocabulary(df, text_col, id_col).orderBy(F.desc("tf"), "token").limit(k)
+    w = Window.orderBy(F.desc("tf"), "token")
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+_VOCAB_ORACLE = f"""
+WITH wt AS (
+  SELECT doc_id, unnest({_WS}) AS token FROM documents
+),
+v AS (
+  SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+  FROM wt WHERE token <> '' GROUP BY 1
+)
+SELECT token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(row_number() OVER (ORDER BY tf DESC, token) AS INT) AS rank
+FROM v ORDER BY tf DESC, token LIMIT 100
+"""
+
+
+@register("text_vocab_topk", oracle=_VOCAB_ORACLE)
+def q_vocab_topk(spark, sf_dir):
+    """Top-100 corpus vocabulary with term + document frequency — the
+    building block for stopword mining, tokenizer audits, and the
+    unigram-LM quality scorer's frequency table."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return vocab_topk(docs, k=100).orderBy("rank")
+
+
+def tfidf_topterms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (`tf · ln(N/df)`).
+
+    Shape at scale: per-doc term counts and the document-frequency
+    table both come off ONE exploded pass (two token-keyed shuffles
+    with map-side partials); the corpus size ``N`` joins in as a
+    broadcast 1-row aggregate so the plan stays fully lazy — no
+    driver-side ``count()`` action; the final per-doc ranking windows
+    on ``id_col``, the natural partitioning the tf table already has.
+
+    Tie-breaking is total (score desc, token asc): equal scores arise
+    from identical (tf, df) pairs, which rank identically in any
+    engine, so the output is cross-engine deterministic.
+    """
+    wt = df.select(
+        F.col(id_col).alias("__id"), F.explode(words(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    tf = wt.groupBy("__id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf rows are distinct (doc, token) pairs => df = row count per token
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    w = Window.partitionBy("__id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__id").alias(id_col),
+            "token",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round("tfidf", 6).alias("tfidf"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+_TFIDF_ORACLE = f"""
+WITH wt AS (
+  SELECT doc_id, unnest({_WS}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM wt WHERE token <> '' GROUP BY 1, 2
+),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+  FROM scored
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, token,
+       CAST(tf AS INT) AS tf, CAST(df AS BIGINT) AS df,
+       round(tfidf, 6) AS tfidf, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
+@register("text_tfidf_topterms", oracle=_TFIDF_ORACLE)
+def q_tfidf_topterms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document — per-doc keyword extraction
+    for corpus topical analysis and cluster labeling."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_topterms(docs, k=3).orderBy("doc_id", "rank")

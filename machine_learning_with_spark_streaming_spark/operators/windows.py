@@ -290,3 +290,64 @@ def q_first_nonzero(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy(F.col("first_rate").asc_nulls_last())
     )
+
+
+def rolling_time_window(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    days: int = 7,
+) -> DataFrame:
+    """W6: per-key rolling time-range aggregate (trailing ``days``-day
+    sum + count per event). One shuffle on ``key_col``; the range frame
+    is evaluated in a single sorted pass per key partition — no
+    self-join, no explode, so a key's cost is O(rows·frame) and the
+    whole operator scales with the number of keys, not the time span.
+
+    The frame is anchored on ``unix_micros`` (int64) rather than a
+    seconds cast so sub-second event times keep their ordering and the
+    boundary is exactly ``t - days`` at microsecond precision — the
+    same arithmetic a DuckDB/ANSI ``RANGE INTERVAL n DAYS PRECEDING``
+    frame uses.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(us)
+        .rangeBetween(-days * 86_400 * 1_000_000, 0)
+    )
+    return df.withColumn("roll_sum", F.sum(value_col).over(w)).withColumn(
+        "roll_cnt", F.count(F.lit(1)).over(w)
+    )
+
+
+_W6_ORACLE = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       epoch_us(ts) AS ts_us,
+       round(sum(value) OVER w, 2) AS roll_sum_7d,
+       CAST(count(*) OVER w AS BIGINT) AS roll_cnt_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+@register("w6_rolling_7d", oracle=_W6_ORACLE)
+def q_rolling_7d(spark, sf_dir):
+    """W6: trailing 7-day activity per user over the events stream —
+    the batch twin of the s11 sliding window (per-event trailing frame
+    instead of fixed slide boundaries)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = rolling_time_window(ev, "ts", "user_id", "value", days=7)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("roll_sum", 2).alias("roll_sum_7d"),
+        F.col("roll_cnt").alias("roll_cnt_7d"),
+    ).orderBy("event_id")
