@@ -73,16 +73,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     import pyarrow.parquet as pq
 
     schema = pq.read_schema(path)
-    has_nanos = any(
-        pa.types.is_timestamp(f.type) and f.type.unit == "ns" for f in schema
+    # Rewrite when Spark would not read the column as plain TIMESTAMP:
+    # ns precision (Spark 4 rejects NANOS outright) anywhere, or tz-naive
+    # (read as TIMESTAMP_NTZ, which watermarks/event-time ops reject) on
+    # the event-time table. Other tables keep NTZ: it matches the DuckDB
+    # oracle's naive reading and no event-time op touches them.
+    needs_rewrite = any(
+        pa.types.is_timestamp(f.type)
+        and (f.type.unit == "ns" or (f.type.tz is None and name == "events"))
+        for f in schema
     )
-    if has_nanos:
+    if needs_rewrite:
         return _load_nanos_parquet(spark, path)
     return spark.read.parquet(path)
 
 
 #: bump when the rewrite logic below changes (cache self-invalidation)
-_REWRITE_VERSION = "v2-tz-utc-us"
+_REWRITE_VERSION = "v3-ntz-utc-us"
 
 
 def _load_nanos_parquet(spark: SparkSession, path: str) -> DataFrame:
