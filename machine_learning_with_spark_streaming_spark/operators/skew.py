@@ -25,6 +25,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from machine_learning_with_spark_streaming_spark.registry import register
+from machine_learning_with_spark_streaming_spark.schemas import load_table
+
 
 def with_salt(df: DataFrame, salt_from: list[str], n_salts: int) -> DataFrame:
     """Deterministic salt in [0, n_salts) from stable row columns."""
@@ -73,3 +76,80 @@ def salted_aggregate(
     return partial.groupBy(*keys).agg(
         *[F.sum(f"__p_{name}").alias(name) for name in aggs]
     )
+
+
+# ------------------------------------------------------------------ queries
+# Certify the salting machinery against the un-salted plan: the oracle is
+# the plain join/groupBy, so the comparison proves salt-scatter + merge
+# reconstructs exactly the unsalted result.
+
+_J12_ORACLE = """
+SELECT p.p_brand AS brand,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l.l_quantity), 6) AS total_qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("j12_salted_skew_join", oracle=_J12_ORACLE)
+def q_salted_skew_join(spark, sf_dir):
+    """Skew-hardened fact-dimension equi-join: lineitem's rows scatter
+    over 8 salted tasks per part key, the part side is replicated per
+    salt. Result must equal the plain join (the oracle)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    )
+    joined = salted_join(
+        li, part, on=["l_partkey"],
+        salt_from=["l_orderkey", "l_linenumber"], n_salts=8,
+    )
+    return (
+        joined.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 6).alias("total_qty"),
+        )
+        .orderBy("brand")
+    )
+
+
+_A15_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_quantity), 6) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("a15_salted_two_phase_agg", oracle=_A15_ORACLE)
+def q_salted_two_phase_agg(spark, sf_dir):
+    """Two-phase salted groupBy on a low-cardinality (so inherently hot)
+    key pair; partials on (key, salt) then finals on key must equal the
+    direct aggregate (the oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li,
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "n_rows": F.count(F.lit(1)),
+            "sum_qty": F.sum("l_quantity"),
+            # decimal sum: exact, order-independent across salt partials
+            "sum_price": F.sum(F.col("l_extendedprice").cast("decimal(18,2)")),
+        },
+        salt_from=["l_orderkey", "l_linenumber"],
+        n_salts=8,
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_rows",
+        F.round("sum_qty", 6).alias("sum_qty"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+    ).orderBy("l_returnflag", "l_linestatus")

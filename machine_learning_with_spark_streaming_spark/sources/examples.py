@@ -61,3 +61,48 @@ def q_header_autodetect(spark, sf_dir):
         )
         .orderBy("country", "sales_organization")
     )
+
+
+_J13_ORACLE = """
+SELECT o.o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l.l_quantity), 6) AS total_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("j13_bucketed_colocated_join", oracle=_J13_ORACLE)
+def q_bucketed_colocated_join(spark, sf_dir):
+    """Fact-fact join through bucketed storage: both sides written
+    bucketed+sorted on the order key, then joined shuffle-free (the
+    no-Exchange plan shape is asserted in tests/test_bucketed.py; this
+    query certifies the bucketed path's *values* against the plain-join
+    oracle)."""
+    import tempfile
+    import uuid
+
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+    from machine_learning_with_spark_streaming_spark.sources.bucketed import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    tag = uuid.uuid4().hex[:8]
+    work = tempfile.mkdtemp(prefix="mlwss_bucketed_")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    lt, ot = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
+    write_bucketed(li, lt, ["l_orderkey"], 8, f"{work}/{lt}")
+    write_bucketed(orders, ot, ["l_orderkey"], 8, f"{work}/{ot}")
+    joined = colocated_join(spark, lt, ot, on=["l_orderkey"])
+    return (
+        joined.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 6).alias("total_qty"),
+        )
+        .orderBy("priority")
+    )

@@ -149,3 +149,64 @@ def q_session_window(spark, sf_dir):
         .select("user_id", "session_start", "n_events", "value_sum")
         .orderBy("user_id", "session_start")
     )
+
+
+_S11_STATEFUL_ORACLE = """
+SELECT event_type AS key,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS value_sum
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("s11_stateful_running_totals", oracle=_S11_STATEFUL_ORACLE)
+def q_stateful_running_totals(spark, sf_dir):
+    """§2.10 stateful: a REAL multi-batch ``applyInPandasWithState`` run.
+
+    The events table is staged as 4 parquet files and streamed with
+    ``maxFilesPerTrigger=1`` (availableNow), so per-key (count, sum)
+    state genuinely carries across 4 micro-batches through the state
+    store. The final emitted totals per key must equal the batch
+    aggregate (the oracle) — certifying the custom stateful operator's
+    cross-batch accumulation, not just its plumbing.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from machine_learning_with_spark_streaming_spark.streaming.stateful import running_totals
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="mlwss_stateful_")
+    stage, ckpt = f"{work}/stage", f"{work}/ckpt"
+    events.select("event_type", "value").repartition(4).write.parquet(stage)
+
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    sink = f"stateful_totals_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_totals(stream, "event_type", "value")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode sink holds one row per (key, batch-with-updates); the
+    # final state per key is the row with the highest running count.
+    mem = spark.table(sink).localCheckpoint(eager=True)  # detach from sink
+    shutil.rmtree(work, ignore_errors=True)
+    w = Window.partitionBy("key").orderBy(F.col("n_events").desc())
+    return (
+        mem.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("key", "n_events", F.round("value_sum", 6).alias("value_sum"))
+        .orderBy("key")
+    )
