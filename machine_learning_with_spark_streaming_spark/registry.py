@@ -33,6 +33,7 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.operators.sampling",
     "machine_learning_with_spark_streaming_spark.operators.similarity",
     "machine_learning_with_spark_streaming_spark.operators.ivf",
+    "machine_learning_with_spark_streaming_spark.operators.rollup_maintenance",
     "machine_learning_with_spark_streaming_spark.operators.skew",
     "machine_learning_with_spark_streaming_spark.operators.text",
     "machine_learning_with_spark_streaming_spark.operators.pii",

@@ -65,3 +65,60 @@ def truncate(spark: SparkSession, path: str) -> None:
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_col: str | None = None,
+) -> tuple[int, int]:
+    """Compact a small-file-fragmented parquet table: rewrite to
+    ``ceil(total_bytes / target_file_bytes)`` files (per partition
+    directory when ``partition_col`` is given). Returns
+    ``(files_before, files_after)``.
+
+    Streaming sinks and incremental ingests (one file per micro-batch /
+    delta upsert) fragment a lake into thousands of KB-scale files; at
+    100 TB the scan's task-scheduling and footer-reading overhead then
+    dominates. Periodic compaction to ~128 MB files restores scan
+    efficiency. On Delta/Iceberg this is ``OPTIMIZE``; here it is the
+    same copy-on-write rewrite + atomic swap used by ``delete_where``.
+    """
+
+    def _n_parquet_files(p: str) -> int:
+        return sum(
+            1
+            for root, _dirs, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    def _bytes(p: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    before = _n_parquet_files(path)
+    total = _bytes(path)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil div
+    df = spark.read.parquet(path)
+    staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
+    writer = df.repartition(int(n_out)).write.mode("overwrite")
+    if partition_col:
+        # coalesce within each partition directory; repartition by the
+        # partition column so each directory's rows land together
+        writer = (
+            df.repartition(int(n_out), partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+        )
+    writer.parquet(staging)
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return before, _n_parquet_files(path)

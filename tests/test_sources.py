@@ -233,3 +233,86 @@ def test_duplicate_column_positional_selection(spark):
         select_duplicate_columns(df, {"x": ("Missing", 0)})
     with _pytest.raises(IndexError):
         select_duplicate_columns(df, {"x": ("Material", 1)})
+
+
+def test_compact_files_preserves_rows_and_reduces_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.sources.maintenance import compact_files
+
+    path = str(tmp_path / "fragmented")
+    # simulate micro-batch fragmentation: 40 tiny files
+    spark.range(2000).withColumn("v", F.col("id") * 3).repartition(40).write.parquet(path)
+    rows_before = {tuple(r) for r in spark.read.parquet(path).collect()}
+    before, after = compact_files(spark, path, target_file_bytes=1 << 30)
+    assert before >= 40
+    assert after == 1  # total bytes << target -> single file
+    back = spark.read.parquet(path)
+    assert {tuple(r) for r in back.collect()} == rows_before
+
+
+def test_compact_files_partitioned_keeps_layout(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.sources.maintenance import compact_files
+
+    path = str(tmp_path / "part_fragmented")
+    df = spark.range(400).withColumn("snap", (F.col("id") % 2).cast("string"))
+    df.repartition(10).write.partitionBy("snap").parquet(path)
+    rows_before = {tuple(r) for r in spark.read.parquet(path).collect()}
+    before, after = compact_files(
+        spark, path, target_file_bytes=1 << 30, partition_col="snap"
+    )
+    assert after < before
+    # partition directories survive (pruning still works)
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("snap=")
+    ) == ["snap=0", "snap=1"]
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == rows_before
+
+
+def test_rollup_merge_matches_full_recompute(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.rollup_maintenance import (
+        build_rollup,
+        merge_rollup,
+    )
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    measures = {
+        "n": ("count", F.lit(1)),
+        "s": ("sum", F.col("o_totalprice").cast("decimal(18,2)")),
+        "lo": ("min", F.col("o_totalprice")),
+        "hi": ("max", F.col("o_totalprice")),
+    }
+    keys = ["o_orderpriority", "o_orderstatus"]
+    full = {tuple(r) for r in build_rollup(orders, keys, measures).collect()}
+    base = orders.filter(F.col("o_orderkey") % 7 != 0)
+    delta = orders.filter(F.col("o_orderkey") % 7 == 0)
+    merged = merge_rollup(build_rollup(base, keys, measures), delta, keys, measures)
+    assert {tuple(r) for r in merged.collect()} == full
+
+
+def test_rollup_merge_delta_only_groups(spark):
+    # a group that exists only in the delta must appear in the merge
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.rollup_maintenance import (
+        build_rollup,
+        merge_rollup,
+    )
+
+    measures = {"n": ("count", F.lit(1)), "s": ("sum", F.col("v"))}
+    base = spark.createDataFrame([("a", 1.0), ("a", 2.0)], ["k", "v"])
+    delta = spark.createDataFrame([("b", 5.0), ("a", 3.0)], ["k", "v"])
+    out = {
+        (r.k, r.n, r.s)
+        for r in merge_rollup(
+            build_rollup(base, ["k"], measures), delta, ["k"], measures
+        ).collect()
+    }
+    assert out == {("a", 3, 6.0), ("b", 1, 5.0)}
