@@ -60,12 +60,16 @@ def merge_rollup(
     measures: dict[str, tuple[str, Column]],
 ) -> DataFrame:
     """Merge a delta batch into a stored rollup: aggregate the delta
-    (small shuffle), full-outer join on the group keys, combine partials.
+    (map-side partials, then a groups-sized shuffle), full-outer join on
+    the group keys, combine partials.
 
-    Only groups present in the delta move; with the delta rollup far
-    smaller than the base, Catalyst broadcasts it and the merge never
-    shuffles the base. The result replaces the stored rollup (or feeds a
-    keyed upsert, ``sources/jdbc.py:upsert_delta_rows``).
+    Everything after the delta's partial aggregation moves rollup-sized
+    relations — one row per group, never fact rows — so the merge cost
+    is O(|delta| scan + |groups|) regardless of base-fact size. (The
+    full-outer join keeps delta-only groups; Spark plans it as a
+    sort-merge join since full-outer can't broadcast.) The result
+    replaces the stored rollup (or feeds a keyed upsert,
+    ``sources/jdbc.py:upsert_delta_rows``).
     """
     d = build_rollup(delta, keys, measures).select(
         *[F.col(k).alias(f"__d_{k}") for k in keys],
