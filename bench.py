@@ -52,6 +52,9 @@ HEADLINE = [
     "text_repetition",
     "pii_redact",
     "pipeline_llm_data_prep_v2",
+    "j12_salted_skew_join",
+    "a15_salted_two_phase_agg",
+    "a16_incremental_rollup",
 ]
 
 

@@ -210,3 +210,55 @@ def q_stateful_running_totals(spark, sf_dir):
         .select("key", "n_events", F.round("value_sum", 6).alias("value_sum"))
         .orderBy("key")
     )
+
+
+@register("s11_tumbling_window_stream", oracle=_S11_TUMBLING_ORACLE)
+def q_tumbling_window_stream(spark, sf_dir):
+    """§2.10: the tumbling-window aggregate as a REAL 4-micro-batch
+    stream (not the batch-mode parity form of ``s11_tumbling_window``).
+
+    Events stream file-by-file in arbitrary time order, so window state
+    accumulates across batches in the state store; the final update per
+    (window, key) must equal the batch aggregate (the same oracle as the
+    batch-mode query). No watermark here — batches aren't time-ordered,
+    so any finite watermark would legitimately drop "late" rows;
+    late-drop semantics are exercised in tests/test_streaming.py.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="mlwss_winstream_")
+    stage, ckpt = f"{work}/stage", f"{work}/ckpt"
+    events.select("ts", "event_type", "value").repartition(4).write.parquet(stage)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    sink = f"win_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_event_aggregate(stream, "1 hour", watermark=None)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    mem = spark.table(sink).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    w = Window.partitionBy("window_start", "event_type").orderBy(
+        F.col("n_events").desc()
+    )
+    return (
+        mem.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("window_start", "event_type", "n_events", "value_sum")
+        .orderBy("window_start", "event_type")
+    )
