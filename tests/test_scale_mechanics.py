@@ -102,3 +102,44 @@ def test_interval_join_no_nested_loop_plan(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan) or ("HashJoin" in plan), plan
+
+
+def test_salted_join_query_plan_broadcasts_replicated_dim(spark, sf_dir):
+    """j12's salt-replicated dimension must broadcast: the fact side
+    joins with NO fact-side exchange before the join."""
+    from machine_learning_with_spark_streaming_spark.operators.skew import q_salted_skew_join
+
+    out = q_salted_skew_join(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # the only hash exchanges are the post-join aggregate + sort
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_salted_two_phase_agg_plan_has_salt_then_key_exchange(spark, sf_dir):
+    """a15 must shuffle twice: once on (key, salt) partials, once on the
+    key finals — never a single key-only exchange of raw rows."""
+    from machine_learning_with_spark_streaming_spark.operators.skew import (
+        q_salted_two_phase_agg,
+    )
+
+    out = q_salted_two_phase_agg(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan, plan
+    # (key,salt) exchange + key exchange + orderBy range exchange
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_rollup_merge_plan_moves_group_sized_relations(spark, sf_dir):
+    """a16's full-outer merge must join two *aggregated* relations —
+    both join inputs carry partial-aggregate outputs, not fact rows."""
+    from machine_learning_with_spark_streaming_spark.operators.rollup_maintenance import (
+        q_incremental_rollup,
+    )
+
+    out = q_incremental_rollup(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    # aggregation happens below the join on both sides: 2 partial+final pairs
+    assert plan.count("HashAggregate") >= 4, plan
