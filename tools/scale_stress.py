@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Scale-up stress harness: replicate the sf0.1 testdata 8x (facts) /
+16x (documents) into a temp dir and time the headline queries there.
+
+Purpose: catch superlinear operators before a cluster does. Replication
+is structure-preserving, not duplicate-inflating:
+
+- lineitem/orders replicate with the SAME key shift per replica, so the
+  join fan-out is unchanged (each order still matches its lines).
+- events replicate id-shifted over the same time range (8x density).
+- documents replicate with every 5th word tagged per replica, so
+  replicas are NOT near-duplicates of each other — the near-dup rate
+  stays realistic while the corpus grows 16x. Naive text replication
+  would make every doc a 16-way duplicate cluster and quadratically
+  inflate LSH candidate pairs (a data artifact, not an engine property).
+- documents are written with ROW_GROUP_SIZE 6000: a single-row-group
+  parquet file is ONE Spark split regardless of maxPartitionBytes, and
+  regex-heavy text operators then serialize onto one core (measured 12x
+  slowdown; see EXPLAIN.md "Scale-up stress"). At 100 TB splittability
+  comes from file count; locally it must come from row groups.
+
+Usage:
+    python tools/scale_stress.py            # build + time, prints JSON
+    python tools/scale_stress.py --build    # build only
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.path.join(
+    os.environ.get("TMPDIR", "/tmp"), "mlwss_scale_stress", "sfbig"
+)
+
+QUERIES = [
+    "flagship_demand_rollup",
+    "w1_abc_classify",
+    "a15_salted_two_phase_agg",
+    "j12_salted_skew_join",
+    "a16_incremental_rollup",
+    "j10_asof_join",
+    "s11_tumbling_window",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "text_repetition",
+    "pii_redact",
+    "pipeline_llm_data_prep",
+    "pipeline_llm_data_prep_v2",
+    "dedup_connected_components",
+]
+
+
+def build(src: str = SRC, dst: str = DST) -> None:
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "embeddings"]:
+        shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+    con.execute(f"""
+COPY (
+  SELECT l_orderkey + k.k*100000000 AS l_orderkey, l_partkey, l_suppkey,
+         l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+         l_returnflag, l_linestatus, l_shipdate
+  FROM read_parquet('{src}/lineitem.parquet'), (SELECT unnest(range(8)) AS k) k
+) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)""")
+    cols = [
+        r[0]
+        for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{src}/orders.parquet')"
+        ).fetchall()
+    ]
+    rest = ", ".join(c for c in cols if c != "o_orderkey")
+    con.execute(f"""
+COPY (
+  SELECT o_orderkey + k.k*100000000 AS o_orderkey, {rest}
+  FROM read_parquet('{src}/orders.parquet'), (SELECT unnest(range(8)) AS k) k
+) TO '{dst}/orders.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+COPY (
+  SELECT event_id + k.k*100000000 AS event_id, ts, user_id, event_type, value, props
+  FROM read_parquet('{src}/events.parquet'), (SELECT unnest(range(8)) AS k) k
+) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+COPY (
+  SELECT doc_id + k.k*10000000 AS doc_id,
+         CASE WHEN k.k = 0 THEN text ELSE array_to_string(
+           list_transform(range(1, len(string_split(text,' '))+1),
+             j -> CASE WHEN j%5=1
+                  THEN string_split(text,' ')[j] || 'r' || CAST(k.k AS VARCHAR)
+                  ELSE string_split(text,' ')[j] END), ' ') END AS text,
+         lang, source, length(text) AS n_chars
+  FROM read_parquet('{src}/documents.parquet'), (SELECT unnest(range(16)) AS k) k
+) TO '{dst}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 6000)""")
+
+
+def main() -> None:
+    if not os.path.isdir(DST) or "--rebuild" in sys.argv:
+        shutil.rmtree(DST, ignore_errors=True)
+        build()
+    if "--build" in sys.argv:
+        print(json.dumps({"built": DST}))
+        return
+
+    import __spark_entry__ as entry_mod
+    from machine_learning_with_spark_streaming_spark.session import get_session
+
+    spark = get_session(
+        "scale-stress", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    queries = entry_mod.queries()
+    out: dict[str, object] = {}
+    for n in QUERIES:
+        try:
+            queries[n](spark, DST).write.format("noop").mode("overwrite").save()
+            t0 = time.time()
+            queries[n](spark, DST).write.format("noop").mode("overwrite").save()
+            out[n] = round(time.time() - t0, 2)
+        except Exception as exc:  # noqa: BLE001
+            out[n] = f"ERR {type(exc).__name__}: {exc}"[:120]
+    print(json.dumps({"metric": "scale_stress_sec", "dir": DST, "queries": out}))
+
+
+if __name__ == "__main__":
+    main()
