@@ -538,3 +538,87 @@ def q_new_vs_old_variance(spark, sf_dir):
         )
         .orderBy("bu")
     )
+
+
+# ---------------------------------------------------------- V7 extension
+
+def constraint_report(df: DataFrame, constraints: dict[str, "F.Column"]) -> DataFrame:
+    """V7 extension: declarative constraint suite over one table, checked
+    in ONE scan (Deequ/dbt-test style, the engine-side upgrade of the
+    reference's require-columns gate, ``pipeline/lib.py:419-427``).
+
+    ``constraints`` maps check name -> boolean Column that must hold per
+    row. Returns one row per constraint: ``(check_name, n_rows,
+    n_violations, passed)``. All checks compute as conditional-sum
+    aggregates in a single pass with map-side partials — adding a check
+    adds a column to the aggregate, not a scan; the unpivot to rows
+    happens on the 1-row aggregate result.
+    """
+    names = sorted(constraints)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            # violation = NOT definitely true: false OR null both count
+            # (three-valued logic: when(cond,0).otherwise(1) maps null->1)
+            F.sum(F.when(constraints[n], 0).otherwise(1))
+            .cast("bigint")
+            .alias(f"__v_{i}")
+            for i, n in enumerate(names)
+        ],
+    )
+    stack_args = ", ".join(f"'{n}', __v_{i}" for i, n in enumerate(names))
+    return (
+        agg.select(
+            "__n",
+            F.expr(
+                f"stack({len(names)}, {stack_args}) AS (check_name, n_violations)"
+            ),
+        )
+        .select(
+            "check_name",
+            F.col("__n").alias("n_rows"),
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+        .orderBy("check_name")
+    )
+
+
+_V7_ORACLE = """
+WITH agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+         CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') OR l_returnflag IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_dom,
+         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 OR l_quantity IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 OR l_discount IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_disc
+  FROM lineitem
+)
+SELECT * FROM (
+  SELECT 'discount_in_0_0.1' AS check_name, n AS n_rows, v_disc AS n_violations, v_disc = 0 AS passed FROM agg
+  UNION ALL
+  SELECT 'orderkey_not_null', n, v_null, v_null = 0 FROM agg
+  UNION ALL
+  SELECT 'quantity_in_1_50', n, v_qty, v_qty = 0 FROM agg
+  UNION ALL
+  SELECT 'returnflag_domain', n, v_dom, v_dom = 0 FROM agg
+) ORDER BY check_name
+"""
+
+
+@register("v7_constraint_report", oracle=_V7_ORACLE)
+def q_constraint_report(spark, sf_dir):
+    """Single-pass constraint suite over lineitem: null, domain, and two
+    range checks; one aggregate scan, one row per check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return constraint_report(
+        li,
+        {
+            "orderkey_not_null": F.col("l_orderkey").isNotNull(),
+            "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+            "quantity_in_1_50": F.col("l_quantity").between(1, 50),
+            "discount_in_0_0.1": F.col("l_discount").between(0.0, 0.1),
+        },
+    )
