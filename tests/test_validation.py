@@ -89,3 +89,19 @@ def test_fy_extraction_precedence(spark):
     assert got[5] == (2031, "FY31")  # FY pattern wins over bare year
     assert got[6] == (None, None)
     assert got[7] == (None, None)
+
+
+def test_constraint_report_null_counts_as_violation(spark):
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.validation import constraint_report
+
+    df = spark.createDataFrame([(1,), (None,), (-3,)], "x int")
+    rep = {r.check_name: r for r in constraint_report(
+        df, {"x_pos": F.col("x") > 0, "x_not_null": F.col("x").isNotNull()}
+    ).collect()}
+    # NULL > 0 is NULL -> counts as a violation alongside the false row
+    assert rep["x_pos"].n_violations == 2
+    assert rep["x_pos"].passed is False
+    assert rep["x_not_null"].n_violations == 1
+    assert all(r.n_rows == 3 for r in rep.values())
