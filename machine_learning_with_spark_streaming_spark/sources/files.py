@@ -230,6 +230,31 @@ def read_excel_via_pandas(
     return spark.createDataFrame(pdf)
 
 
+def write_excel(
+    df: DataFrame,
+    path: str,
+    sheet_name: str = "Sheet1",
+    max_rows: int = 100_000,
+) -> int:
+    """K2: Excel export of a (report-sized) result (the reference's
+    ``to_excel`` outputs, e.g. ``pipeline/qualitycheck.py`` verdict
+    workbooks). Excel is a driver-side format by nature — xlsx has a
+    ~1M-row hard sheet limit — so the result is bounded by ``max_rows``
+    (limit+1 probe raises rather than silently truncating) and written
+    with the stdlib zip+XML writer (no optional codec). Returns rows
+    written. Big results belong in parquet/CSV sinks, not Excel."""
+    from machine_learning_with_spark_streaming_spark.sources.xlsx import write_xlsx
+
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"result exceeds Excel export cap ({max_rows} rows); "
+            "use write_csv/parquet for large outputs"
+        )
+    write_xlsx(path, [list(df.columns)] + [list(r) for r in rows], sheet_name)
+    return len(rows)
+
+
 _DATE_PREFIX = re.compile(r"(\d{8})")
 
 

@@ -316,3 +316,23 @@ def test_rollup_merge_delta_only_groups(spark):
         ).collect()
     }
     assert out == {("a", 3, 6.0), ("b", 1, 5.0)}
+
+
+def test_write_excel_roundtrip_and_cap(spark, tmp_path):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.sources.files import read_excel_via_pandas, write_excel
+
+    df = spark.range(5).select(
+        F.col("id"), (F.col("id") * 1.5).alias("v"), F.lit("x").alias("tag")
+    )
+    path = str(tmp_path / "report.xlsx")
+    n = write_excel(df, path, sheet_name="Report")
+    assert n == 5
+    back = read_excel_via_pandas(spark, path)
+    assert back.count() == 5
+    assert set(back.columns) == {"id", "v", "tag"}
+    with _pytest.raises(ValueError, match="cap"):
+        write_excel(spark.range(100), str(tmp_path / "big.xlsx"), max_rows=10)
