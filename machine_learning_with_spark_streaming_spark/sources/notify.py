@@ -1,0 +1,70 @@
+"""K7: notification sink — the engine-side contract for the reference's
+SMTP alerts (``packages/myNotifyClass.py``: subject/body email on
+pipeline completion or failure).
+
+Transport (SMTP/webhook/pager) is a driver-side adapter outside the
+engine; what belongs IN the engine is producing the notification
+*records* from query results — e.g. failing QC verdicts — and appending
+them durably. A monitoring job (or the adapter) tails the sink. This
+keeps the alert path distributed and replayable: notifications are data,
+not side effects buried in executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def notification_rows(
+    df: DataFrame,
+    condition: "F.Column",
+    subject: str,
+    body_cols: list[str],
+    severity: str = "ERROR",
+) -> DataFrame:
+    """Rows of ``df`` matching ``condition`` formatted as notification
+    records: ``(ts, severity, subject, body)``. ``body`` concatenates
+    ``body_cols`` as ``k=v`` pairs — the engine-side analog of the
+    reference's email body assembly."""
+    pairs = []
+    for c in body_cols:
+        pairs.append(F.concat(F.lit(f"{c}="), F.col(c).cast("string")))
+    return df.filter(condition).select(
+        F.current_timestamp().alias("ts"),
+        F.lit(severity).alias("severity"),
+        F.lit(subject).alias("subject"),
+        F.concat_ws(" ", *pairs).alias("body"),
+        # one sink schema for batch and streaming appends; the
+        # foreachBatch hook fills this with the micro-batch id
+        F.lit(None).cast("long").alias("batch_id"),
+    )
+
+
+def append_notifications(notifications: DataFrame, sink_dir: str) -> int:
+    """Append notification records to a durable parquet sink; returns the
+    number appended. Use inside ``foreachBatch`` for streaming QC."""
+    n = notifications.count()
+    if n:
+        notifications.write.mode("append").parquet(sink_dir)
+    return n
+
+
+def foreach_batch_notify(
+    condition: "F.Column",
+    subject: str,
+    body_cols: list[str],
+    sink_dir: str,
+    severity: str = "ERROR",
+):
+    """``foreachBatch`` hook: emit notifications for matching rows of
+    each micro-batch (the streaming analog of the reference's
+    end-of-pipeline email)."""
+
+    def hook(batch_df: DataFrame, batch_id: int) -> None:
+        notes = notification_rows(
+            batch_df, condition, subject, body_cols, severity
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        append_notifications(notes, sink_dir)
+
+    return hook

@@ -336,3 +336,47 @@ def test_write_excel_roundtrip_and_cap(spark, tmp_path):
     assert set(back.columns) == {"id", "v", "tag"}
     with _pytest.raises(ValueError, match="cap"):
         write_excel(spark.range(100), str(tmp_path / "big.xlsx"), max_rows=10)
+
+
+def test_notification_rows_and_foreach_batch_hook(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.sources.notify import (
+        append_notifications,
+        foreach_batch_notify,
+        notification_rows,
+    )
+
+    verdicts = spark.createDataFrame(
+        [("m1", "PASS", 0.01), ("m2", "FAIL", 0.4), ("m3", "FAIL", 0.2)],
+        ["metric", "verdict", "drift"],
+    )
+    notes = notification_rows(
+        verdicts, F.col("verdict") == "FAIL", "qc failed", ["metric", "drift"]
+    )
+    got = {r.body for r in notes.collect()}
+    assert got == {"metric=m2 drift=0.4", "metric=m3 drift=0.2"}
+    assert {r.severity for r in notes.collect()} == {"ERROR"}
+
+    sink = str(tmp_path / "notifications")
+    n = append_notifications(notes, sink)
+    assert n == 2
+    assert spark.read.parquet(sink).count() == 2
+
+    # streaming path: the hook appends per batch with batch_id lineage
+    src = str(tmp_path / "verdict_stream")
+    verdicts.repartition(1).write.parquet(src)
+    stream = spark.readStream.schema(verdicts.schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_notify(
+                F.col("verdict") == "FAIL", "qc failed", ["metric"], sink
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(sink)
+    assert back.count() == 4  # 2 batch + 2 streamed
