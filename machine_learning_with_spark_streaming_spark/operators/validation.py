@@ -545,7 +545,8 @@ def q_new_vs_old_variance(spark, sf_dir):
 def constraint_report(df: DataFrame, constraints: dict[str, "F.Column"]) -> DataFrame:
     """V7 extension: declarative constraint suite over one table, checked
     in ONE scan (Deequ/dbt-test style, the engine-side upgrade of the
-    reference's require-columns gate, ``pipeline/lib.py:419-427``).
+    reference's require-columns gates, ``pipeline/lib.py:196-202`` and
+    ``pipeline/lib.py:149-154``).
 
     ``constraints`` maps check name -> boolean Column that must hold per
     row. Returns one row per constraint: ``(check_name, n_rows,
