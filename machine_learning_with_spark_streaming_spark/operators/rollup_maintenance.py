@@ -26,11 +26,22 @@ from pyspark.sql import functions as F
 from machine_learning_with_spark_streaming_spark.registry import register
 from machine_learning_with_spark_streaming_spark.schemas import load_table
 
+def _merge_sum(a: Column, b: Column) -> Column:
+    # SQL SUM over all-NULL input is NULL, and the merge must preserve
+    # that (merged-equals-recomputed contract): NULL+NULL stays NULL,
+    # otherwise NULL partials act as the additive identity.
+    return F.when(a.isNull() & b.isNull(), F.lit(None)).otherwise(
+        F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+    )
+
+
 #: measure kind -> (partial aggregate, merge function over two partials)
 _MERGE = {
-    "sum": (F.sum, lambda a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))),
+    "sum": (F.sum, _merge_sum),
     "count": (
         lambda c: F.count(c),
+        # count partials are never NULL for groups that exist; a missing
+        # side (group absent from base or delta) contributes 0
         lambda a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
     ),
     "min": (F.min, lambda a, b: F.least(a, b)),

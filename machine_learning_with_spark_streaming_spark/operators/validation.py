@@ -560,14 +560,20 @@ def constraint_report(df: DataFrame, constraints: dict[str, "F.Column"]) -> Data
         F.count(F.lit(1)).alias("__n"),
         *[
             # violation = NOT definitely true: false OR null both count
-            # (three-valued logic: when(cond,0).otherwise(1) maps null->1)
-            F.sum(F.when(constraints[n], 0).otherwise(1))
+            # (three-valued logic: when(cond,0).otherwise(1) maps null->1).
+            # coalesce: sum over an EMPTY frame is NULL, but an empty
+            # table vacuously passes every check -> 0 violations.
+            F.coalesce(
+                F.sum(F.when(constraints[n], 0).otherwise(1)), F.lit(0)
+            )
             .cast("bigint")
             .alias(f"__v_{i}")
             for i, n in enumerate(names)
         ],
     )
-    stack_args = ", ".join(f"'{n}', __v_{i}" for i, n in enumerate(names))
+    stack_args = ", ".join(
+        "'{}', __v_{}".format(n.replace("'", "''"), i) for i, n in enumerate(names)
+    )
     return (
         agg.select(
             "__n",

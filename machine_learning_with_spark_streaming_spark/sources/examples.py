@@ -79,8 +79,10 @@ def q_bucketed_colocated_join(spark, sf_dir):
     no-Exchange plan shape is asserted in tests/test_bucketed.py; this
     query certifies the bucketed path's *values* against the plain-join
     oracle)."""
+    import getpass
+    import hashlib
+    import os
     import tempfile
-    import uuid
 
     from machine_learning_with_spark_streaming_spark.schemas import load_table
     from machine_learning_with_spark_streaming_spark.sources.bucketed import (
@@ -88,8 +90,14 @@ def q_bucketed_colocated_join(spark, sf_dir):
         write_bucketed,
     )
 
-    tag = uuid.uuid4().hex[:8]
-    work = tempfile.mkdtemp(prefix="mlwss_bucketed_")
+    # deterministic per-dataset names + overwrite mode: repeated runs
+    # (warm-up + timed bench, repeated certification) replace the same
+    # two tables and path instead of leaking uuid-named copies
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    work = os.path.join(
+        tempfile.gettempdir(), f"mlwss_bucketed_{getpass.getuser()}", tag
+    )
+    os.makedirs(work, exist_ok=True)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"

@@ -109,10 +109,18 @@ def compact_files(
     staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
     writer = df.repartition(int(n_out)).write.mode("overwrite")
     if partition_col:
-        # coalesce within each partition directory; repartition by the
-        # partition column so each directory's rows land together
+        from pyspark.sql import functions as F
+
+        # repartition(n, partition_col) alone hashes each partition
+        # value into ONE task -> one (possibly huge) file per directory.
+        # Spread each directory over ~ceil(n_out / n_dirs) tasks with a
+        # deterministic row-hash sub-split so big partitions still honor
+        # target_file_bytes.
+        n_dirs = df.select(partition_col).distinct().count() or 1
+        per_dir = max(1, -(-int(n_out) // n_dirs))
+        split = F.pmod(F.xxhash64(*df.columns), F.lit(per_dir))
         writer = (
-            df.repartition(int(n_out), partition_col)
+            df.repartition(int(n_out), F.col(partition_col), split)
             .write.mode("overwrite")
             .partitionBy(partition_col)
         )

@@ -44,6 +44,9 @@ def notification_rows(
 def append_notifications(notifications: DataFrame, sink_dir: str) -> int:
     """Append notification records to a durable parquet sink; returns the
     number appended. Use inside ``foreachBatch`` for streaming QC."""
+    # materialize once: count-then-write on the lazy plan would scan the
+    # source twice per micro-batch (and stamp two current_timestamps)
+    notifications = notifications.localCheckpoint(eager=True)
     n = notifications.count()
     if n:
         notifications.write.mode("append").parquet(sink_dir)

@@ -129,7 +129,12 @@ def write_xlsx(path: str, rows: list[list], sheet_name: str = "Sheet1") -> None:
         if isinstance(v, bool):
             return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
         if isinstance(v, (int, float)):
-            return f'<c r="{ref}"><v>{v}</v></c>'
+            # SpreadsheetML numeric cells cannot hold NaN/Infinity;
+            # store non-finite values as shared strings instead
+            if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+                v = str(v)
+            else:
+                return f'<c r="{ref}"><v>{v}</v></c>'
         s = str(v)
         if s not in shared_idx:
             shared_idx[s] = len(shared)

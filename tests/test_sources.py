@@ -380,3 +380,64 @@ def test_notification_rows_and_foreach_batch_hook(spark, tmp_path):
     q.awaitTermination()
     back = spark.read.parquet(sink)
     assert back.count() == 4  # 2 batch + 2 streamed
+
+
+def test_compact_files_partitioned_splits_big_partitions(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.sources.maintenance import compact_files
+
+    path = str(tmp_path / "hot_part")
+    # one partition value holding all rows, fragmented into 20 files
+    df = spark.range(50000).withColumn("snap", F.lit("hot")).withColumn(
+        "payload", F.sha2(F.col("id").cast("string"), 256)
+    )
+    df.repartition(20).write.partitionBy("snap").parquet(path)
+    rows_before = spark.read.parquet(path).count()
+    # tiny target forces the single hot partition to split across files
+    before, after = compact_files(
+        spark, path, target_file_bytes=256 * 1024, partition_col="snap"
+    )
+    hot_dir = os.path.join(path, "snap=hot")
+    n_files = sum(1 for f in os.listdir(hot_dir) if f.endswith(".parquet"))
+    assert n_files > 1  # NOT one giant file per partition dir
+    assert spark.read.parquet(path).count() == rows_before
+
+
+def test_write_excel_non_finite_floats(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.sources.files import read_excel_via_pandas, write_excel
+
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, float("inf")), (3, 1.5)], ["id", "v"]
+    )
+    path = str(tmp_path / "nonfinite.xlsx")
+    assert write_excel(df, path) == 3
+    back = read_excel_via_pandas(spark, path)
+    assert back.count() == 3  # readable workbook, not corrupt XML
+
+
+def test_rollup_merge_preserves_null_sums(spark):
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.rollup_maintenance import (
+        build_rollup,
+        merge_rollup,
+    )
+
+    measures = {"s": ("sum", F.col("v"))}
+    base = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", 1.0)], "k string, v double"
+    )
+    delta = spark.createDataFrame([("c", 2.0)], "k string, v double")
+    out = {
+        (r.k, r.s)
+        for r in merge_rollup(
+            build_rollup(base, ["k"], measures), delta, ["k"], measures
+        ).collect()
+    }
+    # SUM over all-NULL stays NULL through the merge (matches recompute)
+    assert out == {("a", None), ("b", 1.0), ("c", 2.0)}

@@ -105,3 +105,17 @@ def test_constraint_report_null_counts_as_violation(spark):
     assert rep["x_pos"].passed is False
     assert rep["x_not_null"].n_violations == 1
     assert all(r.n_rows == 3 for r in rep.values())
+
+
+def test_constraint_report_empty_input_passes_vacuously(spark):
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.validation import constraint_report
+
+    empty = spark.createDataFrame([], "x int")
+    rows = constraint_report(
+        empty, {"x_pos": F.col("x") > 0, "o'quoted": F.col("x").isNotNull()}
+    ).collect()
+    assert len(rows) == 2
+    assert all(r.n_rows == 0 and r.n_violations == 0 and r.passed is True for r in rows)
+    assert {r.check_name for r in rows} == {"x_pos", "o'quoted"}

@@ -65,40 +65,37 @@ def build(src: str = SRC, dst: str = DST) -> None:
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "embeddings"]:
         shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+    def shifted_copy(table: str, id_col: str, n: int) -> None:
+        # introspect columns so a testdata regeneration that adds a
+        # column can never be silently dropped from the replica
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{src}/{table}.parquet')"
+            ).fetchall()
+        ]
+        rest = ", ".join(c for c in cols if c != id_col)
+        con.execute(f"""
+COPY (
+  SELECT {id_col} + k.k*100000000 AS {id_col}, {rest}
+  FROM read_parquet('{src}/{table}.parquet'), (SELECT unnest(range({n})) AS k) k
+) TO '{dst}/{table}.parquet' (FORMAT PARQUET)""")
+
+    shifted_copy("lineitem", "l_orderkey", 8)
+    shifted_copy("orders", "o_orderkey", 8)
+    shifted_copy("events", "event_id", 8)
     con.execute(f"""
 COPY (
-  SELECT l_orderkey + k.k*100000000 AS l_orderkey, l_partkey, l_suppkey,
-         l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
-         l_returnflag, l_linestatus, l_shipdate
-  FROM read_parquet('{src}/lineitem.parquet'), (SELECT unnest(range(8)) AS k) k
-) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)""")
-    cols = [
-        r[0]
-        for r in con.execute(
-            f"DESCRIBE SELECT * FROM read_parquet('{src}/orders.parquet')"
-        ).fetchall()
-    ]
-    rest = ", ".join(c for c in cols if c != "o_orderkey")
-    con.execute(f"""
-COPY (
-  SELECT o_orderkey + k.k*100000000 AS o_orderkey, {rest}
-  FROM read_parquet('{src}/orders.parquet'), (SELECT unnest(range(8)) AS k) k
-) TO '{dst}/orders.parquet' (FORMAT PARQUET)""")
-    con.execute(f"""
-COPY (
-  SELECT event_id + k.k*100000000 AS event_id, ts, user_id, event_type, value, props
-  FROM read_parquet('{src}/events.parquet'), (SELECT unnest(range(8)) AS k) k
-) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
-    con.execute(f"""
-COPY (
-  SELECT doc_id + k.k*10000000 AS doc_id,
-         CASE WHEN k.k = 0 THEN text ELSE array_to_string(
-           list_transform(range(1, len(string_split(text,' '))+1),
-             j -> CASE WHEN j%5=1
-                  THEN string_split(text,' ')[j] || 'r' || CAST(k.k AS VARCHAR)
-                  ELSE string_split(text,' ')[j] END), ' ') END AS text,
-         lang, source, length(text) AS n_chars
-  FROM read_parquet('{src}/documents.parquet'), (SELECT unnest(range(16)) AS k) k
+  SELECT doc_id, text, lang, source, length(text) AS n_chars FROM (
+    SELECT doc_id + k.k*10000000 AS doc_id,
+           CASE WHEN k.k = 0 THEN text ELSE array_to_string(
+             list_transform(range(1, len(string_split(text,' '))+1),
+               j -> CASE WHEN j%5=1
+                    THEN string_split(text,' ')[j] || 'r' || CAST(k.k AS VARCHAR)
+                    ELSE string_split(text,' ')[j] END), ' ') END AS text,
+           lang, source
+    FROM read_parquet('{src}/documents.parquet'), (SELECT unnest(range(16)) AS k) k
+  )
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 6000)""")
 
 
