@@ -262,3 +262,58 @@ def q_tumbling_window_stream(spark, sf_dir):
         .select("window_start", "event_type", "n_events", "value_sum")
         .orderBy("window_start", "event_type")
     )
+
+
+_S11_DEDUP_STREAM_ORACLE = """
+SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_first_events
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("s11_stream_dedup_stream", oracle=_S11_DEDUP_STREAM_ORACLE)
+def q_stream_dedup_stream(spark, sf_dir):
+    """§2.10: keyed streaming dedup as a REAL 4-micro-batch run.
+
+    ``dropDuplicates`` on the stream keeps exact per-key state across
+    batches and emits each (user, event_type) key once, on first
+    arrival; counting emitted rows per user must equal the batch count
+    of distinct event types per user (the oracle). Which physical row
+    represents a key depends on batch order, so only key-level outputs
+    are certified — the unbounded-state exact form is used here because
+    batches stream in arbitrary time order (the watermarked
+    ``dropDuplicatesWithinWatermark`` variant, which bounds state and
+    legitimately re-admits keys after expiry, is exercised in
+    tests/test_streaming.py).
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="mlwss_dedupstream_")
+    stage, ckpt = f"{work}/stage", f"{work}/ckpt"
+    events.select("user_id", "event_type").repartition(4).write.parquet(stage)
+
+    stream = (
+        spark.readStream.schema("user_id bigint, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    sink = f"dedup_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.dropDuplicates(["user_id", "event_type"])
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    mem = spark.table(sink).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return (
+        mem.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_first_events"))
+        .orderBy("user_id")
+    )
