@@ -1,48 +1,195 @@
 """Registered batch-mode ML queries over the ``embeddings`` table.
 
-Model outputs aren't SQL-expressible, so these take the driver's
-rows-only check; the determinism/quality assertions live in
-tests/test_ml.py, and stream-batch parity for the per-batch loop is
-proven in tests/test_streaming_ml.py.
+Serving-path contract (same as ``sim_topk_ivf``): the models are fit
+once on sf0.01 (tools/freeze_ml_artifacts.py) and committed as literal
+tables in ``functions.ml_artifacts``; the registered queries score with
+those frozen artifacts, which is pure arithmetic — dot products are
+sequential double sums in both Spark (``F.aggregate``) and DuckDB
+(``list_dot_product``), so the driver hash-checks the full
+score→argmax→aggregate pipeline. The *training* path (distributed MLlib
+fit, reference ``Dataset/stream.py:75-134`` consumer) stays covered by
+tests/test_ml.py, including quality floors for a fresh fit.
 """
 
 from __future__ import annotations
 
-from pyspark.ml.clustering import KMeans
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from machine_learning_with_spark_streaming_spark.ml.streaming_ml import (
-    accuracy_of,
-    fit_logreg,
-    with_feature_vector,
+from machine_learning_with_spark_streaming_spark.functions.ml_artifacts import (
+    KMEANS_CENTROIDS,
+    LOGREG_WEIGHTS,
 )
+from machine_learning_with_spark_streaming_spark.functions.vectors import as_double_array, dot
 from machine_learning_with_spark_streaming_spark.registry import register
 from machine_learning_with_spark_streaming_spark.schemas import load_table
 
+# ------------------------------------------------------------- serving path
 
-@register("ml_logreg_embeddings")  # model output: rows-only driver check
-def q_logreg_embeddings(spark, sf_dir):
-    """Train/test logistic regression on the embedding vectors
-    (vec_id % 5 == 0 held out); returns the one-row accuracy frame."""
-    emb = with_feature_vector(
-        load_table(spark, sf_dir, "embeddings"), "embedding"
+
+def logreg_weights_df(spark: SparkSession) -> DataFrame:
+    """The frozen multinomial weights as a 10-row DataFrame."""
+    return spark.createDataFrame(
+        LOGREG_WEIGHTS, "class int, w array<double>, b double"
     )
-    train = emb.filter(F.col("vec_id") % 5 != 0)
-    test = emb.filter(F.col("vec_id") % 5 == 0)
-    model = fit_logreg(train)
-    return accuracy_of(model.transform(test))
 
 
-@register("ml_kmeans_embeddings")  # model output: rows-only driver check
-def q_kmeans_embeddings(spark, sf_dir):
-    """KMeans (k=4, fixed seed) over embeddings; cluster cardinalities."""
-    emb = with_feature_vector(
-        load_table(spark, sf_dir, "embeddings"), "embedding"
+def kmeans_centroids_df(spark: SparkSession) -> DataFrame:
+    """The frozen centroids as a k-row DataFrame (cluster, centroid)."""
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(KMEANS_CENTROIDS)],
+        "cluster int, centroid array<double>",
     )
-    model = KMeans(k=4, seed=42, featuresCol="features_vec").fit(emb)
-    out = model.transform(emb)
+
+
+def score_logreg_frozen(vectors: DataFrame) -> DataFrame:
+    """Per-row argmax class over the frozen weight table.
+
+    ``vectors`` needs (vec_id, v: array<double>, label). Margin
+    ``dot(v, w_c) + b_c`` is monotone in the softmax probability, so
+    argmax needs no exp(); ties break to the lowest class id (MLlib's
+    convention, and the oracle's ORDER BY). Broadcast 10-row cross join
+    — executor-parallel at any corpus size.
+    """
+    wdf = logreg_weights_df(vectors.sparkSession)
+    rn = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("class"))
     return (
-        out.groupBy(F.col("prediction").alias("cluster"))
+        vectors.crossJoin(F.broadcast(wdf))
+        .withColumn("score", dot(F.col("v"), F.col("w")) + F.col("b"))
+        .withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("class").alias("prediction"))
+    )
+
+
+def assign_kmeans_frozen(vectors: DataFrame) -> DataFrame:
+    """Nearest frozen centroid per row, via argmax of
+    ``dot(v, c) - 0.5*dot(c, c)`` — equivalent to nearest-euclidean but
+    expressed in dot products only, so both engines run the identical
+    sequential double sums."""
+    cdf = kmeans_centroids_df(vectors.sparkSession)
+    rn = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cluster"))
+    return (
+        vectors.crossJoin(F.broadcast(cdf))
+        .withColumn(
+            "score",
+            dot(F.col("v"), F.col("centroid"))
+            - 0.5 * dot(F.col("centroid"), F.col("centroid")),
+        )
+        .withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cluster"))
+    )
+
+
+# ----------------------------------------------------------------- oracles
+
+_DOTD = "list_dot_product({a}, {b})"
+
+
+def _weight_values() -> str:
+    rows = []
+    for c, w, b in LOGREG_WEIGHTS:
+        lit = "[" + ", ".join(repr(x) for x in w) + "]"
+        rows.append(f"({c}, CAST({lit} AS DOUBLE[]), {b!r})")
+    return ",\n  ".join(rows)
+
+
+def _kmeans_values() -> str:
+    rows = []
+    for i, c in enumerate(KMEANS_CENTROIDS):
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        rows.append(f"({i}, CAST({lit} AS DOUBLE[]))")
+    return ",\n  ".join(rows)
+
+
+_LOGREG_ORACLE = f"""
+WITH weights(class, w, b) AS (VALUES
+  {_weight_values()}
+),
+v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+pred AS (
+  SELECT vec_id, label, class AS prediction FROM (
+    SELECT v.vec_id, v.label, wt.class,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_DOTD.format(a='v.emb', b='wt.w')} + wt.b DESC, wt.class
+           ) AS rn
+    FROM v CROSS JOIN weights wt
+  ) WHERE rn = 1
+)
+SELECT CAST(prediction AS INT) AS prediction,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN prediction = label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct
+FROM pred GROUP BY prediction ORDER BY prediction
+"""
+
+
+_KMEANS_ORACLE = f"""
+WITH centroids(cluster, c) AS (VALUES
+  {_kmeans_values()}
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, ct.cluster,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_DOTD.format(a='v.emb', b='ct.c')}
+                      - 0.5 * {_DOTD.format(a='ct.c', b='ct.c')} DESC,
+                      ct.cluster
+           ) AS rn
+    FROM v CROSS JOIN centroids ct
+  ) WHERE rn = 1
+)
+SELECT CAST(cluster AS INT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM assigned GROUP BY cluster ORDER BY cluster
+"""
+
+
+@register("ml_logreg_embeddings", oracle=_LOGREG_ORACLE)
+def q_logreg_embeddings(spark, sf_dir):
+    """Score the held-out split (vec_id % 5 == 0) with the frozen
+    multinomial logreg; per-class prediction counts + correct counts.
+    Artifact = ``LOGREG_WEIGHTS`` (fit once on sf0.01, committed),
+    mirrored as literals in the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    vectors = emb.select(
+        "vec_id", as_double_array("embedding").alias("v"), "label"
+    )
+    pred = score_logreg_frozen(vectors)
+    return (
+        pred.groupBy(F.col("prediction").cast("int").alias("prediction"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (F.col("prediction") == F.col("label")).cast("long")
+            ).alias("n_correct"),
+        )
+        .orderBy("prediction")
+    )
+
+
+@register("ml_kmeans_embeddings", oracle=_KMEANS_ORACLE)
+def q_kmeans_embeddings(spark, sf_dir):
+    """Cluster cardinalities under the frozen KMeans quantizer (k=4,
+    seed 42, fit once on sf0.01 and committed as ``KMEANS_CENTROIDS``);
+    assignment = argmax dot(v,c) - 0.5*dot(c,c), identical in the
+    oracle's literals."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select("vec_id", as_double_array("embedding").alias("v"))
+    return (
+        assign_kmeans_frozen(vectors)
+        .groupBy(F.col("cluster").cast("int").alias("cluster"))
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("cluster")
     )
