@@ -163,9 +163,43 @@ def q_asset_metadata(spark, sf_dir):
     ).orderBy("asset_id")
 
 
-@register("mm_extract_features")  # numpy byte stats: not DuckDB-expressible
+# Per-byte BLOB access in ANSI SQL: hex() the payload once, then a
+# list_transform over byte indices decodes each hex pair to its int
+# value. Sums are exact (integers < 2^53), so mean = sum/n is the same
+# double in both engines — numpy's uint8 mean upcasts to float64 with
+# an exact integer sum too.
+_HEX_BYTES = """
+         list_transform(range(1, n + 1), i ->
+           (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
+           + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)"""
+
+_FEATURES_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, n_chars, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_chars, n, {_HEX_BYTES} AS bytes
+  FROM h
+)
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+       CAST(n AS INT) AS n_bytes,
+       CASE WHEN n = 0 THEN 0.0
+            ELSE round(CAST(list_sum(bytes) AS DOUBLE) / n, 6) END AS mean_byte,
+       CAST(CASE WHEN n = 0 THEN 0 ELSE list_aggregate(bytes, 'max') END AS INT)
+         AS max_byte,
+       CAST((n_chars % 64) + 16 AS INT) AS width,
+       CAST((n_chars % 48) + 16 AS INT) AS height,
+       CAST(CAST(((doc_id % 30) + 1 + 4) AS BIGINT) // 5 AS INT) AS sampled_frames
+FROM b ORDER BY asset_id
+"""
+
+
+@register("mm_extract_features", oracle=_FEATURES_ORACLE)
 def q_extract_features(spark, sf_dir):
-    """mapInPandas feature extraction (deterministic fake decode)."""
+    """mapInPandas feature extraction (deterministic fake decode); the
+    oracle replays the byte statistics via hex-pair decoding in SQL."""
     assets = assets_from_documents(spark, sf_dir)
     return extract_features(assets).orderBy("asset_id")
 
@@ -223,8 +257,40 @@ def sample_frames(assets: DataFrame, every: int = FRAME_SAMPLE_EVERY) -> DataFra
     return videos.mapInPandas(expand, FRAME_SCHEMA)
 
 
-@register("mm_sample_frames")  # numpy frame slicing: not DuckDB-expressible
+_FRAMES_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n,
+         CAST((doc_id % 30) + 1 AS INT) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+),
+b AS (
+  SELECT doc_id, n, n_frames,
+         greatest(n // n_frames, 1) AS frame_len,
+         {_HEX_BYTES} AS bytes
+  FROM h
+),
+frames AS (
+  SELECT doc_id, frame_len,
+         CAST(u.frame_idx AS INT) AS frame_idx,
+         list_slice(bytes, frame_idx * frame_len + 1,
+                    (frame_idx + 1) * frame_len) AS chunk
+  FROM b, unnest(range(0, CAST(n_frames AS BIGINT), {FRAME_SAMPLE_EVERY}))
+           AS u(frame_idx)
+)
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+       frame_idx,
+       CAST(frame_idx * frame_len AS INT) AS frame_offset,
+       CASE WHEN len(chunk) = 0 THEN 0.0
+            ELSE round(CAST(list_sum(chunk) AS DOUBLE) / len(chunk), 6)
+       END AS frame_mean_byte
+FROM frames ORDER BY asset_id, frame_idx
+"""
+
+
+@register("mm_sample_frames", oracle=_FRAMES_ORACLE)
 def q_sample_frames(spark, sf_dir):
-    """Every-5th-frame sampling over the video assets (1→N expansion)."""
+    """Every-5th-frame sampling over the video assets (1→N expansion);
+    the oracle replays the slice arithmetic over hex-decoded bytes."""
     assets = assets_from_documents(spark, sf_dir)
     return sample_frames(assets).orderBy("asset_id", "frame_idx")
