@@ -1,9 +1,13 @@
 """Multimodal-column operators — BASELINE.json north-star: treat
 image/audio/video as opaque ``binary`` columns with typed metadata.
 
-The container has no image/audio codecs, so the *decode* step is stubbed
-(``NotImplementedError`` for real codecs, a deterministic fake for the
-pipeline path) — but the Spark-side plumbing is real and tested:
+The container has no compressed-format codec libraries, so PNG/JPEG/MP3
+decode stays gated behind ``NotImplementedError`` — but uncompressed
+BMP and PCM WAV decode for real via pure-stdlib parsers
+(operators/codecs.py, queries ``mm_decode_bmp``/``mm_decode_wav``), and
+the generic feature pipeline uses a deterministic fake decode whose
+byte statistics are oracle-checked. The Spark-side plumbing is real and
+tested throughout:
 
 - asset schema: ``(asset_id BIGINT, kind STRING, payload BINARY,
   meta STRUCT<width INT, height INT, n_frames INT>)``
@@ -60,18 +64,32 @@ def assets_from_documents(spark, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real image decode — requires a codec library absent from this
-    container. The pipeline uses :func:`fake_decode_stats` instead."""
+def decode_image(payload: bytes) -> dict:
+    """Image decode. Uncompressed 24-bit BMP parses for real via the
+    stdlib ``struct`` codec (operators/codecs.py, backing the
+    ``mm_decode_bmp`` query); compressed formats (PNG/JPEG) need a codec
+    library absent from this container."""
+    if payload[:2] == b"BM":
+        from machine_learning_with_spark_streaming_spark.operators.codecs import decode_bmp
+
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "image codecs (PIL/opencv) are not installed in this environment; "
-        "swap in a real decoder here on a full cluster image"
+        "compressed image codecs (PIL/opencv) are not installed in this "
+        "environment; only uncompressed BMP decodes here"
     )
 
 
-def decode_audio(payload: bytes) -> "object":
+def decode_audio(payload: bytes) -> dict:
+    """Audio decode. PCM WAV parses for real via the stdlib ``wave``
+    codec (operators/codecs.py, backing ``mm_decode_wav``); compressed
+    formats (MP3/OGG) need codec libraries absent from this container."""
+    if payload[:4] == b"RIFF":
+        from machine_learning_with_spark_streaming_spark.operators.codecs import decode_wav
+
+        return decode_wav(payload)
     raise NotImplementedError(
-        "audio codecs are not installed in this environment"
+        "compressed audio codecs are not installed in this environment; "
+        "only PCM WAV decodes here"
     )
 
 
