@@ -100,6 +100,12 @@ def main() -> None:
             timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+        finally:
+            # Queries that persist intermediates (e.g. the LSH shingle
+            # table) would otherwise stack storage blocks across the
+            # run; the resulting eviction/GC churn was measured as 2-4x
+            # run-to-run timing swings on the dedup family.
+            spark.catalog.clearCache()
 
     total = round(sum(v for n, v in timings.items() if n in HEADLINE), 3)
     out = {

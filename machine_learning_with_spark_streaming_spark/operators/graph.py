@@ -69,9 +69,20 @@ def connected_components(
     # logical plan with a flat RDD scan (plain persist() keeps the nested
     # plan and Catalyst analysis grows ~3x per round — measured hang by
     # round ~10 on chain graphs).
-    sym = e.union(
+    sym0 = e.union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=False)
+
+    # Pin a size-derived constant partition count for the whole loop.
+    # Left to AQE, each round's joins re-coalesce from runtime stats, so
+    # round task counts (and wall time) drift run-to-run — measured 16x
+    # spread under scale stress. The count below doubles as the edge
+    # materializer; ~2M edge rows (16 bytes each) per partition keeps a
+    # partition comfortably in executor memory at any corpus size.
+    n_edges = sym0.count()
+    sc = edges.sparkSession.sparkContext
+    n_parts = max(-(-n_edges // 2_000_000), min(sc.defaultParallelism, 64), 1)
+    sym = sym0.repartition(n_parts, "v").localCheckpoint(eager=False)
 
     pts = sym.select("u").distinct()
     if nodes is not None:
@@ -81,7 +92,7 @@ def connected_components(
 
     lab = pts.join(sym.groupBy("u").agg(F.min("v").alias("__nb")), "u", "left").select(
         "u", F.least(F.col("u"), F.coalesce("__nb", F.col("u"))).alias("lab")
-    ).localCheckpoint(eager=False)
+    ).repartition(n_parts, "u").localCheckpoint(eager=False)
     # convergence witness: labels only ever shrink, so the label total is
     # strictly decreasing until fixpoint — one cheap aggregate (which also
     # materializes the round's persist) replaces a join-based changed-row
@@ -109,8 +120,11 @@ def connected_components(
             "u", F.least("lab", F.coalesce("__plab", F.col("lab"))).alias("lab")
         )
         # lazy checkpoint per round: flat plan, materialized by the
-        # convergence aggregate below — one job per round total
-        jumped = jumped.localCheckpoint(eager=False)
+        # convergence aggregate below — one job per round total. The
+        # repartition pins every round's label table to the same n_parts
+        # (stable task counts; the extra 16-byte-row exchange is noise
+        # next to the two joins).
+        jumped = jumped.repartition(n_parts, "u").localCheckpoint(eager=False)
         cur = jumped.agg(total).collect()[0]["t"]
         lab = jumped
         if cur == prev:

@@ -114,3 +114,83 @@ def q_bucketed_colocated_join(spark, sf_dir):
         )
         .orderBy("priority")
     )
+
+
+# ------------------------------------------------------------------ K5
+# Lake maintenance (sources/maintenance.py), driver-certified: each
+# query clones a testdata table into a scratch dir, runs the
+# maintenance op for real, and returns a post-op summary the oracle
+# recomputes from the *source* table — certifying that DELETE removed
+# exactly the predicate rows and that compaction preserved the data
+# bit-for-bit while shrinking the file count. Reference parity:
+# pipeline/SqlUpload.py:33-41 (DELETE/TRUNCATE upkeep).
+
+_K5_DELETE_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderstatus = 'F')
+         AS n_deleted
+FROM orders WHERE o_orderstatus <> 'F'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@register("k5_delete_where", oracle=_K5_DELETE_ORACLE)
+def q_k5_delete_where(spark, sf_dir):
+    """Copy-on-write DELETE on a scratch clone of ``orders`` (drop all
+    'F'-status rows), then summarize the surviving table. The oracle
+    recomputes survivors + deleted count from the source, so the check
+    certifies the rewrite deleted exactly the predicate rows."""
+    import tempfile
+
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+    from machine_learning_with_spark_streaming_spark.sources.maintenance import delete_where
+
+    tbl = os.path.join(tempfile.mkdtemp(prefix="mlwss_k5_del_"), "orders")
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").parquet(tbl)
+    n_deleted = delete_where(spark, tbl, F.col("o_orderstatus") == "F")
+    return (
+        spark.read.parquet(tbl)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+        .withColumn("n_deleted", F.lit(n_deleted).cast("long"))
+        .orderBy("o_orderstatus")
+    )
+
+
+_K5_COMPACT_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       CAST(sum(l_quantity) AS DOUBLE) AS total_qty,
+       TRUE AS compacted
+FROM lineitem
+"""
+
+
+@register("k5_compaction", oracle=_K5_COMPACT_ORACLE)
+def q_k5_compaction(spark, sf_dir):
+    """Fragment a scratch clone of ``lineitem`` into 64 small files,
+    compact it, and summarize the compacted table. ``compacted`` asserts
+    the file count actually shrank; the content aggregates certify the
+    rewrite lost/duplicated nothing (sum of integral quantities is
+    exact in doubles)."""
+    import tempfile
+
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+    from machine_learning_with_spark_streaming_spark.sources.maintenance import compact_files
+
+    tbl = os.path.join(tempfile.mkdtemp(prefix="mlwss_k5_cmp_"), "lineitem")
+    load_table(spark, sf_dir, "lineitem").repartition(64).write.mode(
+        "overwrite"
+    ).parquet(tbl)
+    before, after = compact_files(spark, tbl, target_file_bytes=64 * 1024 * 1024)
+    return spark.read.parquet(tbl).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum("l_quantity").alias("total_qty"),
+        F.lit(after < before).alias("compacted"),
+    )

@@ -83,7 +83,13 @@ def compact_files(
     100 TB the scan's task-scheduling and footer-reading overhead then
     dominates. Periodic compaction to ~128 MB files restores scan
     efficiency. On Delta/Iceberg this is ``OPTIMIZE``; here it is the
-    same copy-on-write rewrite + atomic swap used by ``delete_where``.
+    same copy-on-write rewrite + swap used by ``delete_where``.
+
+    Like ``delete_where``/``truncate``, the two-rename swap has a brief
+    window where ``path`` is absent; a concurrent reader can observe a
+    missing table. A table-format lakehouse (Delta/Iceberg) removes the
+    window via metadata commits — on a plain parquet lake, schedule
+    maintenance when readers are quiesced.
     """
 
     def _n_parquet_files(p: str) -> int:
@@ -107,7 +113,6 @@ def compact_files(
     n_out = max(1, -(-total // target_file_bytes))  # ceil div
     df = spark.read.parquet(path)
     staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
-    writer = df.repartition(int(n_out)).write.mode("overwrite")
     if partition_col:
         from pyspark.sql import functions as F
 
@@ -124,6 +129,8 @@ def compact_files(
             .write.mode("overwrite")
             .partitionBy(partition_col)
         )
+    else:
+        writer = df.repartition(int(n_out)).write.mode("overwrite")
     writer.parquet(staging)
     old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)

@@ -84,16 +84,30 @@ COPY (
     shifted_copy("lineitem", "l_orderkey", 8)
     shifted_copy("orders", "o_orderkey", 8)
     shifted_copy("events", "event_id", 8)
+    # introspect documents columns too: doc_id/text/n_chars get the
+    # replica treatment, every other column passes through unchanged
+    doc_cols = [
+        r[0]
+        for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{src}/documents.parquet')"
+        ).fetchall()
+    ]
+    passthrough = ", ".join(
+        c for c in doc_cols if c not in ("doc_id", "text", "n_chars")
+    )
+    outer = ", ".join(
+        "length(text) AS n_chars" if c == "n_chars" else c for c in doc_cols
+    )
     con.execute(f"""
 COPY (
-  SELECT doc_id, text, lang, source, length(text) AS n_chars FROM (
+  SELECT {outer} FROM (
     SELECT doc_id + k.k*10000000 AS doc_id,
            CASE WHEN k.k = 0 THEN text ELSE array_to_string(
              list_transform(range(1, len(string_split(text,' '))+1),
                j -> CASE WHEN j%5=1
                     THEN string_split(text,' ')[j] || 'r' || CAST(k.k AS VARCHAR)
                     ELSE string_split(text,' ')[j] END), ' ') END AS text,
-           lang, source
+           {passthrough}
     FROM read_parquet('{src}/documents.parquet'), (SELECT unnest(range(16)) AS k) k
   )
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 6000)""")
@@ -114,15 +128,26 @@ def main() -> None:
         "scale-stress", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
     queries = entry_mod.queries()
+    names = QUERIES
+    for a in sys.argv[1:]:  # --only=q1,q2 to re-time a subset
+        if a.startswith("--only="):
+            names = a.split("=", 1)[1].split(",")
     out: dict[str, object] = {}
-    for n in QUERIES:
+    for n in names:
         try:
             queries[n](spark, DST).write.format("noop").mode("overwrite").save()
-            t0 = time.time()
-            queries[n](spark, DST).write.format("noop").mode("overwrite").save()
-            out[n] = round(time.time() - t0, 2)
+            best = None
+            for _ in range(2):  # min-of-2, like bench.py: damps JIT/GC noise
+                spark.catalog.clearCache()  # self-contained timing
+                t0 = time.time()
+                queries[n](spark, DST).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            out[n] = round(best, 2)
         except Exception as exc:  # noqa: BLE001
             out[n] = f"ERR {type(exc).__name__}: {exc}"[:120]
+        finally:
+            spark.catalog.clearCache()
     print(json.dumps({"metric": "scale_stress_sec", "dir": DST, "queries": out}))
 
 
