@@ -8,9 +8,11 @@ Catalyst (``filter(col.isin(...))`` reaches the remote WHERE clause), and
 writes parallelize per partition with ``batchsize`` replacing the 5000-row
 ``chunksize`` + fast_executemany.
 
-No database is reachable in this environment; these wrappers keep the
-reference's call surface and are exercised against local parquet "tables"
-in tests via the ``format_override`` hook.
+Exercised two ways in tests: a parquet-backed shim for plumbing, and a
+REAL JDBC round-trip against embedded Apache Derby (whose driver jar
+ships inside pyspark itself) covering driver loading, type mapping,
+batched inserts, remote predicate pushdown, partitioned parallel reads,
+and the live-table delta upsert (tests/test_jdbc_derby.py).
 """
 
 from __future__ import annotations

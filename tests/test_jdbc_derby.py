@@ -1,0 +1,120 @@
+"""Real JDBC round-trip (S5/K3) against embedded Apache Derby — the one
+JDBC engine whose driver jar ships inside pyspark itself
+(``jars/derby-*.jar``, bundled for the Hive metastore), so this runs
+with no network and no extra installs. Covers what the parquet-shim
+tests cannot: the actual ``spark.read/write.format("jdbc")`` path —
+driver loading, type mapping, batched inserts, predicate pushdown into
+the remote engine, partitioned parallel reads, and the K4 delta upsert
+against a live SQL table. Reference parity: packages/mySQLClass.py
+(pyodbc read 103-146, chunked to_sql upload 60-90, delta upsert
+148-220)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from machine_learning_with_spark_streaming_spark.sources.jdbc import read_table, upsert_delta_rows, write_table
+
+DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+@pytest.fixture(scope="module")
+def derby_url(tmp_path_factory):
+    db_dir = tmp_path_factory.mktemp("derby") / "testdb"
+    return f"jdbc:derby:{db_dir};create=true"
+
+
+def _orders(spark, n=100):
+    return spark.range(n).select(
+        F.col("id").alias("order_id"),
+        (F.col("id") % 7).alias("cust_id"),
+        (F.col("id") * 10 + 5).cast("double").alias("amount"),
+        F.when(F.col("id") % 3 == 0, "F").otherwise("O").alias("status"),
+    )
+
+
+def test_write_then_read_roundtrip(spark, derby_url):
+    df = _orders(spark)
+    write_table(df, derby_url, "orders_rt", mode="overwrite",
+                properties=DERBY_PROPS, batch_size=25)
+    back = read_table(spark, derby_url, "orders_rt", properties=DERBY_PROPS)
+    assert back.count() == 100
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+
+
+def test_append_mode_accumulates(spark, derby_url):
+    write_table(_orders(spark, 10), derby_url, "orders_app",
+                mode="overwrite", properties=DERBY_PROPS)
+    write_table(_orders(spark, 10), derby_url, "orders_app",
+                mode="append", properties=DERBY_PROPS)
+    assert read_table(spark, derby_url, "orders_app",
+                      properties=DERBY_PROPS).count() == 20
+
+
+def test_predicate_pushes_into_remote_query(spark, derby_url):
+    # Spark's default Derby mapping makes StringType a CLOB, which the
+    # remote engine refuses to compare — declaring VARCHAR at write time
+    # is the documented cure (and itself proves the filter runs remotely:
+    # without the cast Derby, not Spark, raised the comparison error).
+    write_table(_orders(spark), derby_url, "orders_pred",
+                mode="overwrite",
+                properties={**DERBY_PROPS,
+                            "createTableColumnTypes": "status VARCHAR(1)"})
+    q = read_table(spark, derby_url, "orders_pred",
+                   properties=DERBY_PROPS).filter(F.col("status") == "F")
+    assert q.count() == 34  # ids 0,3,...,99
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the filter must reach the JDBC scan, not run post-scan in Spark
+    assert "PushedFilters" in plan and "status" in plan
+
+
+def test_partitioned_parallel_read(spark, derby_url):
+    write_table(_orders(spark), derby_url, "orders_part",
+                mode="overwrite", properties=DERBY_PROPS)
+    df = read_table(
+        spark, derby_url, "orders_part", properties=DERBY_PROPS,
+        partition_column="order_id", num_partitions=4,
+        lower_bound=0, upper_bound=100,
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 100
+
+
+def test_k4_delta_upsert_against_live_table(spark, derby_url):
+    base = _orders(spark, 20)
+    write_table(base, derby_url, "orders_ups", mode="overwrite",
+                properties=DERBY_PROPS)
+    # 5 changed rows + 3 brand-new ones
+    changed = _orders(spark, 23).withColumn(
+        "amount",
+        F.when(F.col("order_id") < 5, F.col("amount") + 1000).otherwise(
+            F.col("amount")
+        ),
+    ).filter((F.col("order_id") < 5) | (F.col("order_id") >= 20))
+    n = upsert_delta_rows(
+        changed,
+        read_existing=lambda: read_table(
+            spark, derby_url, "orders_ups", properties=DERBY_PROPS
+        ),
+        write_changed=lambda d: write_table(
+            d, derby_url, "orders_ups_delta", mode="overwrite",
+            properties=DERBY_PROPS,
+        ),
+        pk=["order_id"],
+        compare_cols=["amount", "status"],
+    )
+    assert n == 8
+    delta = read_table(spark, derby_url, "orders_ups_delta",
+                       properties=DERBY_PROPS)
+    assert delta.count() == 8
+    assert delta.filter(F.col("amount") > 1000).count() == 5
+
+
+def test_derby_jar_is_sparks_own(spark):
+    """Guard the premise: the Derby driver comes from pyspark's bundled
+    jars, not an external install."""
+    import pyspark
+
+    jars = os.listdir(os.path.join(os.path.dirname(pyspark.__file__), "jars"))
+    assert any(j.startswith("derby-") for j in jars)
