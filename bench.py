@@ -66,6 +66,17 @@ EXTENDED = [
     "a16_incremental_rollup",
 ]
 
+# Added round 3 (first driver-recorded in BENCH_r03): the heavy ops that
+# gained oracles/certification in r2-r3, plus one REAL multi-micro-batch
+# streaming run so stream-machinery regressions show up in bench.
+EXTENDED += [
+    "pack_token_budget_exact",
+    "text_unigram_logprob",
+    "text_chunk_windows",
+    "dedup_repeated_chunks",
+    "s11_tumbling_window_stream",
+]
+
 
 def _sf_from_dir(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))

@@ -193,3 +193,82 @@ def q_kmeans_embeddings(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("cluster")
     )
+
+
+# ----------------------------------------------- ML on a real stream
+
+_LOGREG_STREAM_ORACLE = f"""
+WITH weights(class, w, b) AS (VALUES
+  {_weight_values()}
+),
+v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+pred AS (
+  SELECT vec_id, label, class AS prediction FROM (
+    SELECT v.vec_id, v.label, wt.class,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_DOTD.format(a='v.emb', b='wt.w')} + wt.b DESC, wt.class
+           ) AS rn
+    FROM v CROSS JOIN weights wt
+  ) WHERE rn = 1
+)
+SELECT CAST(prediction AS INT) AS prediction,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN prediction = label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct
+FROM pred GROUP BY prediction ORDER BY prediction
+"""
+
+
+@register("ml_logreg_stream", oracle=_LOGREG_STREAM_ORACLE)
+def q_logreg_stream(spark, sf_dir):
+    """The namesake capability end-to-end and hash-certified: score a
+    REAL multi-micro-batch embedding stream with the frozen logreg
+    inside ``foreachBatch``, then aggregate the per-batch prediction
+    sink. Per-class counts are batch-partition-independent, so the
+    DuckDB oracle (same frozen weights, whole table) checks the full
+    stream→score→sink pipeline regardless of how files split into
+    micro-batches. Reference: Dataset/stream.py:75-134 feeds payload
+    batches to exactly this consumer shape."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="mlwss_mlstream_")
+    stage, ckpt, preds = f"{work}/stage", f"{work}/ckpt", f"{work}/preds"
+    load_table(spark, sf_dir, "embeddings").repartition(4).write.parquet(stage)
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def _score_sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        vectors = batch_df.select(
+            "vec_id", as_double_array("embedding").alias("v"), "label"
+        )
+        score_logreg_frozen(vectors).write.mode("append").parquet(preds)
+
+    q = (
+        stream.writeStream.foreachBatch(_score_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(preds)
+        .groupBy(F.col("prediction").cast("int").alias("prediction"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("prediction") == F.col("label")).cast("long")).alias(
+                "n_correct"
+            ),
+        )
+        .orderBy("prediction")
+    )

@@ -555,6 +555,9 @@ def constraint_report(df: DataFrame, constraints: dict[str, "F.Column"]) -> Data
     adds a column to the aggregate, not a scan; the unpivot to rows
     happens on the 1-row aggregate result.
     """
+    if not constraints:
+        # stack(0, ...) would be a SQL parse error; fail with intent
+        raise ValueError("constraint_report needs at least one constraint")
     names = sorted(constraints)
     agg = df.agg(
         F.count(F.lit(1)).alias("__n"),

@@ -16,7 +16,12 @@ import os
 from pyspark.sql import functions as F
 
 from machine_learning_with_spark_streaming_spark.registry import register
-from machine_learning_with_spark_streaming_spark.sources.files import read_csv
+from machine_learning_with_spark_streaming_spark.sources.files import (
+    find_latest_by_pattern,
+    read_auto,
+    read_csv,
+    write_csv,
+)
 
 _FIXTURE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -193,4 +198,82 @@ def q_k5_compaction(spark, sf_dir):
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.sum("l_quantity").alias("total_qty"),
         F.lit(after < before).alias("compacted"),
+    )
+
+
+# --------------------------------------------------------- K1 / S3 / S4
+# File-edge certification: the CSV sink, the auto-format dispatcher and
+# the latest-file selector run for real inside registered queries, with
+# oracles over the source tables. Converts the remaining tests-only
+# ingest plumbing into driver-certified rows.
+
+_K1_ROUNDTRIP_ORACLE = """
+SELECT CAST(n_regionkey AS INT) AS region,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       CAST(sum(length(n_name)) AS BIGINT) AS name_chars
+FROM nation GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("k1_csv_roundtrip", oracle=_K1_ROUNDTRIP_ORACLE)
+def q_k1_csv_roundtrip(spark, sf_dir):
+    """K1+S3: write ``nation`` through the CSV sink, read it back via
+    the auto-format dispatcher (extension -> CSV branch), aggregate.
+    The oracle aggregates the source table, so the check certifies the
+    sink+scan round trip lost nothing (types rehydrated by cast — CSV
+    is stringly typed by design)."""
+    import tempfile
+
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    out = os.path.join(tempfile.mkdtemp(prefix="mlwss_k1_"), "nation_csv")
+    write_csv(load_table(spark, sf_dir, "nation"), out)
+    back = read_auto(spark, os.path.join(out, "*.csv"))
+    return (
+        back.select(
+            F.col("n_regionkey").cast("int").alias("region"),
+            F.length("n_name").alias("name_len"),
+        )
+        .groupBy("region")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("name_len").cast("bigint").alias("name_chars"),
+        )
+        .orderBy("region")
+    )
+
+
+_S4_LATEST_ORACLE = """
+SELECT CAST(s_nationkey AS INT) AS nation,
+       CAST(count(*) AS BIGINT) AS n_suppliers
+FROM supplier WHERE s_nationkey < 15
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("s4_latest_snapshot_file", oracle=_S4_LATEST_ORACLE)
+def q_s4_latest_snapshot_file(spark, sf_dir):
+    """S4: stage two dated snapshot exports (YYYYMMDD filenames, the
+    reference's convention), let ``find_latest_by_pattern`` pick the
+    newer one, and aggregate it. The oracle recomputes from the newer
+    snapshot's defining filter, so a wrong pick (older file = nation < 5
+    only) hash-mismatches."""
+    import tempfile
+
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    d = tempfile.mkdtemp(prefix="mlwss_s4_")
+    sup = load_table(spark, sf_dir, "supplier")
+    old_pd = sup.filter(F.col("s_nationkey") < 5).toPandas()
+    new_pd = sup.filter(F.col("s_nationkey") < 15).toPandas()
+    old_pd.to_csv(os.path.join(d, "suppliers_20230101.csv"), index=False)
+    new_pd.to_csv(os.path.join(d, "suppliers_20240615.csv"), index=False)
+    latest = find_latest_by_pattern(os.path.join(d, "suppliers_*.csv"))
+    assert latest and latest.endswith("suppliers_20240615.csv")
+    return (
+        read_auto(spark, latest)
+        .select(F.col("s_nationkey").cast("int").alias("nation"))
+        .groupBy("nation")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+        .orderBy("nation")
     )

@@ -29,7 +29,16 @@ def notification_rows(
     reference's email body assembly."""
     pairs = []
     for c in body_cols:
-        pairs.append(F.concat(F.lit(f"{c}="), F.col(c).cast("string")))
+        # coalesce: a NULL value would null the whole k=v pair and
+        # concat_ws would then drop the field name from the body — and
+        # anomalous rows (what alerts are FOR) are exactly where NULLs
+        # live. Render them as "null" instead.
+        pairs.append(
+            F.concat(
+                F.lit(f"{c}="),
+                F.coalesce(F.col(c).cast("string"), F.lit("null")),
+            )
+        )
     return df.filter(condition).select(
         F.current_timestamp().alias("ts"),
         F.lit(severity).alias("severity"),

@@ -266,7 +266,9 @@ def q_tumbling_window_stream(spark, sf_dir):
 
 _S11_DEDUP_STREAM_ORACLE = """
 SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_first_events
-FROM events GROUP BY 1 ORDER BY 1
+FROM events
+WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+GROUP BY 1 ORDER BY 1
 """
 
 
@@ -292,7 +294,13 @@ def q_stream_dedup_stream(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="mlwss_dedupstream_")
     stage, ckpt = f"{work}/stage", f"{work}/ckpt"
-    events.select("user_id", "event_type").repartition(4).write.parquet(stage)
+    # NULL-key guard (mirrored in the oracle's WHERE): dropDuplicates
+    # treats NULL as a key value and would emit a row for it, while
+    # count(DISTINCT ...) ignores NULLs — the two would diverge if a
+    # testdata regeneration ever produced NULL user_id/event_type.
+    events.select("user_id", "event_type").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).repartition(4).write.parquet(stage)
 
     stream = (
         spark.readStream.schema("user_id bigint, event_type string")

@@ -119,3 +119,12 @@ def test_constraint_report_empty_input_passes_vacuously(spark):
     assert len(rows) == 2
     assert all(r.n_rows == 0 and r.n_violations == 0 and r.passed is True for r in rows)
     assert {r.check_name for r in rows} == {"x_pos", "o'quoted"}
+
+
+def test_constraint_report_empty_dict_raises(spark):
+    import pytest as _pytest
+
+    from machine_learning_with_spark_streaming_spark.operators.validation import constraint_report
+
+    with _pytest.raises(ValueError, match="at least one constraint"):
+        constraint_report(spark.range(3), {})
