@@ -277,3 +277,80 @@ def q_s4_latest_snapshot_file(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_suppliers"))
         .orderBy("nation")
     )
+
+
+_S5_JDBC_ORACLE = """
+SELECT CAST(n_regionkey AS INT) AS region,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       CAST(min(n_nationkey) AS BIGINT) AS min_key,
+       CAST(max(n_nationkey) AS BIGINT) AS max_key
+FROM nation WHERE n_nationkey >= 5
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("s5_jdbc_roundtrip", oracle=_S5_JDBC_ORACLE)
+def q_s5_jdbc_roundtrip(spark, sf_dir):
+    """S5+K3 against a LIVE SQL engine: write ``nation`` to embedded
+    Derby (driver jar ships inside pyspark), read it back over JDBC
+    with a pushed predicate, aggregate. The oracle recomputes from the
+    source table, so the check certifies batched insert + typed
+    round-trip + remote filter together."""
+    import tempfile
+
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+    from machine_learning_with_spark_streaming_spark.sources.jdbc import read_table, write_table
+
+    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='mlwss_s5_')}/db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    write_table(
+        load_table(spark, sf_dir, "nation"), url, "nation_rt",
+        mode="overwrite",
+        properties={**props, "createTableColumnTypes": "n_name VARCHAR(64)"},
+    )
+    back = read_table(spark, url, "nation_rt", properties=props).filter(
+        F.col("n_nationkey") >= 5  # pushes into Derby's WHERE clause
+    )
+    return (
+        back.groupBy(F.col("n_regionkey").cast("int").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_nationkey").alias("min_key"),
+            F.max("n_nationkey").alias("max_key"),
+        )
+        .orderBy("region")
+    )
+
+
+_S2_XLSX_ORACLE = """
+SELECT CAST(r_regionkey AS INT) AS region,
+       r_name,
+       CAST(length(r_name) AS BIGINT) AS name_chars
+FROM region ORDER BY 1
+"""
+
+
+@register("s2_xlsx_roundtrip", oracle=_S2_XLSX_ORACLE)
+def q_s2_xlsx_roundtrip(spark, sf_dir):
+    """S2+K2: export ``region`` through the stdlib xlsx writer, scan it
+    back with the Excel reader (stdlib zip+XML fallback path), project.
+    Oracle reads the source table — certifies the workbook round trip
+    preserved keys, strings and lengths."""
+    import tempfile
+
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+    from machine_learning_with_spark_streaming_spark.sources.files import (
+        read_excel_via_pandas,
+        write_excel,
+    )
+
+    path = os.path.join(tempfile.mkdtemp(prefix="mlwss_s2_"), "region.xlsx")
+    write_excel(load_table(spark, sf_dir, "region"), path)
+    back = read_excel_via_pandas(spark, path)
+    return back.select(
+        F.col("r_regionkey").cast("int").alias("region"),
+        F.col("r_name").cast("string").alias("r_name"),
+        F.length(F.col("r_name").cast("string")).cast("bigint").alias(
+            "name_chars"
+        ),
+    ).orderBy("region")
