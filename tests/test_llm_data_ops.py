@@ -110,11 +110,16 @@ def test_multimodal_feature_batch_shape(spark, sf_dir):
     assert r.sampled_frames >= 1
 
 
-def test_decode_stubs_raise():
+def test_decode_dispatch_gates_compressed_formats():
+    # compressed formats stay gated; BMP/WAV now decode for real
+    # (tests/test_codecs.py), and truncated real-format payloads fail
+    # with the parser's own error rather than the gate
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
-        decode_audio(b"RIFF")
+        decode_audio(b"ID3\x04")
+    with pytest.raises(EOFError):
+        decode_audio(b"RIFF")  # real wave parser rejects the stub header
 
 
 def test_hyperplane_buckets_spread_correlated_vectors(spark):
