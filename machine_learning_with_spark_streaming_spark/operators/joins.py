@@ -639,3 +639,91 @@ def asof_join_salted(
             ],
         )
     )
+
+
+# ------------------------------------------------- IN-list scan pushdown
+
+
+def inlist_pushdown_filter(
+    facts: DataFrame,
+    dim_keys: DataFrame,
+    fact_key: str,
+    max_keys: int = 50_000,
+) -> tuple[DataFrame, str]:
+    """Semi-join the facts to a bounded dim key set by pushing the keys
+    INTO the fact scan as a literal ``In`` filter.
+
+    Reference parity: ``packages/mySQLClass.py:103-146`` builds literal
+    ``SELECT ... WHERE col IN (...)`` strings from pandas keys and ships
+    them to the remote engine. The Spark-scale version of that trick:
+    collect the (bounded, deduplicated) key set and filter with
+    ``isin`` — Catalyst pushes it to the parquet scan, where row-group
+    min/max stats and dictionary pages skip whole chunks *before* any
+    row is materialized. At 100 TB that is the difference between
+    scanning the full fact table into a semi-join and reading only the
+    row groups that can contain the keys.
+
+    The driver materialization is bounded by ``max_keys`` (the same
+    role as the reference's IN-list of a lookup frame's keys); past the
+    cap it degrades to a broadcast left-semi join — no collect, same
+    semantics, scan-level skipping traded for a post-scan hash probe.
+    Returns ``(filtered_facts, "inlist" | "semi_join")``.
+    """
+    col = dim_keys.columns[0]
+    probe = [
+        r[0]
+        for r in dim_keys.select(col).distinct().limit(max_keys + 1).collect()
+    ]
+    if len(probe) <= max_keys:
+        return facts.filter(F.col(fact_key).isin(probe)), "inlist"
+    return (
+        facts.join(
+            F.broadcast(dim_keys.select(F.col(col).alias(fact_key)).distinct()),
+            fact_key,
+            "left_semi",
+        ),
+        "semi_join",
+    )
+
+
+_J14_ORACLE = """
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders,
+       CAST(sum(l.l_quantity) AS DOUBLE) AS total_qty
+FROM lineitem l
+WHERE l.l_orderkey IN (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("j14_inlist_pushdown_join", oracle=_J14_ORACLE)
+def q_inlist_pushdown_join(spark, sf_dir):
+    """Bounded-dim semi-join via literal In() pushed into the fact
+    scan (scan-level row-group skipping); oracle is the plain IN
+    subquery. The In-at-the-scan plan shape is asserted in
+    tests/test_scale_mechanics.py."""
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderstatus") == "F")
+        )
+        .select("o_orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered, _mode = inlist_pushdown_filter(li, urgent, "l_orderkey")
+    return (
+        filtered.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.sum("l_quantity").alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -143,3 +143,40 @@ def test_rollup_merge_plan_moves_group_sized_relations(spark, sf_dir):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
     # aggregation happens below the join on both sides: 2 partial+final pairs
     assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_frozen_ml_scoring_plan_shape(spark, sf_dir):
+    """Frozen-artifact scoring must broadcast the literal weight table
+    and prune the per-class fan-out to top-1 BEFORE the exchange
+    (WindowGroupLimit): the shuffle carries one row per vector, not one
+    per (vector x class)."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["ml_logreg_embeddings"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_inlist_pushdown_reaches_fact_scan(spark, sf_dir):
+    """Below the cap the dim keys must appear as an In() filter in the
+    parquet scan's PushedFilters (row-group skipping); above the cap
+    the operator must degrade to a broadcast left-semi join."""
+    from machine_learning_with_spark_streaming_spark.operators.joins import inlist_pushdown_filter
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    pushed, mode = inlist_pushdown_filter(li, dim, "l_orderkey")
+    assert mode == "inlist"
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_orderkey" in plan
+
+    capped, mode2 = inlist_pushdown_filter(li, dim, "l_orderkey", max_keys=3)
+    assert mode2 == "semi_join"
+    plan2 = capped._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan2 and "Broadcast" in plan2
+    assert pushed.count() == capped.count()
