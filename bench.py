@@ -75,6 +75,7 @@ EXTENDED += [
     "text_chunk_windows",
     "dedup_repeated_chunks",
     "s11_tumbling_window_stream",
+    "j14_inlist_pushdown_join",
 ]
 
 
