@@ -105,6 +105,10 @@ def main() -> None:
             run_query(queries[name](spark, SF_DIR))  # untimed: codegen + JIT
             best = None
             for _ in range(2):  # min-of-2: damps GC/scheduler noise
+                # clear BEFORE each timed run too: queries that persist
+                # intermediates (LSH shingle table) must not be timed
+                # against stacked stale copies from the warm-up
+                spark.catalog.clearCache()
                 t0 = time.time()
                 run_query(queries[name](spark, SF_DIR))
                 dt = time.time() - t0

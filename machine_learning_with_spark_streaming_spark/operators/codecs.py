@@ -92,6 +92,12 @@ def decode_bmp(payload: bytes) -> dict:
      _xppm, _yppm, _ncol, _nimp) = struct.unpack_from("<IiiHHIIiiII", payload, 14)
     if hdr_size < 40:
         raise ValueError(f"unsupported BMP header size {hdr_size}")
+    # width is parsed signed: a negative value would flip the stride
+    # negative and let the truncation check below pass on garbage
+    if width <= 0 or height == 0:
+        raise ValueError(f"invalid BMP dimensions {width}x{height}")
+    if offset < _BMP_PIXEL_OFFSET or offset > len(payload):
+        raise ValueError(f"invalid pixel-array offset {offset}")
     if compression != 0:
         raise NotImplementedError(f"compressed BMP (method {compression})")
     if bpp != 24:
@@ -255,20 +261,30 @@ def _audio_docs(spark, sf_dir: str) -> DataFrame:
 
 
 # Byte extraction via hex pairs — same construction as multimodal.py's
-# oracles. Sums are exact integers, so mean = sum / 2^6 is bit-identical
-# across engines (division by a power of two is exact in IEEE doubles;
-# the decoder's sum(BGR)/(3*64) correctly rounds to the same value).
-_HEX_SLICE = f"""
-         list_slice(list_transform(range(1, octet_length(encode(text)) + 1), i ->
-           (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i - 1, 1)) - 1) * 16
-           + strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i, 1)) - 1),
-           1, {_N_PIX})"""
+# oracles, with hex() hoisted into a CTE column and the range bounded to
+# the 64 bytes the fixture actually uses (padding bytes contribute 0 to
+# the sum and never raise the max, so decoding them is pure waste).
+# Sums are exact integers, so mean = sum / 2^6 is bit-identical across
+# engines (division by a power of two is exact in IEEE doubles; the
+# decoder's sum(BGR)/(3*64) correctly rounds to the same value).
+def _head_cte(doc_filter: str, n_head: int) -> str:
+    return f"""
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         least(octet_length(encode(text)), {n_head}) AS n
+  FROM documents WHERE {doc_filter}
+),
+b AS (
+  SELECT doc_id,
+         list_transform(range(1, n + 1), i ->
+           (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
+           + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS head
+  FROM h
+)"""
+
 
 _BMP_ORACLE = f"""
-WITH b AS (
-  SELECT doc_id, {_HEX_SLICE} AS head
-  FROM documents WHERE doc_id % 3 = 0
-)
+{_head_cte('doc_id % 3 = 0', _N_PIX)}
 SELECT CAST(doc_id AS BIGINT) AS asset_id,
        {IMG_W} AS width, {IMG_H} AS height, {_N_PIX} AS n_pixels,
        round(CAST(coalesce(list_sum(head), 0) AS DOUBLE) / {_N_PIX}, 6)
@@ -279,16 +295,14 @@ FROM b ORDER BY asset_id
 """
 
 _WAV_ORACLE = f"""
-WITH b AS (
-  SELECT doc_id,
-         list_transform({_HEX_SLICE}, x -> abs((x - 128) * 256)) AS mags
-  FROM documents WHERE doc_id % 3 = 1
-)
+{_head_cte('doc_id % 3 = 1', WAV_SAMPLES)}
 SELECT CAST(doc_id AS BIGINT) AS asset_id,
        1 AS n_channels, {WAV_RATE} AS frame_rate, {WAV_SAMPLES} AS n_frames,
-       round(CAST(coalesce(list_sum(mags), 0) AS DOUBLE) / {WAV_SAMPLES}, 6)
+       round(CAST(coalesce(list_sum(list_transform(head,
+               x -> abs((x - 128) * 256))), 0) AS DOUBLE) / {WAV_SAMPLES}, 6)
          AS mean_abs_sample,
-       CAST(greatest(coalesce(list_aggregate(mags, 'max'), 0), 0) AS INT)
+       CAST(greatest(coalesce(list_aggregate(list_transform(head,
+               x -> abs((x - 128) * 256)), 'max'), 0), 0) AS INT)
          AS max_abs_sample
 FROM b ORDER BY asset_id
 """

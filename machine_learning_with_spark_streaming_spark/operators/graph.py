@@ -99,6 +99,9 @@ def connected_components(
     # count. decimal(38,0) keeps the total exact for 64-bit ids.
     total = F.sum(F.col("lab").cast("decimal(38,0)")).alias("t")
     prev = lab.agg(total).collect()[0]["t"]
+    # computing lab materialized sym's checkpoint; drop the pre-repartition
+    # copy so the edge list isn't held in block storage twice for the loop
+    sym0.unpersist()
 
     for _ in range(max_iter):
         # min label over neighbors: shuffle sym on v to meet lab(v)

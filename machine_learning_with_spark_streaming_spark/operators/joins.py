@@ -648,7 +648,7 @@ def inlist_pushdown_filter(
     facts: DataFrame,
     dim_keys: DataFrame,
     fact_key: str,
-    max_keys: int = 50_000,
+    max_keys: int = 1_000,
 ) -> tuple[DataFrame, str]:
     """Semi-join the facts to a bounded dim key set by pushing the keys
     INTO the fact scan as a literal ``In`` filter.
@@ -668,6 +668,13 @@ def inlist_pushdown_filter(
     cap it degrades to a broadcast left-semi join — no collect, same
     semantics, scan-level skipping traded for a post-scan hash probe.
     Returns ``(filtered_facts, "inlist" | "semi_join")``.
+
+    The default cap is deliberately small: a literal ``In`` costs
+    planning/codegen per element (measured ~6 s to plan+push a 10k-key
+    list at sf0.1 vs ~0.5 s for a few hundred), so the IN-list path is
+    for genuinely bounded key sets — snapshot ids, hot SKUs, one
+    month's order keys — and everything else belongs on the semi-join
+    path.
     """
     col = dim_keys.columns[0]
     probe = [
@@ -695,6 +702,8 @@ FROM lineitem l
 WHERE l.l_orderkey IN (
   SELECT o_orderkey FROM orders
   WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1995-03-01'
 )
 GROUP BY 1 ORDER BY 1
 """
@@ -713,6 +722,8 @@ def q_inlist_pushdown_join(spark, sf_dir):
         .filter(
             (F.col("o_orderpriority") == "1-URGENT")
             & (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1995-03-01")
         )
         .select("o_orderkey")
     )

@@ -127,9 +127,11 @@ def test_replay_is_late_data_for_watermarked_windows(spark, tmp_path):
         ),
     ).localCheckpoint(eager=True)
 
-    # key windows by second-of-hour of their start (timezone-proof for
-    # whole-minute offsets) — _TS0 is a multiple of 10, so data windows
-    # start at offsets 0/10/20 past _TS0's second-of-hour (800 -> 13:20)
+    # key windows by second-of-hour of their start — valid because the
+    # session timezone is pinned to UTC (session.py), so rendered
+    # minute/second match the epoch arithmetic; _TS0 is a multiple of
+    # 10, so data windows start at offsets 0/10/20 past _TS0's
+    # second-of-hour (800 -> 13:20)
     base = _TS0 % 3600
     got = {
         ((r.window_start.minute * 60 + r.window_start.second - base) % 3600,

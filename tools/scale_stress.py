@@ -92,8 +92,17 @@ COPY (
             f"DESCRIBE SELECT * FROM read_parquet('{src}/documents.parquet')"
         ).fetchall()
     ]
-    passthrough = ", ".join(
-        c for c in doc_cols if c not in ("doc_id", "text", "n_chars")
+    passthrough = [c for c in doc_cols if c not in ("doc_id", "text", "n_chars")]
+    inner = ", ".join(
+        [
+            "doc_id + k.k*10000000 AS doc_id",
+            """CASE WHEN k.k = 0 THEN text ELSE array_to_string(
+             list_transform(range(1, len(string_split(text,' '))+1),
+               j -> CASE WHEN j%5=1
+                    THEN string_split(text,' ')[j] || 'r' || CAST(k.k AS VARCHAR)
+                    ELSE string_split(text,' ')[j] END), ' ') END AS text""",
+        ]
+        + passthrough  # empty list is fine: no dangling comma
     )
     outer = ", ".join(
         "length(text) AS n_chars" if c == "n_chars" else c for c in doc_cols
@@ -101,13 +110,7 @@ COPY (
     con.execute(f"""
 COPY (
   SELECT {outer} FROM (
-    SELECT doc_id + k.k*10000000 AS doc_id,
-           CASE WHEN k.k = 0 THEN text ELSE array_to_string(
-             list_transform(range(1, len(string_split(text,' '))+1),
-               j -> CASE WHEN j%5=1
-                    THEN string_split(text,' ')[j] || 'r' || CAST(k.k AS VARCHAR)
-                    ELSE string_split(text,' ')[j] END), ' ') END AS text,
-           {passthrough}
+    SELECT {inner}
     FROM read_parquet('{src}/documents.parquet'), (SELECT unnest(range(16)) AS k) k
   )
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 6000)""")
