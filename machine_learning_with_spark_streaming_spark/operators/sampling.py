@@ -346,3 +346,86 @@ def q_pack_token_budget_exact(spark, sf_dir):
         )
         .orderBy("source", "chunk_id")
     )
+
+
+# ------------------------------------------------- deterministic shard writer
+
+N_SHARDS = 16
+
+
+def shard_assignment(
+    df: DataFrame, n_shards: int, key_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Assign each row a deterministic shard id — the write layout for
+    training corpora ("emit N balanced shards whose membership never
+    moves between runs").
+
+    ``shard = md5(key#seed) % n`` is a pure function of the row key: a
+    shard can be re-materialized independently, resumable writers can
+    skip completed shards, and downstream per-shard readers (data
+    loaders) see stable membership across engine versions and cluster
+    sizes. md5-gate, like the samplers, so the DuckDB oracle computes
+    identical assignments. At 100 TB: assignment is a map-only
+    expression; the write itself is ``repartition(n, shard)`` +
+    ``partitionBy(shard)`` — one shuffle, each task owns whole shards.
+    """
+    return df.withColumn(
+        "shard",
+        (
+            md5_hash60(
+                F.concat(F.col(key_col).cast("string"), F.lit(f"#shard{seed}"))
+            )
+            % n_shards
+        ).cast("int"),
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = N_SHARDS,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> None:
+    """Materialize ``df`` as ``path/shard=K/`` parquet directories with
+    deterministic membership (see ``shard_assignment``)."""
+    out = shard_assignment(df, n_shards, key_col, seed)
+    out.repartition(n_shards, F.col("shard")).write.mode(
+        "overwrite"
+    ).partitionBy("shard").parquet(path)
+
+
+_SHARD_HASH_SQL = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#shard0'), 1, 15))"
+    f"::BIGINT % {N_SHARDS}"
+)
+
+_SHARD_ORACLE = f"""
+SELECT CAST({_SHARD_HASH_SQL} AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM documents
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("sample_shard_assignment", oracle=_SHARD_ORACLE)
+def q_shard_assignment(spark, sf_dir):
+    """Deterministic 16-way shard assignment over documents; certify
+    per-shard membership (count, char mass, key range) against the
+    oracle computing the identical md5 gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        shard_assignment(docs, N_SHARDS)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )

@@ -354,3 +354,43 @@ def q_s2_xlsx_roundtrip(spark, sf_dir):
             "name_chars"
         ),
     ).orderBy("region")
+
+
+_K7_NOTIFY_ORACLE = """
+SELECT 'ERROR' AS severity,
+       'qc: error event over threshold' AS subject,
+       concat_ws(' ',
+         'event_id=' || coalesce(CAST(event_id AS VARCHAR), 'null'),
+         'user_id='  || coalesce(CAST(user_id  AS VARCHAR), 'null'),
+         'value='    || coalesce(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR),
+                                 'null')) AS body
+FROM events
+WHERE event_type = 'error' AND value > 9.5
+ORDER BY body
+"""
+
+
+@register("k7_notification_records", oracle=_K7_NOTIFY_ORACLE)
+def q_k7_notification_records(spark, sf_dir):
+    """K7: notification *records* from anomalous rows (reference
+    ``packages/myNotifyClass.py`` emails re-expressed as data).
+
+    The body assembly (k=v pairs, NULL-safe) is what the oracle
+    certifies; ``ts`` is stamped at emit time so the deterministic
+    contract covers severity/subject/body. ``value`` is pre-cast to
+    DECIMAL(18,2) so both engines render identical strings (raw
+    double-to-string formatting is engine-specific).
+    """
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+    from machine_learning_with_spark_streaming_spark.sources.notify import notification_rows
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,2)")
+    )
+    notes = notification_rows(
+        events,
+        (F.col("event_type") == "error") & (F.col("value") > 9.5),
+        subject="qc: error event over threshold",
+        body_cols=["event_id", "user_id", "value"],
+    )
+    return notes.select("severity", "subject", "body").orderBy("body")

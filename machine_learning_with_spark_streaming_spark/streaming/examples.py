@@ -325,3 +325,88 @@ def q_stream_dedup_stream(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_first_events"))
         .orderBy("user_id")
     )
+
+
+_IJ_STREAM_ORACLE = """
+SELECT CAST(l.event_id AS BIGINT) AS click_id,
+       CAST(r.event_id AS BIGINT) AS error_id,
+       CAST(l.user_id AS BIGINT) AS user_id
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts
+ AND r.ts <= l.ts + INTERVAL 21600 SECONDS
+WHERE l.event_type = 'click' AND r.event_type = 'error'
+ORDER BY 1, 2
+"""
+
+
+@register("s11_interval_join_stream", oracle=_IJ_STREAM_ORACLE)
+def q_interval_join_stream(spark, sf_dir):
+    """§2.10: stream-stream event-time interval join as a REAL
+    multi-batch run — clicks and errors stream as separate 3-file
+    sources, the join buffers both sides in the state store, and every
+    (click, error-within-6h) pair must surface exactly once regardless
+    of which batch each side of the pair arrived in.
+
+    No watermark (inner join; batches are not time-ordered, so a finite
+    watermark would drop legitimately matching rows) — the unbounded
+    exact form; the bounded watermarked form is exercised in
+    tests/test_streaming.py. Oracle = the identical stateless batch
+    join.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from machine_learning_with_spark_streaming_spark.streaming.pipeline import (
+        stream_stream_interval_join,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="mlwss_ijstream_")
+    l_stage, r_stage, ckpt = f"{work}/l", f"{work}/r", f"{work}/ckpt"
+    events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    ).repartition(3).write.parquet(l_stage)
+    events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id"),
+        F.col("ts").alias("error_ts"),
+    ).repartition(3).write.parquet(r_stage)
+
+    l_stream = (
+        spark.readStream.schema("click_id bigint, user_id bigint, click_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(l_stage)
+    )
+    r_stream = (
+        spark.readStream.schema("error_id bigint, user_id bigint, error_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(r_stage)
+    )
+    joined = stream_stream_interval_join(
+        l_stream,
+        r_stream,
+        key="user_id",
+        left_time="click_ts",
+        right_time="error_ts",
+        lower_sec=0,
+        upper_sec=21600,
+        watermark=None,
+    )
+    sink = f"ij_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.select("click_id", "error_id", "user_id")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    mem = spark.table(sink).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return mem.orderBy("click_id", "error_id")

@@ -137,7 +137,7 @@ def stream_stream_interval_join(
     right_time: str,
     lower_sec: int,
     upper_sec: int,
-    watermark: str = "10 minutes",
+    watermark: str | None = "10 minutes",
 ) -> DataFrame:
     """Stream-stream inner join on a key plus an event-time range
     (`right_time ∈ [left_time + lower, left_time + upper]`).
@@ -146,14 +146,18 @@ def stream_stream_interval_join(
     condition is exactly what lets Spark BOUND the join state: each
     side's buffered rows are evicted once the other side's watermark
     passes their range (unbounded stream-stream joins otherwise keep
-    state forever). On batch frames the identical condition runs
-    stateless, so stream-batch parity is testable by construction.
-    Column names other than ``key`` must be disjoint between the sides.
+    state forever). ``watermark=None`` skips watermarking — legal for
+    INNER stream-stream joins (state is then unbounded), and required
+    for exactness when micro-batches arrive in arbitrary event-time
+    order (any finite watermark would legitimately drop "late" rows).
+    On batch frames the identical condition runs stateless, so
+    stream-batch parity is testable by construction. Column names other
+    than ``key`` must be disjoint between the sides.
     """
     l, r = left, right
-    if l.isStreaming:
+    if l.isStreaming and watermark is not None:
         l = l.withWatermark(left_time, watermark)
-    if r.isStreaming:
+    if r.isStreaming and watermark is not None:
         r = r.withWatermark(right_time, watermark)
     lo = F.make_dt_interval(secs=F.lit(float(lower_sec)))
     hi = F.make_dt_interval(secs=F.lit(float(upper_sec)))

@@ -304,3 +304,40 @@ def test_repetition_expr_equals_explode(spark, sf_dir):
     a = {tuple(r) for r in repetition_features(docs, method="expr").collect()}
     b = {tuple(r) for r in repetition_features(docs, method="explode").collect()}
     assert a == b and a
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.similarity import quantize_int8
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    q = quantize_int8(emb).localCheckpoint(eager=True)
+    # codes stay inside the int8 range
+    bounds = q.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+    ).first()
+    assert bounds["lo"] >= -127 and bounds["hi"] <= 127
+    # per-element reconstruction error is at most scale/2, so
+    # mse <= scale^2/4 (floor(x/s + .5) is nearest-int up to ties)
+    bad = q.filter(
+        F.col("recon_mse") > (F.col("scale") ** 2) / 4 + F.lit(1e-18)
+    ).count()
+    assert bad == 0
+
+
+def test_quantize_int8_zero_vector(spark):
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -1.0, 0.5])],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert list(q[1]["codes"]) == [0, 0, 0]
+    assert q[1]["recon_mse"] == 0.0
+    assert list(q[2]["codes"]) == [127, -127, 64]

@@ -115,3 +115,52 @@ def test_pack_token_budget_exact_greedy_reset(spark):
         for r in pack_token_budget_exact(df, 1000, "t").collect()
     }
     assert out == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_shard_assignment_deterministic_and_balanced(spark, sf_dir):
+    from machine_learning_with_spark_streaming_spark.operators.sampling import shard_assignment
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {
+        r["doc_id"]: r["shard"]
+        for r in shard_assignment(docs, 8).select("doc_id", "shard").collect()
+    }
+    # partitioning-invariant: same assignment from a repartitioned frame
+    b = {
+        r["doc_id"]: r["shard"]
+        for r in shard_assignment(docs.repartition(7), 8)
+        .select("doc_id", "shard")
+        .collect()
+    }
+    assert a == b
+    assert set(a.values()) <= set(range(8))
+    # roughly balanced: no shard more than 2x the ideal share
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert max(counts.values()) <= 2 * (len(a) / 8)
+
+
+def test_write_shards_layout_and_membership(spark, sf_dir, tmp_path):
+    import os
+
+    from machine_learning_with_spark_streaming_spark.operators.sampling import (
+        shard_assignment,
+        write_shards,
+    )
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    write_shards(docs, out, n_shards=4)
+    dirs = sorted(
+        d for d in os.listdir(out) if d.startswith("shard=")
+    )
+    assert dirs == [f"shard={k}" for k in range(4)]
+    back = spark.read.parquet(out)
+    expected = shard_assignment(docs, 4).select("doc_id", "shard")
+    got = back.select("doc_id", "shard")
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in expected.collect()
+    }
