@@ -76,6 +76,8 @@ EXTENDED += [
     "dedup_repeated_chunks",
     "s11_tumbling_window_stream",
     "j14_inlist_pushdown_join",
+    "sim_quantize_int8",
+    "sample_shard_assignment",
 ]
 
 

@@ -77,11 +77,23 @@ def connected_components(
     # Left to AQE, each round's joins re-coalesce from runtime stats, so
     # round task counts (and wall time) drift run-to-run — measured 16x
     # spread under scale stress. The count below doubles as the edge
-    # materializer; ~2M edge rows (16 bytes each) per partition keeps a
-    # partition comfortably in executor memory at any corpus size.
+    # materializer. Sizing: ~2M edge rows (16 bytes each) per partition
+    # keeps a partition comfortably in executor memory at any corpus
+    # size; the small-graph floor is ALSO size-derived (>=1 partition
+    # per 50k edges) rather than defaultParallelism — a dedup graph with
+    # a few thousand edges runs its rounds in 1-2 tasks instead of
+    # paying 32 near-empty tasks + scheduling per round (measured 1.7x
+    # on the sf0.1 bench), while a billion-edge graph still fans out to
+    # max(cores, edges/2M) partitions.
     n_edges = sym0.count()
     sc = edges.sparkSession.sparkContext
-    n_parts = max(-(-n_edges // 2_000_000), min(sc.defaultParallelism, 64), 1)
+    n_parts = max(
+        1,
+        min(
+            -(-n_edges // 50_000),
+            max(sc.defaultParallelism, -(-n_edges // 2_000_000)),
+        ),
+    )
     sym = sym0.repartition(n_parts, "v").localCheckpoint(eager=False)
 
     pts = sym.select("u").distinct()
