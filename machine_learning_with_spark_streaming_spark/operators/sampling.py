@@ -429,3 +429,85 @@ def q_shard_assignment(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+# -------------------------------------------- leakage-safe train/val/test
+
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def assign_split(
+    df: DataFrame,
+    weights: dict[str, float] = SPLIT_WEIGHTS,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashing ``key_col``.
+
+    The leakage guard is in the KEY CHOICE: hash a *group* key — the
+    dedup cluster id from ``operators.graph.connected_components``, or
+    the domain/source — and every member of the group lands in the same
+    split, so near-duplicates can never straddle train and test (the
+    classic eval-contamination failure of row-wise random splits).
+    Weights are consumed in insertion order over the md5 bucket space;
+    same gate as the samplers, so membership is stable across runs,
+    partitionings, and engines, and re-weighting moves only boundary
+    groups.
+    """
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = _bucket(F.col(key_col), seed=seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = bucket < int(acc * _BUCKETS)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn("split", expr)
+
+
+_SPLIT_HASH_SQL = (
+    "('0x' || substr(md5(source || '#0'), 1, 15))::BIGINT % " f"{_BUCKETS}"
+)
+
+_SPLIT_ORACLE = f"""
+WITH assigned AS (
+  SELECT source, n_chars,
+         CASE WHEN {_SPLIT_HASH_SQL} < 8000 THEN 'train'
+              WHEN {_SPLIT_HASH_SQL} < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_groups,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM assigned
+GROUP BY split
+ORDER BY split
+"""
+
+
+@register("sample_group_split", oracle=_SPLIT_ORACLE)
+def q_group_split(spark, sf_dir):
+    """Group-atomic 80/10/10 split keyed on ``source`` (domain-level —
+    at scale the key is the dedup component id, same mechanics): every
+    doc of a group shares its split, so near-dups never straddle
+    train/test. Certifies per-split doc/group/char masses against the
+    identical md5 gate in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        assign_split(docs, key_col="source")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_groups"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("split")
+    )

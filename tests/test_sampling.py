@@ -164,3 +164,38 @@ def test_write_shards_layout_and_membership(spark, sf_dir, tmp_path):
     assert {tuple(r) for r in got.collect()} == {
         tuple(r) for r in expected.collect()
     }
+
+
+def test_assign_split_group_atomic_and_deterministic(spark, sf_dir):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.sampling import assign_split
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = assign_split(docs, key_col="source")
+    # group-atomic: every source maps to exactly one split
+    multi = (
+        out.groupBy("source")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert multi == 0
+    # deterministic across partitionings
+    a = {tuple(r) for r in out.select("doc_id", "split").collect()}
+    b = {
+        tuple(r)
+        for r in assign_split(docs.repartition(5), key_col="source")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b
+    assert {r["split"] for r in out.select("split").distinct().collect()} <= {
+        "train",
+        "val",
+        "test",
+    }
+    with pytest.raises(ValueError):
+        assign_split(docs, weights={"train": 0.5, "val": 0.1})
