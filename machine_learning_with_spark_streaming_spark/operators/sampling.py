@@ -511,3 +511,86 @@ def q_group_split(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------- temperature rebalancing (alpha mix)
+
+def rebalance_sqrt_temperature(
+    df: DataFrame,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based stratum rebalancing at alpha = 0.5 — the
+    standard multilingual upsampling curve (sample stratum s with
+    probability proportional to ``n_s**alpha``), expressed as per-stratum
+    keep-rates ``rate_s = sqrt(min_count / n_s)`` so the rarest stratum
+    keeps 100% and head strata are damped toward it.
+
+    alpha is fixed at 0.5 deliberately: ``sqrt`` is correctly rounded
+    under IEEE-754 in every engine, so the derived integer bucket
+    thresholds are bit-identical cross-engine (a general ``pow(x,
+    1-alpha)`` is not correctly rounded and could flip a boundary
+    bucket). Two jobs: a stratum-count aggregate (map-side partials,
+    |strata| rows), then a broadcast threshold join + the md5 gate — no
+    second shuffle of the fact table at any scale.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    min_n = counts.agg(F.min("__n").alias("m"))
+    thr = (
+        counts.crossJoin(F.broadcast(min_n))
+        .select(
+            strata_col,
+            F.floor(
+                F.sqrt(F.col("m").cast("double") / F.col("__n"))
+                * F.lit(_BUCKETS)
+            )
+            .cast("long")
+            .alias("__thr"),
+        )
+    )
+    return (
+        df.join(F.broadcast(thr), strata_col)
+        .filter(_bucket(F.col(key_col), seed) < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+_TEMP_ORACLE = f"""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+),
+m AS (SELECT min(n) AS mn FROM c),
+t AS (
+  SELECT lang,
+         CAST(floor(sqrt(CAST(mn AS DOUBLE) / n) * {_BUCKETS}) AS BIGINT)
+           AS thr
+  FROM c, m
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents d
+JOIN t ON d.lang = t.lang
+WHERE {_HASH60_SQL.format(seed=0, buckets=_BUCKETS)} < t.thr
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
+@register("sample_rebalance_temperature", oracle=_TEMP_ORACLE)
+def q_rebalance_temperature(spark, sf_dir):
+    """sqrt-temperature language rebalance over documents: head
+    languages damped toward the rarest; certify kept doc/char mass per
+    language against the identical threshold math + md5 gate in
+    DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        rebalance_sqrt_temperature(docs, strata_col="lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -199,3 +199,41 @@ def test_assign_split_group_atomic_and_deterministic(spark, sf_dir):
     }
     with pytest.raises(ValueError):
         assign_split(docs, weights={"train": 0.5, "val": 0.1})
+
+
+def test_rebalance_sqrt_temperature_rates(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.sampling import (
+        rebalance_sqrt_temperature,
+    )
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    before = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    kept = rebalance_sqrt_temperature(docs)
+    after = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    min_n = min(before.values())
+    for lang, n in before.items():
+        expected_rate = (min_n / n) ** 0.5
+        got = after.get(lang, 0) / n
+        # md5-gate realization noise around the target rate
+        assert abs(got - expected_rate) < 0.25, (lang, got, expected_rate)
+    # rarest stratum keeps everything (threshold == _BUCKETS)
+    rare = min(before, key=before.get)
+    assert after[rare] == before[rare]
+    # deterministic across partitionings
+    a = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in rebalance_sqrt_temperature(docs.repartition(6))
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b
