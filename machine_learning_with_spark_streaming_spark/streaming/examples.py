@@ -410,3 +410,80 @@ def q_interval_join_stream(spark, sf_dir):
     mem = spark.table(sink).localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return mem.orderBy("click_id", "error_id")
+
+
+_UPSERT_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts, value, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       event_type,
+       ts AS latest_ts,
+       round(value, 6) AS latest_value,
+       CAST(event_id AS BIGINT) AS latest_event_id
+FROM ranked WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
+@register("s11_upsert_latest_stream", oracle=_UPSERT_ORACLE)
+def q_upsert_latest_stream(spark, sf_dir):
+    """K4 upsert as a REAL 4-micro-batch foreachBatch run: each batch
+    merges into a latest-wins keyed parquet table (SCD-1 MERGE shape,
+    ``foreach_batch_upsert_latest``). Because max over (ts, event_id)
+    is order-independent, the final table must equal the whole-input
+    latest-per-key oracle no matter how rows were split into batches.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from machine_learning_with_spark_streaming_spark.streaming.pipeline import (
+        foreach_batch_upsert_latest,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="mlwss_upsert_")
+    stage, ckpt, target = f"{work}/stage", f"{work}/ckpt", f"{work}/target"
+    events.select("event_id", "ts", "user_id", "event_type", "value").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).repartition(4).write.parquet(stage)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_upsert_latest(
+                target, pk=["user_id", "event_type"], order_cols=["ts", "event_id"]
+            )
+        )
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.read.parquet(target)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("latest_ts"),
+            F.round("value", 6).alias("latest_value"),
+            F.col("event_id").alias("latest_event_id"),
+        )
+        .orderBy("user_id", "event_type")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out

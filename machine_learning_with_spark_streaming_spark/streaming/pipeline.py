@@ -112,6 +112,45 @@ def foreach_batch_upsert(path: str, pk: list[str], compare_cols: list[str]):
     return _sink
 
 
+def foreach_batch_upsert_latest(path: str, pk: list[str], order_cols: list[str]):
+    """foreachBatch sink maintaining a latest-wins keyed table — the
+    SCD-1 ``MERGE INTO ... WHEN MATCHED UPDATE`` shape (K4 on an
+    engine with real upserts; reference mySQLClass.py:179-220 emulates
+    it with DELETE+INSERT). Each batch: union target + batch, keep one
+    row per ``pk`` with the max ``order_cols`` (deterministic total
+    order — include a unique tiebreaker), overwrite.
+
+    The maintained table is a pure function of the SET of rows ever
+    seen (max is associative/commutative), so the result is
+    batch-order-independent — which is what makes a real multi-batch
+    run hash-checkable against a whole-input oracle. At 100 TB the
+    overwrite becomes MERGE on a transactional table format; the
+    union+window per batch is the portable-parquet stand-in.
+    """
+    from pyspark.sql import Window
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(path)
+            merged = existing.unionByName(batch_df)
+        except Exception:
+            merged = batch_df
+        w = Window.partitionBy(*pk).orderBy(
+            *[F.desc(c) for c in order_cols]
+        )
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            # materialize before overwriting the path being read
+            .localCheckpoint(eager=True)
+        )
+        latest.write.mode("overwrite").parquet(path)
+
+    return _sink
+
+
 def run_available_now(
     stream_df: DataFrame, sink_fn, checkpoint: str, output_mode: str = "append"
 ) -> None:

@@ -198,3 +198,31 @@ def test_stream_stream_interval_join_parity(spark, sf_dir, tmp_path):
         for r in spark.sql("select * from ssj").collect()
     )
     assert got == expected
+
+
+def test_foreach_batch_upsert_latest_wins(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.streaming.pipeline import (
+        foreach_batch_upsert_latest,
+    )
+
+    target = str(tmp_path / "target")
+    sink = foreach_batch_upsert_latest(
+        target, pk=["k"], order_cols=["ts", "id"]
+    )
+    b1 = spark.createDataFrame(
+        [(1, "a", 10, 100), (2, "a", 11, 101)], "id bigint, k string, ts bigint, v bigint"
+    ).select("id", "k", "ts", "v")
+    b2 = spark.createDataFrame(
+        [(3, "a", 9, 999), (4, "b", 5, 500)], "id bigint, k string, ts bigint, v bigint"
+    )
+    sink(b1, 0)
+    sink(b2, 1)  # ts=9 is OLDER for k=a -> must not win
+    rows = {r["k"]: r for r in spark.read.parquet(target).collect()}
+    assert rows["a"]["id"] == 2 and rows["a"]["v"] == 101
+    assert rows["b"]["id"] == 4
+    # replaying an already-seen batch changes nothing (idempotent merge)
+    sink(b2, 2)
+    rows2 = {r["k"]: tuple(r) for r in spark.read.parquet(target).collect()}
+    assert rows2 == {k: tuple(r) for k, r in rows.items()}
