@@ -1051,3 +1051,82 @@ def q_tfidf_topterms(spark, sf_dir):
     for corpus topical analysis and cluster labeling."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return tfidf_topterms(docs, k=3).orderBy("doc_id", "rank")
+
+
+# ------------------------------------- CCNet-style perplexity bucketing
+
+def perplexity_buckets(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style head/middle/tail quality terciles per language.
+
+    CCNet's published pipeline buckets Common Crawl by LM perplexity
+    *within each language* and trains mostly on the head. Here the LM
+    is the certified corpus-fit unigram score (``unigram_logprob``);
+    ``ntile(3)`` over (language, score desc) assigns the terciles —
+    head = highest mean log-prob = lowest perplexity. Ordering ties
+    break on ``id_col`` so bucket membership is total-order
+    deterministic cross-engine. One extra shuffle over the (id, lang,
+    score) table — never over the documents' text."""
+    scores = unigram_logprob(docs, text_col=text_col, id_col=id_col)
+    slim = docs.select(F.col(id_col), F.col(lang_col)).join(scores, id_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.desc("avg_logprob"), F.asc(id_col)
+    )
+    bucket = F.ntile(3).over(w)
+    return slim.withColumn(
+        "bucket",
+        F.when(bucket == 1, "head").when(bucket == 2, "middle").otherwise("tail"),
+    )
+
+
+_CCNET_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest({_WS}) AS w FROM documents
+),
+vocab AS (SELECT w, count(*) AS c FROM w GROUP BY 1),
+total AS (SELECT sum(c) AS t FROM vocab),
+logp AS (SELECT w, ln(CAST(c AS DOUBLE) / t) AS logp FROM vocab, total),
+scored AS (
+  SELECT w.doc_id,
+         CAST(count(*) AS INT) AS n_words,
+         round(avg(logp.logp), 4) AS avg_logprob
+  FROM w JOIN logp ON w.w = logp.w
+  GROUP BY 1
+),
+assigned AS (
+  SELECT d.lang, s.n_words, s.avg_logprob,
+         CASE ntile(3) OVER (PARTITION BY d.lang
+                             ORDER BY s.avg_logprob DESC, s.doc_id)
+              WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+           AS bucket
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+)
+SELECT lang, bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS sum_words,
+       round(avg(avg_logprob), 4) AS avg_score
+FROM assigned
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("text_perplexity_buckets", oracle=_CCNET_ORACLE)
+def q_perplexity_buckets(spark, sf_dir):
+    """Per-language head/middle/tail LM-quality terciles (CCNet shape)
+    over documents; certify per-bucket doc/word masses and mean score."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return (
+        perplexity_buckets(docs)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("sum_words"),
+            F.round(F.avg("avg_logprob"), 4).alias("avg_score"),
+        )
+        .orderBy("lang", "bucket")
+    )

@@ -341,3 +341,29 @@ def test_quantize_int8_zero_vector(spark):
     assert list(q[1]["codes"]) == [0, 0, 0]
     assert q[1]["recon_mse"] == 0.0
     assert list(q[2]["codes"]) == [127, -127, 64]
+
+
+def test_perplexity_buckets_tercile_shape(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.text import perplexity_buckets
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = perplexity_buckets(docs).localCheckpoint(eager=True)
+    # ntile terciles: per-lang bucket sizes differ by at most 1
+    sizes = (
+        out.groupBy("lang", "bucket").count().groupBy("lang")
+        .agg((F.max("count") - F.min("count")).alias("spread"))
+        .collect()
+    )
+    assert all(r["spread"] <= 1 for r in sizes)
+    # head outranks tail on mean log-prob within every language
+    m = {
+        (r["lang"], r["bucket"]): r["s"]
+        for r in out.groupBy("lang", "bucket")
+        .agg(F.avg("avg_logprob").alias("s"))
+        .collect()
+    }
+    for lang in {k[0] for k in m}:
+        assert m[(lang, "head")] > m[(lang, "tail")]
