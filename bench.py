@@ -78,6 +78,7 @@ EXTENDED += [
     "j14_inlist_pushdown_join",
     "sim_quantize_int8",
     "sample_shard_assignment",
+    "text_perplexity_buckets",
 ]
 
 

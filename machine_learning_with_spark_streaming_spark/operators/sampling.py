@@ -368,6 +368,9 @@ def shard_assignment(
     identical assignments. At 100 TB: assignment is a map-only
     expression; the write itself is ``repartition(n, shard)`` +
     ``partitionBy(shard)`` — one shuffle, each task owns whole shards.
+
+    A NULL key yields a NULL shard (surfacing as the default partition
+    directory under ``partitionBy``) — dedupe/validate keys upstream.
     """
     return df.withColumn(
         "shard",
@@ -534,6 +537,10 @@ def rebalance_sqrt_temperature(
     bucket). Two jobs: a stratum-count aggregate (map-side partials,
     |strata| rows), then a broadcast threshold join + the md5 gate — no
     second shuffle of the fact table at any scale.
+
+    Rows with a NULL stratum are DROPPED (the threshold equi-join never
+    matches NULL, identically in both engines) — run language-ID /
+    ``fill_null_sentinels`` upstream if every row must survive.
     """
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
     min_n = counts.agg(F.min("__n").alias("m"))
