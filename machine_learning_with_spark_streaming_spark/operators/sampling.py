@@ -540,8 +540,13 @@ def rebalance_sqrt_temperature(
 
     Rows with a NULL stratum are DROPPED (the threshold equi-join never
     matches NULL, identically in both engines) — run language-ID /
-    ``fill_null_sentinels`` upstream if every row must survive.
+    ``fill_null_sentinels`` upstream if every row must survive. NULL
+    rows are also excluded from the count table, so a tiny NULL stratum
+    cannot capture ``min(count)`` and silently under-sample every real
+    stratum (the "rarest keeps 100%" guarantee holds over surviving
+    strata).
     """
+    df = df.filter(F.col(strata_col).isNotNull())
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
     min_n = counts.agg(F.min("__n").alias("m"))
     thr = (
@@ -565,7 +570,8 @@ def rebalance_sqrt_temperature(
 
 _TEMP_ORACLE = f"""
 WITH c AS (
-  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
 ),
 m AS (SELECT min(n) AS mn FROM c),
 t AS (

@@ -365,7 +365,7 @@ SELECT 'ERROR' AS severity,
          'value='    || coalesce(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR),
                                  'null')) AS body
 FROM events
-WHERE event_type = 'error' AND value > 9.5
+WHERE event_type = 'error' AND CAST(value AS DECIMAL(18,2)) > 9.5
 ORDER BY body
 """
 

@@ -202,6 +202,7 @@ def q_stateful_running_totals(spark, sf_dir):
     # update-mode sink holds one row per (key, batch-with-updates); the
     # final state per key is the row with the highest running count.
     mem = spark.table(sink).localCheckpoint(eager=True)  # detach from sink
+    spark.catalog.dropTempView(sink)  # free the sink's materialized copy
     shutil.rmtree(work, ignore_errors=True)
     w = Window.partitionBy("key").orderBy(F.col("n_events").desc())
     return (
@@ -252,6 +253,7 @@ def q_tumbling_window_stream(spark, sf_dir):
     )
     q.awaitTermination()
     mem = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
     shutil.rmtree(work, ignore_errors=True)
     w = Window.partitionBy("window_start", "event_type").orderBy(
         F.col("n_events").desc()
@@ -319,6 +321,7 @@ def q_stream_dedup_stream(spark, sf_dir):
     )
     q.awaitTermination()
     mem = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
     shutil.rmtree(work, ignore_errors=True)
     return (
         mem.groupBy("user_id")
@@ -408,6 +411,7 @@ def q_interval_join_stream(spark, sf_dir):
     )
     q.awaitTermination()
     mem = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
     shutil.rmtree(work, ignore_errors=True)
     return mem.orderBy("click_id", "error_id")
 

@@ -130,11 +130,18 @@ def foreach_batch_upsert_latest(path: str, pk: list[str], order_cols: list[str])
     from pyspark.sql import Window
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         try:
             existing = spark.read.parquet(path)
             merged = existing.unionByName(batch_df)
-        except Exception:
+        except AnalysisException:
+            # ONLY the missing-target case means "first batch". A broad
+            # except here would turn any transient read error into an
+            # overwrite of the maintained table with just this batch —
+            # silent total state loss. Other errors propagate and fail
+            # the batch (the retryable outcome).
             merged = batch_df
         w = Window.partitionBy(*pk).orderBy(
             *[F.desc(c) for c in order_cols]

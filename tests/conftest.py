@@ -7,7 +7,6 @@ row count + column names + order-insensitive values.
 
 from __future__ import annotations
 
-import math
 import os
 
 import duckdb
@@ -15,6 +14,7 @@ import pytest
 
 from machine_learning_with_spark_streaming_spark.schemas import TESTDATA_TABLES
 from machine_learning_with_spark_streaming_spark.session import get_session
+from machine_learning_with_spark_streaming_spark.testing import rowset as _rowset
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
@@ -42,28 +42,6 @@ def oracle_con(sf_dir):
             )
     yield con
     con.close()
-
-
-def _norm_cell(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        if math.isinf(v):
-            return "Inf" if v > 0 else "-Inf"
-        return round(v, 6)
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
-    return v
-
-
-def _rowset(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        (tuple(_norm_cell(r[i]) for i in idx) for r in rows),
-        key=lambda t: tuple((x is None, str(x)) for x in t),
-    )
 
 
 def assert_matches_oracle(spark_df, oracle_con, sql, check_schema=True):

@@ -11,7 +11,6 @@ Usage: python tools/verify_all.py [--sf /root/testdata/sf0.01] [name ...]
 from __future__ import annotations
 
 import argparse
-import math
 import os
 import sys
 import time
@@ -23,28 +22,7 @@ import duckdb  # noqa: E402
 
 from machine_learning_with_spark_streaming_spark.schemas import TESTDATA_TABLES  # noqa: E402
 from machine_learning_with_spark_streaming_spark.session import get_session  # noqa: E402
-
-
-def _norm_cell(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        if math.isinf(v):
-            return "Inf" if v > 0 else "-Inf"
-        return round(v, 6)
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
-    return v
-
-
-def _rowset(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        (tuple(_norm_cell(r[i]) for i in idx) for r in rows),
-        key=lambda t: tuple((x is None, str(x)) for x in t),
-    )
+from machine_learning_with_spark_streaming_spark.testing import rowset as _rowset  # noqa: E402
 
 
 def main() -> int:
@@ -71,7 +49,10 @@ def main() -> int:
     for name in names:
         fn = queries.get(name)
         if fn is None:
-            print(f"SKIP  {name}: not registered")
+            # a typo must not read as a green pre-flight
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: not registered")
             continue
         t0 = time.time()
         try:
@@ -121,7 +102,8 @@ def main() -> int:
         f"\nSUMMARY pass={n_pass} rows_only={n_rows_only} fail={n_fail}"
         + (f" failures={failures}" if failures else "")
     )
-    return 1 if n_fail else 0
+    # a run that verified nothing is not a green run
+    return 1 if n_fail or (n_pass + n_rows_only) == 0 else 0
 
 
 if __name__ == "__main__":
