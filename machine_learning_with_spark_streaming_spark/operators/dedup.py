@@ -717,3 +717,118 @@ def q_incremental_dedup(spark, sf_dir):
     )
     batch = near.unionByName(exact)
     return incremental_dedup(batch, base).select("doc_id").orderBy("doc_id")
+
+
+# ------------------------------------------- asymmetric containment pairs
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = CONTAINMENT_THRESHOLD,
+    n: int = SHINGLE_N,
+    persist_shingles: bool = True,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by asymmetric shingle CONTAINMENT
+    (``|A∩B| / |A|``) — the quote/subset detector Jaccard misses.
+
+    A document fully embedded in a much larger one scores low Jaccard
+    (the union is dominated by the big doc) but containment ~1.0 from
+    the small side; curation pipelines drop or down-weight such subsumed
+    docs (quotes, mirrored fragments, truncated re-crawls). Same
+    inverted-index candidates and stop-shingle cut as
+    :func:`jaccard_pairs`; the verify step just normalizes the
+    intersection by each side's own shingle count instead of the union.
+    Returns (id_a, id_b, cont_a_in_b, cont_b_in_a) with id_a < id_b,
+    keeping pairs where EITHER direction clears ``threshold``.
+    """
+    sh_tab = shingle_table(df, text_col, id_col, n)
+    if persist_shingles:
+        sh_tab = sh_tab.persist(StorageLevel.MEMORY_AND_DISK)
+    cand = jaccard_candidates(sh_tab, max_shingle_df)
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    return (
+        cand.join(
+            sh_tab.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(
+            sh_tab.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+        )
+        .filter((F.size("sh_a") > 0) & (F.size("sh_b") > 0))
+        .withColumn("cont_a_in_b", inter / F.size("sh_a"))
+        .withColumn("cont_b_in_a", inter / F.size("sh_b"))
+        .filter(
+            F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round("cont_a_in_b", 6).alias("cont_a_in_b"),
+            F.round("cont_b_in_a", 6).alias("cont_b_in_a"),
+        )
+    )
+
+
+def corpus_with_contained(spark, sf_dir: str) -> DataFrame:
+    """documents ∪ 25 truncated copies (first 12 normalized words,
+    id+300000) — true subsets whose Jaccard vs the original is LOW but
+    whose containment is 1.0; deterministic and reproducible in SQL."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split(normalize_text("text"), " ")
+    sub = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.array_join(F.slice(ws, 1, 12), " ").alias("text"),
+    )
+    return docs.unionByName(sub)
+
+
+_CONTAIN_CTES = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id,
+         array_to_string((string_split({_NORM}, ' '))[1:12], ' ') AS text
+  FROM documents WHERE doc_id < 25
+),
+words AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] AS shingle
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+
+_CONTAIN_ORACLE = f"""
+WITH {_CONTAIN_CTES}
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(CAST(n_inter AS DOUBLE) / sa.n_sh, 6) AS cont_a_in_b,
+       round(CAST(n_inter AS DOUBLE) / sb.n_sh, 6) AS cont_b_in_a
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE greatest(CAST(n_inter AS DOUBLE) / sa.n_sh,
+               CAST(n_inter AS DOUBLE) / sb.n_sh) >= {CONTAINMENT_THRESHOLD}
+ORDER BY 1, 2
+"""
+
+
+@register("dedup_containment", oracle=_CONTAIN_ORACLE)
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric-containment near-dup pairs over a corpus with injected
+    truncated-subset docs (low Jaccard, containment 1.0 — what this
+    detector exists to catch and jaccard_pairs provably misses). Runs
+    the production stop-shingle path; oracle recomputes containment from
+    scratch."""
+    corpus = corpus_with_contained(spark, sf_dir)
+    return containment_pairs(corpus, max_shingle_df=50).orderBy("id_a", "id_b")

@@ -169,3 +169,30 @@ def test_decontaminate_empty_benchmark_keeps_everything(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     empty = docs.filter(F.lit(False))
     assert decontaminate(docs, empty).count() == docs.count()
+
+
+def test_containment_catches_subsets_jaccard_misses(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.dedup import (
+        containment_pairs,
+        corpus_with_contained,
+        jaccard_pairs,
+    )
+
+    corpus = corpus_with_contained(spark, sf_dir)
+    cont = containment_pairs(corpus).localCheckpoint(eager=True)
+    # every injected truncated doc (id+300000) is flagged as contained
+    # in its original, with containment 1.0 from the subset side
+    injected = cont.filter(
+        (F.col("id_b") >= 300000) & (F.col("id_a") == F.col("id_b") - 300000)
+    )
+    n_inj = injected.count()
+    assert n_inj == 25
+    assert injected.filter(F.col("cont_b_in_a") < 1.0).count() == 0
+    # Jaccard at the same corpus misses those subset pairs entirely
+    jac = jaccard_pairs(corpus, max_shingle_df=50)
+    missed = jac.filter(
+        (F.col("id_b") >= 300000) & (F.col("id_a") == F.col("id_b") - 300000)
+    ).count()
+    assert missed == 0
