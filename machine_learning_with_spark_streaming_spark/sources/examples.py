@@ -394,3 +394,49 @@ def q_k7_notification_records(spark, sf_dir):
         body_cols=["event_id", "user_id", "value"],
     )
     return notes.select("severity", "subject", "body").orderBy("body")
+
+
+_S3_JSONL_ORACLE = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+FROM documents
+GROUP BY lang ORDER BY lang
+"""
+
+
+@register("s3_jsonl_roundtrip", oracle=_S3_JSONL_ORACLE)
+def q_s3_jsonl_roundtrip(spark, sf_dir):
+    """S3 + JSONL: export ``documents`` as JSON-lines (the de-facto LLM
+    corpus interchange format), scan it back through the auto-format
+    dispatcher, aggregate. The oracle reads the source table — the
+    comparison certifies that the JSONL round trip preserved every
+    string byte (JSON escaping included) and numeric value."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+    from machine_learning_with_spark_streaming_spark.sources.files import read_auto
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="mlwss_s3_")
+    out_dir = f"{work}/docs_json"
+    docs.coalesce(1).write.mode("overwrite").json(out_dir)
+    part = _glob.glob(f"{out_dir}/part-*.json")[0]
+    jsonl = f"{work}/documents.jsonl"
+    shutil.move(part, jsonl)
+    back = (
+        read_auto(spark, jsonl)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+        )
+        .orderBy("lang")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return back
