@@ -79,6 +79,7 @@ EXTENDED += [
     "sim_quantize_int8",
     "sample_shard_assignment",
     "text_perplexity_buckets",
+    "pipeline_training_mix",
 ]
 
 

@@ -607,3 +607,86 @@ def q_rebalance_temperature(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ----------------------------------- composed training-mix materialization
+
+def training_mix(
+    docs: DataFrame,
+    n_shards: int = 8,
+    group_col: str = "source",
+    strata_col: str = "lang",
+) -> DataFrame:
+    """The end-to-end mix-materialization chain a training run consumes:
+    exact dedup → group-atomic train split → sqrt-temperature language
+    rebalance → deterministic shard assignment. Every stage is an
+    md5-gate/pure-expression transform certified standalone, so the
+    whole composition stays engine-reproducible: re-running on any
+    cluster yields byte-identical shard membership. One Catalyst plan;
+    the only wide ops are the dedup hash groupBy and the stratum count
+    aggregate (|strata| rows)."""
+    from machine_learning_with_spark_streaming_spark.operators.dedup import exact_dedup
+
+    survivors = exact_dedup(docs, by_hash=True).select("doc_id")
+    base = docs.join(survivors, "doc_id", "left_semi")
+    train = assign_split(base, key_col=group_col).filter(
+        F.col("split") == "train"
+    )
+    kept = rebalance_sqrt_temperature(train, strata_col=strata_col)
+    return shard_assignment(kept, n_shards)
+
+
+_TRAIN_MIX_ORACLE = f"""
+WITH surv AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+),
+base AS (
+  SELECT d.* FROM documents d JOIN surv ON d.doc_id = surv.doc_id
+),
+train AS (
+  SELECT * FROM base
+  WHERE ('0x' || substr(md5(source || '#0'), 1, 15))::BIGINT % {_BUCKETS}
+        < 8000
+),
+c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM train
+  WHERE lang IS NOT NULL GROUP BY lang
+),
+m AS (SELECT min(n) AS mn FROM c),
+t AS (
+  SELECT lang,
+         CAST(floor(sqrt(CAST(mn AS DOUBLE) / n) * {_BUCKETS}) AS BIGINT)
+           AS thr
+  FROM c, m
+),
+kept AS (
+  SELECT tr.* FROM train tr JOIN t ON tr.lang = t.lang
+  WHERE ('0x' || substr(md5(CAST(tr.doc_id AS VARCHAR) || '#0'), 1, 15))::BIGINT
+        % {_BUCKETS} < t.thr
+)
+SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#shard0'), 1, 15))::BIGINT
+            % 8 AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM kept
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("pipeline_training_mix", oracle=_TRAIN_MIX_ORACLE)
+def q_training_mix(spark, sf_dir):
+    """Composed mix materialization over documents; certify per-shard
+    doc/lang/char masses against the oracle replaying every md5 gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        training_mix(docs)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("shard")
+    )
