@@ -1130,3 +1130,86 @@ def q_perplexity_buckets(spark, sf_dir):
         )
         .orderBy("lang", "bucket")
     )
+
+
+# --------------------------------------------------- corpus datasheet
+
+def corpus_datasheet(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One-pass corpus "datasheet": the summary battery a curation run
+    publishes next to its output (docs/langs/sources, char and token
+    mass, exact-duplicate rate, length percentiles) as a long-format
+    (metric, value) table. One full-table aggregate + a ``stack``
+    unpivot; the dup-rate reuses the 8-byte-hash dedup key, so nothing
+    here shuffles document text. Percentiles are exact here — swap to
+    ``percentile_approx`` at 100 TB (a14's documented trade)."""
+    from machine_learning_with_spark_streaming_spark.operators.dedup import normalize_text
+
+    ws_count = F.size(words(text_col)).cast("double")
+    agg = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.countDistinct("lang").cast("double").alias("n_langs"),
+        F.countDistinct("source").cast("double").alias("n_sources"),
+        F.sum(F.length(text_col)).cast("double").alias("total_chars"),
+        F.sum(ws_count).alias("total_ws_tokens"),
+        F.countDistinct(F.xxhash64(normalize_text(text_col)))
+        .cast("double")
+        .alias("__n_uniq"),
+        F.round(F.percentile(F.length(text_col), F.lit(0.5)), 4).alias(
+            "p50_chars"
+        ),
+        F.round(F.percentile(F.length(text_col), F.lit(0.9)), 4).alias(
+            "p90_chars"
+        ),
+    ).withColumn(
+        "exact_dup_rate",
+        F.round(F.lit(1.0) - F.col("__n_uniq") / F.col("n_docs"), 6),
+    )
+    metrics = [
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "total_chars",
+        "total_ws_tokens",
+        "exact_dup_rate",
+        "p50_chars",
+        "p90_chars",
+    ]
+    stack = ", ".join(f"'{m}', {m}" for m in metrics)
+    return agg.selectExpr(
+        f"stack({len(metrics)}, {stack}) AS (metric, value)"
+    )
+
+
+_DATASHEET_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text, lang, source,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+  FROM documents
+)
+SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM corpus
+UNION ALL
+SELECT 'n_langs', CAST(count(DISTINCT lang) AS DOUBLE) FROM corpus
+UNION ALL
+SELECT 'n_sources', CAST(count(DISTINCT source) AS DOUBLE) FROM corpus
+UNION ALL
+SELECT 'total_chars', CAST(sum(length(text)) AS DOUBLE) FROM corpus
+UNION ALL
+SELECT 'total_ws_tokens', CAST(sum(len({_WS})) AS DOUBLE) FROM documents
+UNION ALL
+SELECT 'exact_dup_rate',
+       round(1.0 - CAST(count(DISTINCT norm) AS DOUBLE) / count(*), 6)
+FROM corpus
+UNION ALL
+SELECT 'p50_chars', round(quantile_cont(length(text), 0.5), 4) FROM corpus
+UNION ALL
+SELECT 'p90_chars', round(quantile_cont(length(text), 0.9), 4) FROM corpus
+"""
+
+
+@register("text_corpus_datasheet", oracle=_DATASHEET_ORACLE)
+def q_corpus_datasheet(spark, sf_dir):
+    """Corpus summary datasheet over documents (long-format metrics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_datasheet(docs).orderBy("metric")
