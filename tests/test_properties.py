@@ -254,3 +254,65 @@ def test_connected_components_property(spark, raw_edges):
         for r in connected_components(e, nodes=n).collect()
     }
     assert got == want
+
+
+# ------------------------- round-3 curation ops: property coverage
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100.0,
+                max_value=100.0,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=2,
+            max_size=16,
+        ),
+        min_size=5,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_quantize_int8_reconstruction_property(spark, vecs):
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.similarity import quantize_int8
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = quantize_int8(df).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        codes = list(r["codes"])
+        assert all(-127 <= c <= 127 for c in codes)
+        orig = dict(rows)[r["vec_id"]]
+        # dequantization error bounded by scale/2 + float slack per element
+        for c, x in zip(codes, orig):
+            assert abs(c * r["scale"] - x) <= r["scale"] / 2 + 1e-9
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**12), min_size=10,
+             max_size=50, unique=True),
+    st.integers(min_value=2, max_value=12),
+)
+@settings(**_SETTINGS)
+def test_shard_and_split_partition_the_keyspace(spark, keys, n_shards):
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.sampling import (
+        assign_split,
+        shard_assignment,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    sh = shard_assignment(df, n_shards).collect()
+    # total function: every key gets exactly one shard in range
+    assert len(sh) == len(keys)
+    assert all(0 <= r["shard"] < n_shards for r in sh)
+    sp = assign_split(df).collect()
+    assert len(sp) == len(keys)
+    assert all(r["split"] in ("train", "val", "test") for r in sp)
