@@ -622,15 +622,26 @@ def training_mix(
     rebalance → deterministic shard assignment. Every stage is an
     md5-gate/pure-expression transform certified standalone, so the
     whole composition stays engine-reproducible: re-running on any
-    cluster yields byte-identical shard membership. One Catalyst plan;
-    the only wide ops are the dedup hash groupBy and the stratum count
-    aggregate (|strata| rows)."""
+    cluster yields byte-identical shard membership. The only wide ops
+    are the dedup hash groupBy and the stratum count aggregate
+    (|strata| rows).
+
+    The deduped train frame is persisted: it feeds BOTH the
+    stratum-count aggregate and the gated output, and Catalyst does not
+    share common subtrees across consumers — unpersisted, the source
+    scan AND the dedup groupBy re-run once per consumer (a 12-scan plan,
+    measured; fatal at 100 TB). The cluster-scale analog is a
+    temp-table write of the deduped train split."""
+    from pyspark.storagelevel import StorageLevel
+
     from machine_learning_with_spark_streaming_spark.operators.dedup import exact_dedup
 
     survivors = exact_dedup(docs, by_hash=True).select("doc_id")
     base = docs.join(survivors, "doc_id", "left_semi")
-    train = assign_split(base, key_col=group_col).filter(
-        F.col("split") == "train"
+    train = (
+        assign_split(base, key_col=group_col)
+        .filter(F.col("split") == "train")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     kept = rebalance_sqrt_temperature(train, strata_col=strata_col)
     return shard_assignment(kept, n_shards)
