@@ -1213,3 +1213,105 @@ def q_corpus_datasheet(spark, sf_dir):
     """Corpus summary datasheet over documents (long-format metrics)."""
     docs = load_table(spark, sf_dir, "documents")
     return corpus_datasheet(docs).orderBy("metric")
+
+
+# ------------------------------------------------ DSIR importance weights
+
+def dsir_importance(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist_words: bool = True,
+) -> DataFrame:
+    """DSIR-style importance weight per document: mean over the doc's
+    words of ``ln p_target(w) - ln p_source(w)`` where the target unigram
+    model is fit on the rows matching ``target_pred`` and the source
+    model on the whole corpus (Data Selection via Importance Resampling,
+    Xie et al. 2023 — the public recipe uses hashed n-gram features; the
+    unigram form here reuses the same two-pass plumbing as
+    ``unigram_logprob`` and upgrades to hashed n-grams by swapping the
+    explode expression). High weight = looks like the target domain.
+
+    Both models come out of ONE vocabulary pass: the target membership
+    flag rides along with each exploded word, so ``c_target`` is a
+    conditional sum in the same groupBy that computes ``c_all`` — no
+    second corpus scan. Laplace smoothing ``(c+1)/(t+V)`` over the shared
+    full-corpus vocabulary ``V`` keeps target-OOV words finite. Totals
+    join back in-plan via a broadcast 1-row cross join (no driver
+    collect); per-doc scoring is a word-key join + avg, map-side partials
+    throughout. Scales: vocabulary, not corpus, is the shuffle payload.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    w = df.select(
+        F.col(id_col).alias("id"),
+        target_pred.cast("int").alias("is_t"),
+        F.explode(words(text_col)).alias("w"),
+    )
+    if persist_words:
+        w = w.persist(StorageLevel.MEMORY_AND_DISK)
+    vocab = w.groupBy("w").agg(
+        F.count(F.lit(1)).alias("c_all"), F.sum("is_t").alias("c_tgt")
+    )
+    stats = vocab.agg(
+        F.sum("c_all").alias("t_all"),
+        F.sum("c_tgt").alias("t_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    logr = vocab.crossJoin(F.broadcast(stats)).select(
+        "w",
+        (
+            F.log((F.col("c_tgt") + 1) / (F.col("t_tgt") + F.col("v")))
+            - F.log((F.col("c_all") + 1) / (F.col("t_all") + F.col("v")))
+        ).alias("logr"),
+    )
+    return (
+        w.join(logr, "w")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            # + 0.0 folds IEEE -0.0 to +0.0 so both engines render
+            # near-zero averages identically after rounding
+            (F.round(F.avg("logr"), 4) + F.lit(0.0)).alias("avg_log_ratio"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_words").cast("int").alias("n_words"),
+            "avg_log_ratio",
+        )
+    )
+
+
+_DSIR_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+         unnest({_WS}) AS w
+  FROM documents
+),
+vocab AS (
+  SELECT w, count(*) AS c_all, sum(is_t) AS c_tgt FROM w GROUP BY 1
+),
+stats AS (
+  SELECT sum(c_all) AS t_all, sum(c_tgt) AS t_tgt, count(*) AS v FROM vocab
+),
+logr AS (
+  SELECT w,
+         ln(CAST(c_tgt + 1 AS DOUBLE) / CAST(t_tgt + v AS DOUBLE))
+         - ln(CAST(c_all + 1 AS DOUBLE) / CAST(t_all + v AS DOUBLE)) AS logr
+  FROM vocab, stats
+)
+SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS INT) AS n_words,
+       round(avg(logr.logr), 4) + 0.0 AS avg_log_ratio
+FROM w JOIN logr ON w.w = logr.w
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("text_dsir_weights", oracle=_DSIR_ORACLE)
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights with English as the target domain."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return dsir_importance(docs, F.col("lang") == "en").orderBy("doc_id")

@@ -367,3 +367,38 @@ def test_perplexity_buckets_tercile_shape(spark, sf_dir):
     }
     for lang in {k[0] for k in m}:
         assert m[(lang, "head")] > m[(lang, "tail")]
+
+
+def test_dsir_importance_sign(spark):
+    from machine_learning_with_spark_streaming_spark.operators.text import dsir_importance
+
+    # Target docs are all-"alpha"; the off-domain doc is all-"omega".
+    # Under target-vs-corpus unigram models, words the target favors get a
+    # positive log-ratio and target-absent words a negative one.
+    df = spark.createDataFrame(
+        [
+            (1, "alpha alpha alpha alpha", "tgt"),
+            (2, "alpha alpha alpha alpha", "tgt"),
+            (3, "omega omega omega omega", "other"),
+        ],
+        "doc_id long, text string, domain string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance(df, F.col("domain") == "tgt").collect()
+    }
+    assert out[1]["n_words"] == 4
+    assert out[1]["avg_log_ratio"] == out[2]["avg_log_ratio"]
+    assert out[1]["avg_log_ratio"] > 0 > out[3]["avg_log_ratio"]
+
+
+def test_dsir_importance_oov_finite(spark):
+    from machine_learning_with_spark_streaming_spark.operators.text import dsir_importance
+
+    # A word the target never emits must still score finite (Laplace).
+    df = spark.createDataFrame(
+        [(1, "a b", True), (2, "zzz zzz", False)],
+        "doc_id long, text string, is_t boolean",
+    )
+    rows = dsir_importance(df, F.col("is_t")).collect()
+    assert all(r["avg_log_ratio"] is not None for r in rows)
