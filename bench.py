@@ -80,6 +80,7 @@ EXTENDED += [
     "sample_shard_assignment",
     "text_perplexity_buckets",
     "pipeline_training_mix",
+    "text_dsir_weights",
 ]
 
 
