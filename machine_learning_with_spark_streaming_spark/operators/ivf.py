@@ -38,7 +38,11 @@ from machine_learning_with_spark_streaming_spark.functions.vectors import (
     as_double_array,
     cosine_similarity,
 )
-from machine_learning_with_spark_streaming_spark.operators.similarity import TOP_K, N_QUERIES
+from machine_learning_with_spark_streaming_spark.operators.similarity import (
+    TOP_K,
+    N_QUERIES,
+    topk_cosine,
+)
 from machine_learning_with_spark_streaming_spark.registry import register
 from machine_learning_with_spark_streaming_spark.schemas import load_table
 
@@ -283,4 +287,78 @@ def q_ivf_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk_pretrained(emb, emb.filter(F.col("vec_id") < N_QUERIES)).orderBy(
         "query_id", "rank"
+    )
+
+
+# ------------------------------------------------- index-quality evaluation
+
+def ann_recall_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """Recall@k of the IVF ANN path against exact brute-force cosine,
+    per query vector — the in-engine eval loop for tuning ``nprobe`` /
+    ``n_cells`` (standard ANN methodology: recall@k = |approx ∩ exact|/k;
+    e.g. the public ann-benchmarks protocol and the IVF analysis in
+    Jégou et al., "Product Quantization for Nearest Neighbor Search").
+
+    Both arms are the already-certified operators; the report is a
+    (query_id, neighbor_id) set intersection — a left join from the
+    exact arm and a non-null count. At 100 TB this runs on a sampled
+    query set: the brute-force arm is the expensive one and its cost is
+    |queries| × corpus, so recall is estimated from hundreds of queries,
+    never the full corpus (the corpus-side scans stay partition-parallel
+    and the query side stays broadcast in both arms).
+    """
+    brute = topk_cosine(corpus, queries, k, id_col, vec_col)
+    approx = ivf_topk_pretrained(corpus, queries, k, id_col, vec_col, nprobe)
+    return (
+        brute.alias("b")
+        .join(
+            approx.alias("a"),
+            (F.col("b.query_id") == F.col("a.query_id"))
+            & (F.col("b.neighbor_id") == F.col("a.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("b.query_id").alias("query_id"))
+        .agg(F.count(F.col("a.neighbor_id")).alias("__hits"))
+        .select(
+            "query_id",
+            F.col("__hits").cast("int").alias("n_hits"),
+            F.round(F.col("__hits") / F.lit(k), 4).alias(f"recall_at_{k}"),
+        )
+    )
+
+
+def _recall_oracle() -> str:
+    from machine_learning_with_spark_streaming_spark.operators.similarity import (
+        _TOPK_ORACLE,
+    )
+
+    return f"""
+WITH brute AS (SELECT query_id, neighbor_id FROM ({_TOPK_ORACLE})),
+ivf AS (SELECT query_id, neighbor_id FROM ({_IVF_ORACLE}))
+SELECT CAST(b.query_id AS BIGINT) AS query_id,
+       CAST(count(i.neighbor_id) AS INT) AS n_hits,
+       round(count(i.neighbor_id) / CAST({TOP_K} AS DOUBLE), 4)
+         AS recall_at_{TOP_K}
+FROM brute b
+LEFT JOIN ivf i
+  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("sim_ann_recall", oracle=_recall_oracle())
+def q_ann_recall(spark, sf_dir):
+    """Recall@5 of IVF (nprobe=2/16) vs exact cosine for the 8 probe
+    queries; both arms reuse their certified operator plans."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_recall_report(emb, emb.filter(F.col("vec_id") < N_QUERIES)).orderBy(
+        "query_id"
     )

@@ -402,3 +402,20 @@ def test_dsir_importance_oov_finite(spark):
     )
     rows = dsir_importance(df, F.col("is_t")).collect()
     assert all(r["avg_log_ratio"] is not None for r in rows)
+
+
+def test_ann_recall_full_probe_is_exact(spark, sf_dir):
+    from machine_learning_with_spark_streaming_spark.operators.ivf import (
+        N_CELLS,
+        ann_recall_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    # probing every cell makes IVF exhaustive == brute force
+    full = ann_recall_report(emb, queries, nprobe=N_CELLS).collect()
+    assert len(full) == 4
+    assert all(r["recall_at_5"] == 1.0 and r["n_hits"] == 5 for r in full)
+    # default nprobe: recall is a valid fraction of k
+    part = ann_recall_report(emb, queries).collect()
+    assert all(0.0 <= r["recall_at_5"] <= 1.0 and r["n_hits"] <= 5 for r in part)
