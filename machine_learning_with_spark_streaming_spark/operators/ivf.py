@@ -362,3 +362,148 @@ def q_ann_recall(spark, sf_dir):
     return ann_recall_report(emb, emb.filter(F.col("vec_id") < N_QUERIES)).orderBy(
         "query_id"
     )
+
+
+# ------------------------------------------------- SemDeDup semantic dedup
+
+SEMDEDUP_THRESHOLD = 0.95
+
+
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster embeddings
+    with a frozen k-means quantizer, compare pairs ONLY within a
+    cluster, and inside every ε-ball of cosine ≥ ``threshold`` keep the
+    member farthest from its centroid (the paper's keep policy — the
+    extreme point carries more signal than the cluster-typical one).
+
+    Keep rule, made deterministic: a vector is DROPPED iff some
+    same-cluster vector within the threshold has strictly lower
+    centroid-similarity (tie → lower id). Within any duplicate group the
+    unique (centroid_sim, id)-minimum survives.
+
+    Scale shape: assignment is a broadcast argmax against k literal
+    centroid rows (same plan as the IVF cell assign); the pairwise stage
+    is a cluster equi-join, never a corpus cross product. Its cost is
+    Σ cluster_size² — the paper sizes k so clusters stay bounded
+    (k ≈ n/10³-10⁴; the 4-centroid artifact here is demo-scale), and the
+    within-cluster join composes with the sign-LSH bucket cut from
+    ``cosine_dup_pairs`` when clusters are still too large.
+
+    Returns (id, cluster, centroid_sim, keep:int) for every input row —
+    the full annotation, so downstream can filter ``keep = 1`` or audit
+    the drops.
+    """
+    from machine_learning_with_spark_streaming_spark.functions.ml_artifacts import (
+        KMEANS_CENTROIDS,
+    )
+
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(KMEANS_CENTROIDS)],
+        "cluster int, centroid array<double>",
+    )
+    v = corpus.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("__v"))
+    assigned = (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn("csim", cosine_similarity(F.col("__v"), F.col("centroid")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cluster"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("id", "__v", "cluster", "csim")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    losers = (
+        a.join(b, "cluster")
+        .filter(F.col("a.id") != F.col("b.id"))
+        .filter(cosine_similarity(F.col("a.__v"), F.col("b.__v")) >= threshold)
+        .filter(
+            (F.col("a.csim") > F.col("b.csim"))
+            | ((F.col("a.csim") == F.col("b.csim")) & (F.col("a.id") > F.col("b.id")))
+        )
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+        .withColumn("__drop", F.lit(1))
+    )
+    return (
+        assigned.join(losers, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            F.round("csim", 6).alias("centroid_sim"),
+            F.when(F.col("__drop").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+        )
+    )
+
+
+def _kmeans_centroid_values() -> str:
+    from machine_learning_with_spark_streaming_spark.functions.ml_artifacts import (
+        KMEANS_CENTROIDS,
+    )
+
+    rows = []
+    for i, c in enumerate(KMEANS_CENTROIDS):
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        rows.append(f"({i}, CAST({lit} AS DOUBLE[]))")
+    return ",\n  ".join(rows)
+
+
+def _semdedup_oracle() -> str:
+    from machine_learning_with_spark_streaming_spark.operators.similarity import (
+        _DUP_CORPUS_SQL,
+    )
+
+    return f"""
+WITH {_DUP_CORPUS_SQL},
+kcent(cluster, centroid) AS (VALUES
+  {_kmeans_centroid_values()}
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM corpus
+),
+assigned AS (
+  SELECT vec_id, emb, cluster, csim FROM (
+    SELECT v.vec_id, v.emb, c.cluster,
+           {_cosd('v.emb', 'c.centroid')} AS csim,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_cosd('v.emb', 'c.centroid')} DESC, c.cluster
+           ) AS rn
+    FROM v CROSS JOIN kcent c
+  ) WHERE rn = 1
+),
+losers AS (
+  SELECT DISTINCT a.vec_id FROM assigned a
+  JOIN assigned b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+  WHERE {_cosd('a.emb', 'b.emb')} >= {SEMDEDUP_THRESHOLD}
+    AND (a.csim > b.csim OR (a.csim = b.csim AND a.vec_id > b.vec_id))
+)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id, CAST(a.cluster AS INT) AS cluster,
+       round(a.csim, 6) AS centroid_sim,
+       CAST(CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+FROM assigned a LEFT JOIN losers l ON l.vec_id = a.vec_id
+ORDER BY 1
+"""
+
+
+@register("dedup_semantic", oracle=_semdedup_oracle())
+def q_semdedup(spark, sf_dir):
+    """SemDeDup over the duplicate-injected embedding corpus: frozen
+    4-centroid quantizer (committed artifact, mirrored as oracle
+    literals), within-cluster cosine ε-balls, keep-farthest-from-centroid."""
+    from machine_learning_with_spark_streaming_spark.operators.similarity import (
+        embeddings_with_duplicates,
+    )
+
+    corpus = embeddings_with_duplicates(spark, sf_dir)
+    return semdedup(corpus).orderBy("vec_id")

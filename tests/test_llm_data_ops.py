@@ -419,3 +419,22 @@ def test_ann_recall_full_probe_is_exact(spark, sf_dir):
     # default nprobe: recall is a valid fraction of k
     part = ann_recall_report(emb, queries).collect()
     assert all(0.0 <= r["recall_at_5"] <= 1.0 and r["n_hits"] <= 5 for r in part)
+
+
+def test_semdedup_keeps_one_per_ball(spark):
+    from machine_learning_with_spark_streaming_spark.operators.ivf import semdedup
+
+    # Two identical vectors + one distant: the ε-ball keeps exactly one
+    # member (tie on centroid_sim → lower id wins); the distant vector
+    # is untouched.
+    base = [1.0] + [0.0] * 63
+    far = [0.0] * 63 + [1.0]
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, far)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in semdedup(df).collect()}
+    assert out[1]["keep"] == 1
+    assert out[2]["keep"] == 0
+    assert out[3]["keep"] == 1
+    assert out[1]["cluster"] == out[2]["cluster"]
