@@ -153,3 +153,75 @@ def q_salted_two_phase_agg(spark, sf_dir):
         F.round("sum_qty", 6).alias("sum_qty"),
         F.col("sum_price").cast("double").alias("sum_price"),
     ).orderBy("l_returnflag", "l_linestatus")
+
+
+# ------------------------------------------------- skew measurement
+
+def key_skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Heavy-hitter report for a join/aggregation key — the measurement
+    that picks ``n_salts`` (and decides whether salting is needed at
+    all) before committing to a 100 TB shuffle.
+
+    Per top-``top_n`` key: row count, share of the table, and ``x_avg``
+    = count / mean-count-per-key (a key at 1.0 is perfectly uniform; a
+    key at 50× the mean will swamp one reducer 50× longer than average).
+    One groupBy (map-side partials), a 2-scalar broadcast join for the
+    denominators, and ``orderBy().limit(top_n)`` over the distinct-key
+    relation — Spark plans that as TakeOrderedAndProject (per-partition
+    partial top-n, no single-partition global sort), so the report stays
+    distributed even when the key is high-cardinality; rank is then a
+    window over the ≤ top_n survivors. The fact table is scanned once.
+    NULL keys group like any other value (rendered as SQL NULL), since a
+    hot NULL is the single most common real-world skew culprit.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("key")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    denom = counts.agg(
+        F.sum("cnt").alias("__tot"), F.avg("cnt").alias("__avgc")
+    )
+    top = (
+        counts.crossJoin(F.broadcast(denom))
+        .orderBy(F.desc("cnt"), F.asc_nulls_last("key"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc_nulls_last("key"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "key",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(F.col("cnt") / F.col("__tot"), 6).alias("share"),
+            F.round(F.col("cnt") / F.col("__avgc"), 4).alias("x_avg"),
+        )
+    )
+
+
+_DIAG_SKEW_ORACLE = """
+WITH counts AS (
+  SELECT CAST(event_type AS VARCHAR) AS key, count(*) AS cnt
+  FROM events GROUP BY 1
+),
+denom AS (SELECT sum(cnt) AS tot, avg(cnt) AS avgc FROM counts)
+SELECT CAST(rank AS INT) AS rank, key, CAST(cnt AS BIGINT) AS cnt,
+       round(CAST(cnt AS DOUBLE) / tot, 6) AS share,
+       round(CAST(cnt AS DOUBLE) / avgc, 4) AS x_avg
+FROM (
+  SELECT key, cnt,
+         row_number() OVER (ORDER BY cnt DESC, key NULLS LAST) AS rank
+  FROM counts
+), denom
+WHERE rank <= 10
+ORDER BY rank
+"""
+
+
+@register("diag_key_skew", oracle=_DIAG_SKEW_ORACLE)
+def q_key_skew(spark, sf_dir):
+    """Heavy-hitter skew report for events.event_type (the pre-flight
+    for the j12/a15 salting decisions)."""
+    ev = load_table(spark, sf_dir, "events")
+    return key_skew_report(ev, "event_type").orderBy("rank")

@@ -438,3 +438,18 @@ def test_semdedup_keeps_one_per_ball(spark):
     assert out[2]["keep"] == 0
     assert out[3]["keep"] == 1
     assert out[1]["cluster"] == out[2]["cluster"]
+
+
+def test_key_skew_report_shares_and_nulls(spark):
+    from machine_learning_with_spark_streaming_spark.operators.skew import key_skew_report
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 2 + [(None,)] * 4,
+        "k string",
+    )
+    rows = key_skew_report(df, "k", top_n=2).collect()
+    assert [r["key"] for r in rows] == ["a", None]
+    assert [r["rank"] for r in rows] == [1, 2]
+    assert rows[0]["cnt"] == 6 and rows[0]["share"] == 0.5
+    # 3 distinct keys, 12 rows -> mean 4; 'a' runs 1.5x the average reducer
+    assert rows[0]["x_avg"] == 1.5
