@@ -421,6 +421,13 @@ def semdedup(
         .filter(F.col("rn") == 1)
         .select("id", "__v", "cluster", "csim")
     )
+    # three consumers (both sides of the pair join + the final annotate):
+    # persist so the broadcast-argmax assignment scans the corpus once
+    # (cluster-scale analog: materialize the assignment as a table
+    # partitioned by cluster, same as the IVF cell layout)
+    from pyspark.storagelevel import StorageLevel
+
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = assigned.alias("a"), assigned.alias("b")
     losers = (
         a.join(b, "cluster")
