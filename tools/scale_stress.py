@@ -62,6 +62,11 @@ QUERIES = [
     "text_perplexity_buckets",
     "pipeline_training_mix",
     "dedup_containment",
+    # late round-3 additions
+    "text_dsir_weights",
+    "dedup_semantic",
+    "sim_ann_recall",
+    "diag_key_skew",
 ]
 
 
