@@ -1315,3 +1315,138 @@ def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights with English as the target domain."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     return dsir_importance(docs, F.col("lang") == "en").orderBy("doc_id")
+
+
+# -------------------------------------------------- segment-level dedup
+
+SEGMENT_WORDS = 8
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = SEGMENT_WORDS,
+) -> DataFrame:
+    """CCNet-style sub-document dedup that REWRITES documents: split each
+    document into fixed-width word segments (the stand-in for paragraphs
+    — this corpus has no newlines), keep exactly the first corpus-wide
+    occurrence of every distinct segment (first = min ``(doc, seg_idx)``,
+    an order-free rule that does not depend on scan order), drop every
+    other occurrence, and reassemble each document from its surviving
+    segments in order.
+
+    Unlike ``q_repeated_chunks`` (detection/report), this is the rewrite
+    operator: output is ``(id, n_seg, n_kept, n_dropped, clean_text)``.
+
+    Scale shape: one ``posexplode`` pass (linear in corpus tokens), a
+    segment-assembly groupBy on ``(id, seg_idx)``, a keeper groupBy on
+    the segment hash (min-struct aggregate — map-side partials, 16-byte
+    shuffle rows), and the per-doc rebuild groupBy. Segment bodies
+    travel the shuffle once (assembly); the keeper election moves only
+    ``(hash, id, seg_idx)``. No windows over the whole corpus, no
+    driver-side state — every stage is a hash shuffle on bounded keys.
+
+    Reference analog: the dedup family of pipeline/lib.py drop_duplicates
+    calls, lifted from whole-row to sub-document granularity (CCNet
+    paragraph dedup per PAPERS.md)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words(text_col)).alias("pos", "w"),
+    )
+    seg = (
+        toks.withColumn("seg_idx", (F.col("pos") / seg_words).cast("long"))
+        .groupBy("id", "seg_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("seg_text")
+        )
+        .withColumn("h", F.md5("seg_text"))
+    )
+    keeper = seg.groupBy("h").agg(
+        F.min(F.struct(F.col("id"), F.col("seg_idx"))).alias("k")
+    )
+    kept = seg.join(keeper, "h").filter(
+        (F.col("id") == F.col("k.id")) & (F.col("seg_idx") == F.col("k.seg_idx"))
+    )
+    totals = seg.groupBy("id").agg(F.count(F.lit(1)).alias("n_seg"))
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg_text"))),
+                lambda x: x["seg_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            F.col("id"),
+            F.col("n_seg"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            (F.col("n_seg") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_dropped"
+            ),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+_SEGMENT_DEDUP_ORACLE = f"""
+WITH {_CORPUS_SQL},
+nw AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM corpus),
+tok AS (
+  SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos, ws[g.i] AS w
+  FROM nw, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+),
+seg AS (
+  SELECT doc_id, pos // {SEGMENT_WORDS} AS seg_idx,
+         string_agg(w, ' ' ORDER BY pos) AS seg_text
+  FROM tok GROUP BY doc_id, pos // {SEGMENT_WORDS}
+),
+ranked AS (
+  SELECT doc_id, seg_idx, seg_text,
+         row_number() OVER (
+           PARTITION BY md5(seg_text) ORDER BY doc_id, seg_idx
+         ) AS rn
+  FROM seg
+),
+totals AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seg FROM seg GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         md5(string_agg(seg_text, ' ' ORDER BY seg_idx)) AS clean_md5
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       t.n_seg,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_seg - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped,
+       coalesce(r.clean_md5, md5('')) AS clean_md5
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY 1
+"""
+
+
+@register("dedup_segments_rewrite", oracle=_SEGMENT_DEDUP_ORACLE)
+def q_segment_dedup(spark, sf_dir):
+    """Segment dedup over the injected-duplicate corpus: exact copies
+    lose every segment, near-copies keep only the trailing suffix
+    segment; the rebuilt text is hash-compared cross-engine."""
+    corpus = corpus_with_duplicates(spark, sf_dir)
+    out = segment_dedup(corpus)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_seg",
+        "n_kept",
+        "n_dropped",
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")

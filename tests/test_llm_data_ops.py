@@ -453,3 +453,33 @@ def test_key_skew_report_shares_and_nulls(spark):
     assert rows[0]["cnt"] == 6 and rows[0]["share"] == 0.5
     # 3 distinct keys, 12 rows -> mean 4; 'a' runs 1.5x the average reducer
     assert rows[0]["x_avg"] == 1.5
+
+
+def test_segment_dedup_rewrites_documents(spark):
+    from machine_learning_with_spark_streaming_spark.operators.text import segment_dedup
+
+    # doc 1 = two segments AB; doc 2 = exact copy (loses everything);
+    # doc 3 = B + new tail C (keeps only C); seg width 2 words.
+    a, b, c = "aa bb", "cc dd", "ee ff"
+    df = spark.createDataFrame(
+        [(1, f"{a} {b}"), (2, f"{a} {b}"), (3, f"{b} {c}")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in segment_dedup(df, seg_words=2).collect()}
+    assert (out[1]["n_kept"], out[1]["clean_text"]) == (2, f"{a} {b}")
+    assert (out[2]["n_kept"], out[2]["clean_text"]) == (0, "")
+    assert (out[3]["n_kept"], out[3]["clean_text"]) == (1, c)
+    assert out[3]["n_dropped"] == 1
+
+
+def test_segment_dedup_within_doc_repeat(spark):
+    from machine_learning_with_spark_streaming_spark.operators.text import segment_dedup
+
+    # the same segment repeated inside ONE doc keeps only its first
+    # occurrence (min seg_idx)
+    df = spark.createDataFrame(
+        [(7, "xx yy xx yy zz")], "doc_id long, text string"
+    )
+    row = segment_dedup(df, seg_words=2).collect()[0]
+    assert row["n_seg"] == 3 and row["n_kept"] == 2
+    assert row["clean_text"] == "xx yy zz"
