@@ -1450,3 +1450,108 @@ def q_segment_dedup(spark, sf_dir):
         "n_dropped",
         F.md5("clean_text").alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+# ----------------------------------------- hashed linear quality filter
+
+def hashed_quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """fastText-style hashed-unigram linear classifier, serving path.
+
+    The production shape of LLM-corpus quality filters (CCNet/DCLM
+    fasttext gates): tokens hash into N_BUCKETS buckets, the frozen
+    linear weights (distilled from the engine's rule-based quality gate
+    by tools/freeze_text_classifier.py) score each document as the mean
+    bucket weight plus bias. Weights are INTEGER micro-units, so the
+    per-doc aggregate is a BIGINT sum — order-independent, hence
+    bit-identical across partitionings and engines — and the verdict
+    ``sum_w + bias*n > 0`` is exact integer arithmetic (no float
+    boundary flips). One explode + one groupBy with map-side partials;
+    the weight table rides the plan as a 256-int literal array, so
+    scoring is map-only until the per-doc combine. Scales like
+    token counting.
+
+    Reference analog: the PASS/FAIL verdict pattern of
+    pipeline/qualitycheck.py:175-180, upgraded to a learned filter."""
+    from machine_learning_with_spark_streaming_spark.functions.textclf_artifacts import (
+        BIAS_MICRO,
+        N_BUCKETS,
+        WEIGHTS_MICRO,
+    )
+    from machine_learning_with_spark_streaming_spark.operators.dedup import md5_hash60
+
+    arr = F.array(*[F.lit(w) for w in WEIGHTS_MICRO])
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("w")
+    )
+    wm = F.element_at(
+        arr, (md5_hash60(F.col("w")) % N_BUCKETS + 1).cast("int")
+    )
+    agg = toks.groupBy("id").agg(
+        F.sum(wm).alias("sum_w_micro"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    return agg.select(
+        "id",
+        "n_tokens",
+        "sum_w_micro",
+        F.round(
+            F.col("sum_w_micro") / (F.col("n_tokens") * 1000000.0)
+            + BIAS_MICRO / 1000000.0,
+            6,
+        ).alias("score"),
+        (
+            (F.col("sum_w_micro") + F.lit(BIAS_MICRO) * F.col("n_tokens")) > 0
+        ).cast("int").alias("pred_good"),
+    )
+
+
+def _textclf_oracle() -> str:
+    from machine_learning_with_spark_streaming_spark.functions.textclf_artifacts import (
+        BIAS_MICRO,
+        N_BUCKETS,
+        WEIGHTS_MICRO,
+    )
+
+    weights = "[" + ", ".join(str(w) for w in WEIGHTS_MICRO) + "]"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_WS}) AS w FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         {weights}[CAST(('0x' || substr(md5(w), 1, 15))::BIGINT
+                        % {N_BUCKETS} + 1 AS INT)] AS wm
+  FROM tok
+),
+agg AS (
+  SELECT doc_id, CAST(sum(wm) AS BIGINT) AS sum_w_micro,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM scored GROUP BY 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, sum_w_micro,
+       round(CAST(sum_w_micro AS DOUBLE) / (n_tokens * 1000000.0)
+             + {BIAS_MICRO} / 1000000.0, 6) AS score,
+       CAST(sum_w_micro + {BIAS_MICRO} * n_tokens > 0 AS INT) AS pred_good
+FROM agg
+ORDER BY 1
+"""
+
+
+@register("text_quality_classifier", oracle=_textclf_oracle())
+def q_hashed_quality_classifier(spark, sf_dir):
+    """Frozen hashed-linear quality filter over documents; the exact
+    integer verdict and the rounded score are both hash-compared."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        hashed_quality_score(docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_tokens",
+            "sum_w_micro",
+            "score",
+            "pred_good",
+        )
+        .orderBy("doc_id")
+    )
