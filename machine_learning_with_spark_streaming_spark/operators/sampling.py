@@ -701,3 +701,102 @@ def q_training_mix(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+# ------------------------------------------- range-sorted corpus layout
+
+RANGE_SHARDS = 8
+
+
+def range_shard_assignment(
+    df: DataFrame, key_col: str, n_shards: int = RANGE_SHARDS
+) -> DataFrame:
+    """Equal-frequency range sharding with DETERMINISTIC boundaries —
+    the certified twin of ``repartitionByRange`` (whose boundaries come
+    from reservoir sampling and vary run to run).
+
+    Boundaries are the exact ``i/n`` percentiles of ``key_col``
+    (PERCENTILE_CONT; one aggregate — distributed, map-side partials),
+    rounded to 6 dp and broadcast as a single-row array; assignment is
+    ``shard = #(boundaries < key)`` — a map-only array expression. Two
+    jobs total, no global sort, no single-partition window. Rows on a
+    boundary go to the lower shard (strict ``>`` comparison),
+    deterministically.
+
+    This layout is what time/key-ordered corpus stores want at 100 TB:
+    non-overlapping key ranges per shard enable shard-pruned scans (read
+    only the shards whose [min,max] intersects the predicate) and
+    ordered streaming merges. The production write path is
+    ``write_range_sorted`` (repartitionByRange — sampled boundaries,
+    same contract minus cross-run determinism); this exact-percentile
+    form is the engine-checkable serving path."""
+    ps = [i / n_shards for i in range(1, n_shards)]
+    bnd = df.agg(
+        F.transform(
+            F.percentile(F.col(key_col), F.array(*[F.lit(p) for p in ps])),
+            lambda x: F.round(x, 6),
+        ).alias("__bnd")
+    )
+    return df.crossJoin(F.broadcast(bnd)).withColumn(
+        "shard",
+        F.size(F.filter("__bnd", lambda b: F.col(key_col) > b)).cast("int"),
+    ).drop("__bnd")
+
+
+def write_range_sorted(
+    df: DataFrame, path: str, key_col: str, n_shards: int = RANGE_SHARDS
+) -> None:
+    """Materialize ``df`` as range-partitioned, within-file-sorted
+    parquet — the ordered-corpus layout (``repartitionByRange`` gives
+    the one-shuffle equal-frequency split via sampled boundaries;
+    ``sortWithinPartitions`` makes every file internally ordered so
+    parquet min/max page stats prune at the finest grain)."""
+    (
+        df.repartitionByRange(n_shards, F.col(key_col))
+        .sortWithinPartitions(key_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _range_layout_oracle() -> str:
+    ps = ", ".join(str(i / RANGE_SHARDS) for i in range(1, RANGE_SHARDS))
+    return f"""
+WITH bnd AS (
+  SELECT list_transform(quantile_cont(o_totalprice, [{ps}]),
+                        x -> round(x, 6)) AS b
+  FROM orders
+),
+assigned AS (
+  SELECT CAST(len(list_filter(bnd.b, x -> o.o_totalprice > x)) AS INT)
+           AS shard,
+         o.o_totalprice
+  FROM orders o CROSS JOIN bnd
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(min(o_totalprice), 2) + 0.0 AS min_price,
+       round(max(o_totalprice), 2) + 0.0 AS max_price
+FROM assigned
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("sample_range_layout", oracle=_range_layout_oracle())
+def q_range_layout(spark, sf_dir):
+    """Deterministic equal-frequency range layout of orders by price:
+    per-shard (count, min, max) certify both the boundary computation
+    and the assignment rule; ranges are non-overlapping by
+    construction."""
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    return (
+        range_shard_assignment(orders, "o_totalprice")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.round(F.min("o_totalprice"), 2) + 0.0).alias("min_price"),
+            (F.round(F.max("o_totalprice"), 2) + 0.0).alias("max_price"),
+        )
+        .orderBy("shard")
+    )

@@ -1,5 +1,7 @@
 """Property tests for deterministic hash sampling (operators/sampling.py)."""
 
+from pyspark.sql import functions as F
+
 from machine_learning_with_spark_streaming_spark.operators.sampling import (
     hash_sample,
     stratified_hash_sample,
@@ -237,3 +239,57 @@ def test_rebalance_sqrt_temperature_rates(spark, sf_dir):
         .collect()
     }
     assert a == b
+
+
+def test_range_shard_assignment_nonoverlapping(spark, sf_dir):
+    from machine_learning_with_spark_streaming_spark.operators.sampling import range_shard_assignment
+
+    df = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    per = (
+        range_shard_assignment(df, "o_totalprice", n_shards=4)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    assert [r["shard"] for r in per] == [0, 1, 2, 3]
+    total = df.count()
+    assert sum(r["n"] for r in per) == total
+    # equal-frequency: every shard within 2x of the ideal quarter
+    assert all(total / 8 <= r["n"] <= total / 2 for r in per)
+    # ranges strictly ordered and non-overlapping
+    for a, b in zip(per, per[1:]):
+        assert a["hi"] <= b["lo"]
+
+
+def test_write_range_sorted_layout(spark, tmp_path):
+    import os
+
+    from machine_learning_with_spark_streaming_spark.operators.sampling import write_range_sorted
+
+    df = spark.range(0, 10000).select(
+        (F.col("id") * 37 % 10007).alias("k"), F.col("id")
+    )
+    # scale path: the plan must range-partition (sampled boundaries),
+    # not hash-partition
+    plan = df.repartitionByRange(4, F.col("k"))._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+
+    out = str(tmp_path / "sorted")
+    write_range_sorted(df, out, "k", n_shards=4)
+    files = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    assert len(files) == 4
+    spans = []
+    for fp in files:
+        rows = [r["k"] for r in spark.read.parquet(fp).collect()]
+        assert rows == sorted(rows)  # sortWithinPartitions held per file
+        spans.append((min(rows), max(rows)))
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo  # file key ranges never overlap -> prunable
