@@ -632,3 +632,44 @@ def q_constraint_report(spark, sf_dir):
             "discount_in_0_0.1": F.col("l_discount").between(0.0, 0.1),
         },
     )
+
+
+# ---------------------------------------------- observed in-flight metrics
+
+def observe_metrics(
+    df: DataFrame, name: str, metrics: dict[str, "F.Column"]
+):
+    """Attach Spark observed metrics to ``df`` — aggregates computed
+    DURING the consuming action, not by a second scan.
+
+    Returns ``(observed_df, observation)``; after any action on the
+    returned frame (write, count, foreachBatch), ``observation.get``
+    yields the metric dict. This is the production shape for pipeline
+    QC counters at 100 TB: `constraint_report` re-scans to report, an
+    observation rides the existing job for free (an AggregatingAccumulator
+    evaluated per-row on the pass the pipeline already makes). Works on
+    batch and streaming frames alike (streaming surfaces the same
+    metrics per micro-batch in QueryProgress.observedMetrics).
+
+    Reference analog: the row-count prints sprinkled through
+    pipeline/runner.py's stage logging — here they cost zero extra jobs.
+    """
+    from pyspark.sql import Observation
+
+    if not metrics:
+        raise ValueError("observe_metrics needs at least one metric")
+    obs = Observation(name)
+    cols = [c.alias(n) for n, c in sorted(metrics.items())]
+    return df.observe(obs, *cols), obs
+
+
+def observed_gate_metrics(condition: "F.Column") -> dict[str, "F.Column"]:
+    """Standard gate counters: rows seen, rows passing, rows violating
+    (null-safe: a NULL verdict counts as a violation, matching
+    constraint_report's three-valued-logic rule)."""
+    ok = F.when(condition, 1).otherwise(0)
+    return {
+        "n_rows": F.count(F.lit(1)),
+        "n_pass": F.sum(ok),
+        "n_violations": F.sum(1 - ok),
+    }

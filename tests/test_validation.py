@@ -2,6 +2,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from machine_learning_with_spark_streaming_spark.operators.reshape import MONTH_ABBRS, unpivot_months
+from machine_learning_with_spark_streaming_spark.schemas import load_table
 from machine_learning_with_spark_streaming_spark.operators.validation import (
     SchemaConformanceError,
     conformance_gate,
@@ -128,3 +129,47 @@ def test_constraint_report_empty_dict_raises(spark):
 
     with _pytest.raises(ValueError, match="at least one constraint"):
         constraint_report(spark.range(3), {})
+
+
+def test_observe_metrics_single_pass_gate(spark, sf_dir):
+    from machine_learning_with_spark_streaming_spark.operators.validation import (
+        observe_metrics,
+        observed_gate_metrics,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cond = F.col("n_chars") >= 100
+    observed, obs = observe_metrics(docs, "gate", observed_gate_metrics(cond))
+    kept = observed.filter(cond)
+    n_kept = kept.count()  # the ONLY job; metrics ride it
+    got = obs.get
+    want_rows = docs.count()
+    assert got["n_rows"] == want_rows
+    assert got["n_pass"] == n_kept
+    assert got["n_violations"] == want_rows - n_kept
+
+
+def test_observe_metrics_null_verdict_counts_as_violation(spark):
+    from machine_learning_with_spark_streaming_spark.operators.validation import (
+        observe_metrics,
+        observed_gate_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [(1,), (None,), (3,)], "v int"
+    )
+    observed, obs = observe_metrics(
+        df, "nulls", observed_gate_metrics(F.col("v") > 2)
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert (got["n_rows"], got["n_pass"], got["n_violations"]) == (3, 1, 2)
+
+
+def test_observe_metrics_empty_dict_raises(spark):
+    import pytest
+
+    from machine_learning_with_spark_streaming_spark.operators.validation import observe_metrics
+
+    with pytest.raises(ValueError):
+        observe_metrics(spark.range(1), "x", {})
