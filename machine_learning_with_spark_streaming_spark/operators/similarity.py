@@ -378,3 +378,106 @@ def q_quantize_int8(spark, sf_dir):
         F.array_max("codes").alias("code_max"),
         wsum.alias("code_wsum"),
     ).orderBy("vec_id")
+
+
+# ------------------------------------------- normalization & centroids
+
+def l2_normalize(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "unit"
+) -> DataFrame:
+    """Unit-normalize an embedding column (map-only array expressions;
+    zero vectors normalize to NULL via the null-safe norm). The standard
+    pre-step for cosine ANN: after normalization, cosine = dot, so
+    downstream scoring drops two norms per pair."""
+    dv = as_double_array(vec_col)
+    n = F.nullif(
+        F.sqrt(
+            F.aggregate(
+                F.transform(dv, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ),
+        F.lit(0.0),
+    )
+    return df.withColumn(
+        out_col, F.transform(dv, lambda x: x / n)
+    ).withColumn(f"{out_col}_norm", n)
+
+
+def group_centroids(
+    df: DataFrame, group_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-group mean vector as a long (group, pos, centroid) table —
+    class centroids / cluster means / mean-pooled doc vectors.
+
+    Shape: one ``posexplode`` (rows x dims) then a (group, pos) groupBy
+    with map-side partial sums — the distributed dense-vector aggregate
+    that never materializes per-group arrays on one executor. At 100 TB
+    this is the same plan MLlib's Summarizer lowers to; emitting the
+    long form keeps the shuffle rows 24 bytes and lets consumers
+    pivot-or-collect only the groups they need."""
+    ex = df.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(as_double_array(vec_col)).alias("pos", "x"),
+    )
+    return ex.groupBy("grp", "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("x"), 6).alias("centroid"),
+    )
+
+
+_CENTROID_ORACLE = """
+WITH ex AS (
+  SELECT label AS grp, CAST(g.i - 1 AS INT) AS pos,
+         CAST(embedding[g.i] AS DOUBLE) AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+)
+SELECT CAST(grp AS INT) AS grp, pos,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(x), 6) + 0.0 AS centroid
+FROM ex GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("emb_label_centroids", oracle=_CENTROID_ORACLE)
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids (10 labels x 64 dims), the
+    distributed dense mean-vector aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        group_centroids(emb, "label")
+        .select(F.col("grp").cast("int").alias("grp"), "pos", "n", "centroid")
+        .orderBy("grp", "pos")
+    )
+
+
+_L2_ORACLE = """
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       round(sqrt(list_dot_product(
+         list_transform(embedding, x -> CAST(x AS DOUBLE)),
+         list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6) + 0.0
+         AS l2_norm,
+       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+             / sqrt(list_dot_product(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6)
+         + 0.0 AS unit_checksum
+FROM embeddings
+ORDER BY 1
+"""
+
+
+@register("emb_l2_normalize", oracle=_L2_ORACLE)
+def q_l2_normalize(spark, sf_dir):
+    """L2 normalization serving check: per-vector norm and the checksum
+    of the unit vector (sum of elements / norm), rounded 6 dp."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = as_double_array("embedding")
+    s = F.aggregate(dv, F.lit(0.0), lambda a, x: a + x)
+    out = l2_normalize(emb)
+    return out.select(
+        "vec_id",
+        (F.round(F.col("unit_norm"), 6) + 0.0).alias("l2_norm"),
+        (F.round(s / F.col("unit_norm"), 6) + 0.0).alias("unit_checksum"),
+    ).orderBy("vec_id")

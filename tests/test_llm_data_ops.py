@@ -522,3 +522,32 @@ def test_hashed_quality_score_partitioning_invariant(spark):
     }
     # BIGINT micro-weight sums: bit-identical under any partitioning
     assert a == b
+
+
+def test_l2_normalize_unit_and_zero(spark):
+    from machine_learning_with_spark_streaming_spark.operators.similarity import l2_normalize
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in l2_normalize(df).collect()}
+    assert out[1]["unit"] == [0.6, 0.8] and out[1]["unit_norm"] == 5.0
+    # zero vector: norm nullif -> NULL unit, no div-by-zero
+    assert out[2]["unit_norm"] is None
+    assert out[2]["unit"] is None or all(x is None for x in out[2]["unit"])
+
+
+def test_group_centroids_mean(spark):
+    from machine_learning_with_spark_streaming_spark.operators.similarity import group_centroids
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 10.0]), (0, [3.0, 30.0]), (1, [5.0, 7.0])],
+        "label int, embedding array<double>",
+    )
+    got = {
+        (r["grp"], r["pos"]): (r["n"], r["centroid"])
+        for r in group_centroids(df, "label").collect()
+    }
+    assert got[(0, 0)] == (2, 2.0) and got[(0, 1)] == (2, 20.0)
+    assert got[(1, 0)] == (1, 5.0) and got[(1, 1)] == (1, 7.0)
