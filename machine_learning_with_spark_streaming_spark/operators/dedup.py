@@ -842,3 +842,99 @@ def q_containment_pairs(spark, sf_dir):
     scratch."""
     corpus = corpus_with_contained(spark, sf_dir)
     return containment_pairs(corpus, max_shingle_df=50).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------- cross-source overlap matrix
+
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Corpus-level duplication analytics: shingle-set Jaccard between
+    every pair of sources — "how much does crawl A overlap crawl B",
+    the matrix that drives source-level dedup ordering and mixing
+    weights in corpus curation.
+
+    Pipeline: per-source DISTINCT shingle sets (explode + distinct on
+    ``(group, xxhash-free md5 60-bit shingle key)`` — 16-byte shuffle
+    rows, never shingle strings), per-source sizes, then a self-join on
+    the shingle key with ``group_a < group_b`` and a pair-count rollup.
+    With G sources a universal shingle fans out to G(G-1)/2 pairs —
+    bounded by the source count squared, not the corpus; for large G
+    apply the same stop-shingle DF cut as ``jaccard_candidates``. The
+    matrix itself is G^2 rows — driver-small at any corpus size."""
+    sh = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.split(normalize_text(text_col), " ").alias("__ws"),
+        )
+        .select("grp", F.explode(_grams_from_words(F.col("__ws"), n)).alias("s"))
+        .select("grp", md5_hash60(F.col("s")).alias("h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("grp").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.grp") < F.col("b.grp")))
+        .groupBy(F.col("a.grp").alias("grp_a"), F.col("b.grp").alias("grp_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("grp").alias("grp_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("grp").alias("grp_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "grp_a")
+        .join(F.broadcast(sb), "grp_b")
+        .select(
+            "grp_a",
+            "grp_b",
+            "n_common",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+_OVERLAP_ORACLE = f"""
+WITH words AS (
+  SELECT source AS grp, string_split({_NORM}, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT grp,
+         ('0x' || substr(md5(ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2]),
+                         1, 15))::BIGINT AS h
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g
+),
+sizes AS (SELECT grp, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.grp AS grp_a, b.grp AS grp_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.h = b.h AND a.grp < b.grp
+  GROUP BY 1, 2
+)
+SELECT grp_a, grp_b, CAST(n_common AS BIGINT) AS n_common,
+       round(CAST(n_common AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - n_common), 6) + 0.0 AS jaccard
+FROM inter
+JOIN sizes sa ON sa.grp = grp_a
+JOIN sizes sb ON sb.grp = grp_b
+ORDER BY 1, 2
+"""
+
+
+@register("dedup_source_overlap", oracle=_OVERLAP_ORACLE)
+def q_source_overlap(spark, sf_dir):
+    """Pairwise shingle-Jaccard between the 20 document sources."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return (
+        source_overlap_matrix(docs)
+        .select(
+            "grp_a",
+            "grp_b",
+            "n_common",
+            (F.col("jaccard") + 0.0).alias("jaccard"),
+        )
+        .orderBy("grp_a", "grp_b")
+    )

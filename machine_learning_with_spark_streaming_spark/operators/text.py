@@ -1555,3 +1555,87 @@ def q_hashed_quality_classifier(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------- tokenizer induction (BPE)
+
+BPE_TOP_PAIRS = 50
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide adjacent-character-pair statistics — the counting
+    step of a BPE tokenizer-training iteration (the merge choice is
+    ``argmax`` over exactly this table).
+
+    Scale shape: aggregate the corpus to a WORD-FREQUENCY table first
+    (the classic BPE trick — pair counting then runs over distinct
+    words x frequency, not over every token occurrence; web corpora
+    have ~1e6 distinct words vs ~1e12 tokens), then explode each
+    distinct word's adjacent pairs and sum frequencies. Two shuffles,
+    both on small keys (word, pair); everything JVM-side.
+
+    Returns (pair, n) — callers rank/limit; at scale the next merge
+    iteration rewrites the word table and re-runs."""
+    wf = (
+        df.select(F.explode(words(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # sequence(1, 0) counts DOWN in Spark (DuckDB's generate_series is
+    # empty) — clamp the stop and drop the 1-char "pair" a single-char
+    # word produces instead
+    pairs = wf.select(
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.length("w") - 1, F.lit(1))
+                    ),
+                    lambda i: F.substring(F.col("w"), i, F.lit(2)),
+                ),
+                lambda p: F.length(p) == 2,
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return pairs.groupBy("pair").agg(F.sum("freq").alias("n"))
+
+
+_BPE_ORACLE = f"""
+WITH wf AS (
+  SELECT w, count(*) AS freq
+  FROM (SELECT unnest({_WS}) AS w FROM documents)
+  GROUP BY 1
+),
+pairs AS (
+  SELECT substr(w, g.i, 2) AS pair, freq
+  FROM wf, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) g
+),
+counts AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pairs GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rank,
+       pair, n
+FROM counts
+ORDER BY 1
+LIMIT {BPE_TOP_PAIRS}
+"""
+
+
+@register("text_bpe_pair_counts", oracle=_BPE_ORACLE)
+def q_bpe_pair_counts(spark, sf_dir):
+    """Top-{BPE_TOP_PAIRS} adjacent character pairs (first BPE merge
+    iteration statistics) with deterministic (count desc, pair asc)
+    ranking."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from pyspark.sql import Window as W
+
+    ranked = bpe_pair_counts(docs).withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.col("n").desc(), F.col("pair"))),
+    )
+    return (
+        ranked.filter(F.col("rank") <= BPE_TOP_PAIRS)
+        .select("rank", "pair", "n")
+        .orderBy("rank")
+    )

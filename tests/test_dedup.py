@@ -196,3 +196,23 @@ def test_containment_catches_subsets_jaccard_misses(spark, sf_dir):
         (F.col("id_b") >= 300000) & (F.col("id_a") == F.col("id_b") - 300000)
     ).count()
     assert missed == 0
+
+
+def test_source_overlap_matrix_known_overlap(spark):
+    from machine_learning_with_spark_streaming_spark.operators.dedup import source_overlap_matrix
+
+    # srcA doc shares its full shingle set with one srcB doc; srcC disjoint
+    t = "w1 w2 w3 w4 w5"  # 3 shingles
+    rows = [
+        ("A", t),
+        ("B", t),
+        ("C", "z1 z2 z3 z4 z5"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r["grp_a"], r["grp_b"]): (r["n_common"], r["jaccard"])
+        for r in source_overlap_matrix(df).collect()
+    }
+    assert got[("A", "B")] == (3, 1.0)
+    assert ("A", "C") not in got  # zero-overlap pairs don't materialize
+    assert ("B", "A") not in got  # upper triangle only

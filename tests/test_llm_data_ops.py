@@ -551,3 +551,15 @@ def test_group_centroids_mean(spark):
     }
     assert got[(0, 0)] == (2, 2.0) and got[(0, 1)] == (2, 20.0)
     assert got[(1, 0)] == (1, 5.0) and got[(1, 1)] == (1, 7.0)
+
+
+def test_bpe_pair_counts_word_frequency_weighting(spark):
+    from machine_learning_with_spark_streaming_spark.operators.text import bpe_pair_counts
+
+    # "ab" x3 (docs) + "abc" x1 -> pair 'ab' = 4, 'bc' = 1; single-char
+    # word 'z' contributes nothing
+    df = spark.createDataFrame(
+        [(1, "ab ab z"), (2, "ab abc")], "doc_id long, text string"
+    )
+    got = {r["pair"]: r["n"] for r in bpe_pair_counts(df).collect()}
+    assert got == {"ab": 4, "bc": 1}
