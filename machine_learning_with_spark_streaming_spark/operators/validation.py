@@ -673,3 +673,106 @@ def observed_gate_metrics(condition: "F.Column") -> dict[str, "F.Column"]:
         "n_pass": F.sum(ok),
         "n_violations": F.sum(1 - ok),
     }
+
+
+# ------------------------------------------------- corpus snapshot diff
+
+def corpus_diff(
+    new: DataFrame,
+    old: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-level diff of two corpus snapshots: per-document status
+    ``added`` / ``removed`` / ``changed`` (unchanged rows are dropped —
+    at corpus scale they are ~all rows, and the diff must stay
+    join-output-sized, not corpus-sized).
+
+    Comparison is by md5 of normalized text, so the full-outer join
+    carries ``(id, 16-byte hash)`` rows, never document bodies — the
+    ingestion-pipeline shape for "what did this crawl refresh actually
+    change". Generalizes ``delta_rows`` (column compare) to
+    content-hash compare, and feeds ``incremental_dedup``'s fingerprint
+    maintenance.
+
+    Reference analog: the before/after row-set reconciliation of
+    pipeline/datavalidation.py, keyed on content rather than columns."""
+    from machine_learning_with_spark_streaming_spark.operators.dedup import normalize_text
+
+    n = new.select(
+        F.col(id_col).alias("id"), F.md5(normalize_text(text_col)).alias("h_new")
+    )
+    o = old.select(
+        F.col(id_col).alias("id"), F.md5(normalize_text(text_col)).alias("h_old")
+    )
+    j = n.join(o, "id", "full_outer")
+    return j.select(
+        "id",
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_new") != F.col("h_old"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    ).filter(F.col("status") != "unchanged")
+
+
+def _corpus_v2(spark, sf_dir):
+    """Deterministic second snapshot: doc_id % 10 == 0 removed,
+    doc_id % 7 == 0 rewritten, ids 500000+k (k<20) added."""
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = docs.filter(F.col("doc_id") % 10 != 0)
+    edited = kept.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2 edit"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.lit("new doc "), F.col("text")).alias("text"),
+    )
+    return edited.unionByName(added)
+
+
+_CORPUS_DIFF_ORACLE = """
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2 edit' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 != 0
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, 'new doc ' || text AS text
+  FROM documents WHERE doc_id < 20
+),
+n AS (SELECT doc_id AS id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h_new
+      FROM v2),
+o AS (SELECT doc_id AS id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h_old
+      FROM documents)
+SELECT CAST(coalesce(n.id, o.id) AS BIGINT) AS id,
+       CASE WHEN h_old IS NULL THEN 'added'
+            WHEN h_new IS NULL THEN 'removed'
+            WHEN h_new != h_old THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM n FULL OUTER JOIN o ON n.id = o.id
+WHERE (CASE WHEN h_old IS NULL THEN 'added'
+            WHEN h_new IS NULL THEN 'removed'
+            WHEN h_new != h_old THEN 'changed'
+            ELSE 'unchanged' END) != 'unchanged'
+ORDER BY 1
+"""
+
+
+@register("v9_corpus_diff", oracle=_CORPUS_DIFF_ORACLE)
+def q_corpus_diff(spark, sf_dir):
+    """Content-hash diff between the documents snapshot and a
+    deterministic v2 variant (10% removed, ~14% rewritten, 20 added)."""
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    old = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = _corpus_v2(spark, sf_dir)
+    return corpus_diff(new, old).orderBy("id")

@@ -199,6 +199,8 @@ def read_auto(spark: SparkSession, path: str, **kwargs) -> DataFrame:
         return read_csv(spark, path, **kwargs)
     if ext in (".parquet",):
         return spark.read.parquet(path)
+    if ext in (".orc",):
+        return spark.read.orc(path)
     if ext in (".json", ".jsonl"):
         return spark.read.json(path)
     if ext in (".xlsx", ".xlsm", ".xls"):

@@ -1,6 +1,7 @@
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from machine_learning_with_spark_streaming_spark.operators.validation import SchemaConformanceError
 from machine_learning_with_spark_streaming_spark.sources.files import (
@@ -441,3 +442,16 @@ def test_rollup_merge_preserves_null_sums(spark):
     }
     # SUM over all-NULL stays NULL through the merge (matches recompute)
     assert out == {("a", None), ("b", 1.0), ("c", 2.0)}
+
+
+def test_orc_roundtrip_via_read_auto(spark, tmp_path):
+    from machine_learning_with_spark_streaming_spark.sources.files import read_auto
+
+    out = str(tmp_path / "t.orc")
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    df.write.mode("overwrite").orc(out)
+    back = read_auto(spark, out)
+    assert back.count() == 100
+    assert {r["id"]: r["v"] for r in back.collect()} == {i: 2 * i for i in range(100)}
