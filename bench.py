@@ -83,6 +83,18 @@ EXTENDED += [
     "text_dsir_weights",
 ]
 
+# Added late round 3 (first driver-recorded in BENCH_r03): the
+# segment-rewrite dedup (explode-heavy), the hashed-linear quality
+# filter, the shingle-index source-overlap matrix, and the BPE pair
+# counter — the non-trivial plans among the late-r3 curation ops.
+EXTENDED += [
+    "dedup_segments_rewrite",
+    "text_quality_classifier",
+    "dedup_source_overlap",
+    "text_bpe_pair_counts",
+    "sample_range_layout",
+]
+
 
 def _sf_from_dir(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))

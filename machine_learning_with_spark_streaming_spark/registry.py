@@ -36,6 +36,7 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.operators.rollup_maintenance",
     "machine_learning_with_spark_streaming_spark.operators.skew",
     "machine_learning_with_spark_streaming_spark.operators.text",
+    "machine_learning_with_spark_streaming_spark.operators.sessions",
     "machine_learning_with_spark_streaming_spark.operators.pii",
     "machine_learning_with_spark_streaming_spark.operators.multimodal",
     "machine_learning_with_spark_streaming_spark.operators.codecs",
