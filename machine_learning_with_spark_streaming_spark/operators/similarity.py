@@ -481,3 +481,78 @@ def q_l2_normalize(spark, sf_dir):
         (F.round(F.col("unit_norm"), 6) + 0.0).alias("l2_norm"),
         (F.round(s / F.col("unit_norm"), 6) + 0.0).alias("unit_checksum"),
     ).orderBy("vec_id")
+
+
+# ------------------------------------------------- RAG retrieval serving
+
+def retrieve_documents(
+    corpus_emb: DataFrame,
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int = TOP_K,
+    snippet_chars: int = 80,
+) -> DataFrame:
+    """End-to-end retrieval: ANN top-k over the embedding corpus, then
+    join the winning ids back to the document store for the text
+    payload — the serving path a RAG stack runs per query batch.
+
+    Order of operations is the scale-critical part: ranking happens on
+    ``(query_id, neighbor_id, cos)`` ROWS ONLY; document text joins
+    AFTER the top-k cut, so the text shuffle is k-per-query, not
+    corpus-sized. The doc join keys on the corpus id (broadcast the
+    ranked side when the query batch is small — it's k*|queries| rows).
+
+    Returns (query_id, rank, doc_id, cos, snippet) — snippet is the
+    first ``snippet_chars`` of normalized text."""
+    from machine_learning_with_spark_streaming_spark.operators.dedup import normalize_text
+
+    ranked = topk_cosine(corpus_emb, queries, k=k)
+    snip = docs.select(
+        F.col("doc_id"),
+        F.substring(normalize_text("text"), 1, snippet_chars).alias("snippet"),
+    )
+    return (
+        F.broadcast(ranked)
+        .join(snip, ranked["neighbor_id"] == snip["doc_id"])
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            F.round("cos", 6).alias("cos"),
+            "snippet",
+        )
+    )
+
+
+_RAG_ORACLE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('q.embedding', 'c.embedding')} AS cos
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT CAST(r.query_id AS BIGINT) AS query_id, CAST(r.rank AS INT) AS rank,
+       CAST(d.doc_id AS BIGINT) AS doc_id, round(r.cos, 6) AS cos,
+       substr(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g'))), 1, 80)
+         AS snippet
+FROM ranked r JOIN documents d ON d.doc_id = r.neighbor_id
+WHERE r.rank <= {TOP_K}
+ORDER BY 1, 2
+"""
+
+
+@register("sim_rag_retrieve", oracle=_RAG_ORACLE)
+def q_rag_retrieve(spark, sf_dir):
+    """Retrieval serving path: cosine top-5 for 8 query vectors, joined
+    to document snippets after the rank cut."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    out = retrieve_documents(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), docs
+    )
+    return out.orderBy("query_id", "rank")

@@ -563,3 +563,21 @@ def test_bpe_pair_counts_word_frequency_weighting(spark):
     )
     got = {r["pair"]: r["n"] for r in bpe_pair_counts(df).collect()}
     assert got == {"ab": 4, "bc": 1}
+
+
+def test_retrieve_documents_snippet_join(spark):
+    from machine_learning_with_spark_streaming_spark.operators.similarity import retrieve_documents
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    docs = spark.createDataFrame(
+        [(1, "Doc  One"), (2, "Doc Two"), (3, "Doc Three")],
+        "doc_id long, text string",
+    )
+    out = retrieve_documents(
+        emb, emb.filter(F.col("vec_id") == 1), docs, k=2
+    ).orderBy("rank").collect()
+    assert [r["doc_id"] for r in out] == [2, 3]
+    assert out[0]["snippet"] == "doc two"  # normalized text
