@@ -1639,3 +1639,89 @@ def q_bpe_pair_counts(spark, sf_dir):
         .select("rank", "pair", "n")
         .orderBy("rank")
     )
+
+
+# ------------------------------------------------------- bigram LM score
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist_bigrams: bool = True,
+) -> DataFrame:
+    """Corpus-derived bigram LM score per document: mean ln P(w2 | w1)
+    with P = c(w1 w2) / c(w1 ·) — the n-gram upgrade of
+    :func:`unigram_logprob` on the exact two-pass plumbing its docstring
+    promises (KenLM-style gates are this with a bigger table and
+    backoff; an external LM plugs in as a (bigram, logp) table).
+
+    Self-derived conditional probabilities need no OOV smoothing; the
+    shuffles move the bigram VOCABULARY (groupBy with map-side partials)
+    and (id, 8-byte-ish keys) — never document bodies. Documents with
+    fewer than 2 words have no bigrams and are absent from the output.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    bg = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(text_col), " ").alias("__ws"),
+    ).select(
+        "id",
+        F.explode(_grams_from_words(F.col("__ws"), 2, distinct=False)).alias("bg"),
+    )
+    if persist_bigrams:
+        bg = bg.persist(StorageLevel.MEMORY_AND_DISK)
+    c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (
+        bg.select(F.substring_index("bg", " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    logp = (
+        c2.withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(c1, "w1")
+        .select("bg", F.log(F.col("c2") / F.col("c1")).alias("logp"))
+    )
+    return (
+        bg.join(logp, "bg")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("logp"), 4).alias("avg_logprob"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_bigrams").cast("int").alias("n_bigrams"),
+            "avg_logprob",
+        )
+    )
+
+
+_BIGRAM_ORACLE = f"""
+WITH wr AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+),
+bg AS (
+  SELECT doc_id, ws[g.i] || ' ' || ws[g.i+1] AS bg
+  FROM wr, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
+),
+c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+c1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM bg GROUP BY 1),
+logp AS (
+  SELECT c2.bg, ln(CAST(c2.c2 AS DOUBLE) / c1.c1) AS logp
+  FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1
+)
+SELECT CAST(bg.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS INT) AS n_bigrams,
+       round(avg(logp.logp), 4) AS avg_logprob
+FROM bg JOIN logp ON bg.bg = logp.bg
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("text_bigram_logprob", oracle=_BIGRAM_ORACLE)
+def q_bigram_logprob(spark, sf_dir):
+    """Bigram conditional-LM quality score over documents."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_logprob(docs).orderBy("doc_id")

@@ -351,3 +351,123 @@ def q_rolling_7d(spark, sf_dir):
         F.round("roll_sum", 2).alias("roll_sum_7d"),
         F.col("roll_cnt").alias("roll_cnt_7d"),
     ).orderBy("event_id")
+
+
+# -------------------------------------------------- SCD2 range compression
+
+def scd2_compress(
+    df: DataFrame,
+    key_col: str,
+    snapshot_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Compress a per-snapshot attribute series into SCD-type-2 validity
+    ranges: one row per (key, run of consecutive equal values), with
+    ``valid_from`` / ``valid_to`` (inclusive) and ``is_current``.
+
+    The warehouse twin of the reference's snapshot-versioned facts
+    (pipeline/datavalidation.py:237-257 tracks latest-vs-previous
+    snapshots; SCD2 is the general form). Change detection is a
+    null-safe ``lag`` compare + running sum over one per-key window; the
+    range rollup groups on ``(key, version)`` which REUSES the window
+    partitioning — like sessionize, one data shuffle end-to-end.
+    ``valid_to`` of the last version is NULL (open-ended)."""
+    w = Window.partitionBy(key_col).orderBy(snapshot_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    changed = F.when(
+        F.lag(value_col).over(w).isNull()
+        | ~F.col(value_col).eqNullSafe(F.lag(value_col).over(w)),
+        1,
+    ).otherwise(0)
+    versioned = df.withColumn("__ver", F.sum(changed).over(run))
+    ranges = versioned.groupBy(key_col, "__ver").agg(
+        # all values in a version are equal; min is the deterministic pick
+        F.min(value_col).alias(value_col),
+        F.min(snapshot_col).alias("valid_from"),
+        F.max(snapshot_col).alias("valid_to"),
+        F.count(F.lit(1)).alias("n_snapshots"),
+    )
+    wk = Window.partitionBy(key_col)
+    return ranges.withColumn(
+        "is_current",
+        (F.col("valid_to") == F.max("valid_to").over(wk)).cast("int"),
+    ).withColumn(
+        "valid_to",
+        F.when(F.col("is_current") == 1, F.lit(None)).otherwise(
+            F.col("valid_to")
+        ),
+    ).drop("__ver")
+
+
+_SCD2_ORACLE = """
+WITH series AS (
+  SELECT o_custkey AS custkey, date_trunc('month', o_orderdate) AS snap,
+         o_orderpriority AS prio, count(*) AS n
+  FROM orders GROUP BY 1, 2, 3
+),
+dominant AS (
+  SELECT custkey, snap, prio FROM (
+    SELECT custkey, snap, prio,
+           row_number() OVER (PARTITION BY custkey, snap
+                              ORDER BY n DESC, prio) AS rn
+    FROM series) WHERE rn = 1
+),
+flagged AS (
+  SELECT custkey, snap, prio,
+         CASE WHEN lag(prio) OVER w IS NULL OR prio != lag(prio) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM dominant WINDOW w AS (PARTITION BY custkey ORDER BY snap)
+),
+versioned AS (
+  SELECT custkey, snap, prio,
+         sum(chg) OVER (PARTITION BY custkey ORDER BY snap
+                        ROWS UNBOUNDED PRECEDING) AS ver
+  FROM flagged
+),
+ranges AS (
+  SELECT custkey, ver, min(prio) AS prio,
+         min(snap) AS valid_from, max(snap) AS valid_to,
+         CAST(count(*) AS BIGINT) AS n_snapshots
+  FROM versioned GROUP BY 1, 2
+)
+SELECT CAST(custkey AS BIGINT) AS custkey, prio,
+       CAST(valid_from AS DATE) AS valid_from,
+       CASE WHEN valid_to = max(valid_to) OVER (PARTITION BY custkey)
+            THEN NULL ELSE CAST(valid_to AS DATE) END AS valid_to,
+       n_snapshots,
+       CAST(valid_to = max(valid_to) OVER (PARTITION BY custkey) AS INT)
+         AS is_current
+FROM ranges
+ORDER BY 1, valid_from
+"""
+
+
+@register("w7_scd2_ranges", oracle=_SCD2_ORACLE)
+def q_scd2_ranges(spark, sf_dir):
+    """SCD2 validity ranges for each customer's dominant monthly order
+    priority (deterministic mode: count desc, priority asc)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    series = orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.date_trunc("month", "o_orderdate").alias("snap"),
+        F.col("o_orderpriority").alias("prio"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wd = Window.partitionBy("custkey", "snap").orderBy(
+        F.col("n").desc(), F.col("prio")
+    )
+    dominant = (
+        series.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("custkey", "snap", "prio")
+    )
+    out = scd2_compress(dominant, "custkey", "snap", "prio")
+    return out.select(
+        "custkey",
+        "prio",
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+        "n_snapshots",
+        "is_current",
+    ).orderBy("custkey", "valid_from")

@@ -581,3 +581,32 @@ def test_retrieve_documents_snippet_join(spark):
     ).orderBy("rank").collect()
     assert [r["doc_id"] for r in out] == [2, 3]
     assert out[0]["snippet"] == "doc two"  # normalized text
+
+
+def test_bigram_logprob_conditional(spark):
+    import math
+
+    from machine_learning_with_spark_streaming_spark.operators.text import bigram_logprob
+
+    # corpus bigrams: "a b" x2, "a c" x1, "b a" x1, "c a" x1 (via two docs)
+    # P(b|a)=2/3, P(c|a)=1/3, P(a|b)=1, P(a|c)=1
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    # doc 2: one bigram "a b" -> ln(2/3)
+    assert out[2]["n_bigrams"] == 1
+    assert abs(out[2]["avg_logprob"] - round(math.log(2 / 3), 4)) < 1e-9
+    # doc 1: bigrams a b, b a, a c -> mean(ln 2/3, ln 1, ln 1/3)
+    want = (math.log(2 / 3) + 0.0 + math.log(1 / 3)) / 3
+    assert abs(out[1]["avg_logprob"] - round(want, 4)) < 1e-3
+
+
+def test_bigram_logprob_short_docs_absent(spark):
+    from machine_learning_with_spark_streaming_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two words")], "doc_id long, text string"
+    )
+    ids = {r["doc_id"] for r in bigram_logprob(df).collect()}
+    assert ids == {2}

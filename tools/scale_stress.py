@@ -65,6 +65,13 @@ QUERIES = [
     # late round-3 additions
     "text_dsir_weights",
     "dedup_semantic",
+    "dedup_segments_rewrite",
+    "text_quality_classifier",
+    "dedup_source_overlap",
+    "text_bpe_pair_counts",
+    "s12_sessionize",
+    "s13_funnel_reach",
+    "s14_cohort_retention",
     "sim_ann_recall",
     "diag_key_skew",
 ]
