@@ -776,3 +776,95 @@ def q_corpus_diff(spark, sf_dir):
     old = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     new = _corpus_v2(spark, sf_dir)
     return corpus_diff(new, old).orderBy("id")
+
+
+# ---------------------------------------------------- column profiling
+
+def column_profile(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Deequ-style single-pass column profile: for each named column,
+    ``(column, n_rows, n_null, n_distinct, min_str, max_str)``.
+
+    All per-column statistics compute in ONE aggregate scan (map-side
+    partials; adding a column adds expressions, not passes) — the same
+    single-pass contract as ``constraint_report``. ``count(DISTINCT)``
+    is exact here because the profile is a certification surface; the
+    100 TB variant swaps in ``approx_count_distinct`` (HLL++, already
+    certified via a13) per column with no shape change. Min/max render
+    as strings so heterogeneous column types share one report schema.
+
+    The unpivot to rows happens on the single aggregate row."""
+    if not columns:
+        raise ValueError("column_profile needs at least one column")
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            # min/max on the NATIVE type, cast after — a pre-cast min
+            # would order "10.0" < "9.0" lexicographically
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__null_{c}").alias("n_null"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_str"),
+                F.col(f"__max_{c}").alias("max_str"),
+            )
+            for c in columns
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+_PROFILE_COLS = ["l_returnflag", "l_quantity", "l_shipdate", "l_linestatus"]
+
+_PROFILE_ORACLE = """
+WITH agg AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_rf,
+         count(DISTINCT l_returnflag) AS nd_rf,
+         CAST(min(l_returnflag) AS VARCHAR) AS min_rf,
+         CAST(max(l_returnflag) AS VARCHAR) AS max_rf,
+         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_q,
+         count(DISTINCT l_quantity) AS nd_q,
+         CAST(min(l_quantity) AS VARCHAR) AS min_q,
+         CAST(max(l_quantity) AS VARCHAR) AS max_q,
+         sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_d,
+         count(DISTINCT l_shipdate) AS nd_d,
+         CAST(min(l_shipdate) AS VARCHAR) AS min_d,
+         CAST(max(l_shipdate) AS VARCHAR) AS max_d,
+         sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS null_c,
+         count(DISTINCT l_linestatus) AS nd_c,
+         CAST(min(l_linestatus) AS VARCHAR) AS min_c,
+         CAST(max(l_linestatus) AS VARCHAR) AS max_c
+  FROM lineitem
+)
+SELECT * FROM (
+  SELECT 'l_returnflag' AS column, CAST(n AS BIGINT) AS n_rows,
+         CAST(null_rf AS BIGINT) AS n_null, CAST(nd_rf AS BIGINT) AS n_distinct,
+         min_rf AS min_str, max_rf AS max_str FROM agg
+  UNION ALL
+  SELECT 'l_quantity', CAST(n AS BIGINT), CAST(null_q AS BIGINT),
+         CAST(nd_q AS BIGINT), min_q, max_q FROM agg
+  UNION ALL
+  SELECT 'l_shipdate', CAST(n AS BIGINT), CAST(null_d AS BIGINT),
+         CAST(nd_d AS BIGINT), min_d, max_d FROM agg
+  UNION ALL
+  SELECT 'l_linestatus', CAST(n AS BIGINT), CAST(null_c AS BIGINT),
+         CAST(nd_c AS BIGINT), min_c, max_c FROM agg
+)
+ORDER BY 1
+"""
+
+
+@register("v10_column_profile", oracle=_PROFILE_ORACLE)
+def q_column_profile(spark, sf_dir):
+    """Single-pass profile of four heterogeneous lineitem columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return column_profile(li, _PROFILE_COLS).orderBy("column")

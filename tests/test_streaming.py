@@ -226,3 +226,76 @@ def test_foreach_batch_upsert_latest_wins(spark, tmp_path):
     sink(b2, 2)
     rows2 = {r["k"]: tuple(r) for r in spark.read.parquet(target).collect()}
     assert rows2 == {k: tuple(r) for k, r in rows.items()}
+
+
+def test_watermark_drops_late_rows_accounted(spark, tmp_path):
+    """Late-data contract, observed for real: a row older than the
+    gating watermark is DROPPED by the stateful aggregate and the drop
+    is visible in numRowsDroppedByWatermark — the accounting a
+    production pipeline alerts on.
+
+    Two Spark subtleties this test pins down (measured, Spark 4.1):
+    - the watermark GATING batch N is the one computed at the END of
+      batch N-1; the value in batch N's progress is end-of-batch-N. A
+      straggler therefore survives one extra micro-batch before the
+      cutoff applies (watermark dropping is documented best-effort) —
+      hence three files: on-time, filler, then the late row.
+    - append mode is where expired windows stop accepting input; update
+      mode keeps absorbing late rows into still-open state.
+    Files replay in mtime order, one per trigger."""
+    import json
+    import os
+    import time
+
+    stage = tmp_path / "stage"
+    stage.mkdir()
+
+    def mk(rows):
+        return (
+            spark.createDataFrame(rows, ["ts_s", "event_type", "value"])
+            .withColumn("ts", F.to_timestamp("ts_s"))
+            .drop("ts_s")
+        )
+
+    batches = [
+        mk([("2024-01-01 02:00:00", "click", 1.0),
+            ("2024-01-01 02:10:00", "click", 2.0)]),      # advances watermark
+        mk([("2024-01-01 02:20:00", "click", 4.0)]),      # filler batch
+        mk([("2024-01-01 00:00:00", "click", 100.0)]),    # 2 h late
+    ]
+    now = time.time()
+    for i, df in enumerate(batches, 1):
+        f = str(stage / f"b{i}")
+        df.coalesce(1).write.parquet(f)
+        for root, _d, files in os.walk(f):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (now - 180 + i * 60,) * 2)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage) + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.sum("value").alias("value_sum"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_acct")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = 0
+    for p in q.recentProgress:
+        d = json.loads(p.json)
+        for op in d.get("stateOperators", []):
+            dropped += int(op.get("numRowsDroppedByWatermark", 0))
+    assert dropped >= 1, "late row was not dropped by the watermark"
+    rows = spark.sql("select * from late_acct").collect()
+    # the late row's 100.0 must not appear in any window sum
+    assert all(r["value_sum"] < 100.0 for r in rows)

@@ -173,3 +173,27 @@ def test_observe_metrics_empty_dict_raises(spark):
 
     with pytest.raises(ValueError):
         observe_metrics(spark.range(1), "x", {})
+
+
+def test_column_profile_native_type_minmax(spark):
+    from machine_learning_with_spark_streaming_spark.operators.validation import column_profile
+
+    df = spark.createDataFrame(
+        [(9.0, "b"), (10.0, None), (2.0, "a")], "v double, s string"
+    )
+    got = {r["column"]: r for r in column_profile(df, ["v", "s"]).collect()}
+    # min/max on the NATIVE type: 2.0 < 10.0 numerically even though
+    # "10.0" < "2.0" lexicographically
+    assert (got["v"]["min_str"], got["v"]["max_str"]) == ("2.0", "10.0")
+    assert got["v"]["n_null"] == 0 and got["v"]["n_distinct"] == 3
+    assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["s"]["n_rows"] == 3
+
+
+def test_column_profile_empty_columns_raises(spark):
+    import pytest
+
+    from machine_learning_with_spark_streaming_spark.operators.validation import column_profile
+
+    with pytest.raises(ValueError):
+        column_profile(spark.range(1), [])
