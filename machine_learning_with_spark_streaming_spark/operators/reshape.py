@@ -181,3 +181,97 @@ def q_snapshot_trim(spark, sf_dir):
     return out.select(
         "snapshot_month", "priority", F.round("total_price", 2).alias("total_price")
     ).orderBy("snapshot_month", "priority")
+
+
+# ------------------------------------------------ time-series gap filling
+
+def gap_fill_locf(
+    df,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+):
+    """Densify a per-key daily time series and forward-fill missing
+    days (last observation carried forward) — the gap-filling operator
+    time-series stores bolt onto sparse event data.
+
+    Grid generation is ``sequence(min_day, max_day, 1 day)`` per key —
+    an ARRAY expression exploded map-side, no driver ranges, no cross
+    join against a global calendar (each key densifies only its own
+    active span). The fill is ``last(value, ignoreNulls)`` over the
+    per-key ordered window; one shuffle on the key partitions both the
+    join and the window. ``observed`` flags real vs carried rows.
+
+    Reference analog: the week-calendar densification of
+    myConversionsClass.py:549-563, generalized to arbitrary keys with
+    carry-forward instead of factor disaggregation."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    obs = (
+        df.select(F.col(key_col).alias("k"), day.alias("d"),
+                  F.col(value_col).alias("v"))
+        .groupBy("k", "d")
+        .agg(F.sum("v").alias("v"))
+    )
+    spine = (
+        obs.groupBy("k")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "k",
+            F.explode(
+                F.sequence(
+                    F.col("d0"), F.col("d1"), F.expr("interval 1 day")
+                )
+            ).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = spine.join(obs, ["k", "d"], "left")
+    return joined.select(
+        F.col("k").alias(key_col),
+        F.col("d").alias("day"),
+        F.col("v").isNotNull().cast("int").alias("observed"),
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+_GAP_FILL_ORACLE = """
+WITH obs AS (
+  SELECT user_id AS k, CAST(date_trunc('day', ts) AS DATE) AS d,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT k, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM (SELECT k, min(d) AS d0, max(d) AS d1 FROM obs GROUP BY 1)
+),
+joined AS (
+  SELECT s.k, s.d, o.v FROM spine s LEFT JOIN obs o ON s.k = o.k AND s.d = o.d
+)
+SELECT CAST(k AS BIGINT) AS user_id, d AS day,
+       CAST(v IS NOT NULL AS INT) AS observed,
+       round(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY k ORDER BY d ROWS UNBOUNDED PRECEDING), 2) + 0.0
+         AS filled_value
+FROM joined
+ORDER BY 1, 2
+"""
+
+
+@register("r5_gap_fill_locf", oracle=_GAP_FILL_ORACLE)
+def q_gap_fill_locf(spark, sf_dir):
+    """Daily per-user value series, densified over each user's active
+    span with carry-forward fill."""
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = gap_fill_locf(ev, "user_id", "ts", "value")
+    return out.select(
+        "user_id",
+        "day",
+        "observed",
+        (F.round("filled_value", 2) + 0.0).alias("filled_value"),
+    ).orderBy("user_id", "day")

@@ -800,3 +800,118 @@ def q_range_layout(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+# ----------------------------------------------------- Z-order layout
+
+ZORDER_BITS = 16
+
+
+def zorder_value(
+    a: "F.Column", b: "F.Column", a_min, a_max, b_min, b_max,
+    bits: int = ZORDER_BITS,
+) -> "F.Column":
+    """Morton (Z-order) interleave of two integer columns, each first
+    rank-scaled to ``[0, 2^bits)`` with EXACT integer arithmetic
+    (``(v - min) * (2^bits - 1) // (max - min)``) — deterministic and
+    engine-portable (the DuckDB oracle runs the same shifts).
+
+    Sorting by this value clusters rows that are close in BOTH
+    dimensions, so parquet min/max stats prune scans filtered on either
+    column — the lakehouse OPTIMIZE ZORDER layout, as a plain column
+    expression. Bounds arrive as literals/columns (compute once via an
+    aggregate and broadcast, like range_shard_assignment)."""
+    span_a = F.greatest(a_max - a_min, F.lit(1))
+    span_b = F.greatest(b_max - b_min, F.lit(1))
+    sa = ((a - a_min) * ((1 << bits) - 1) / span_a).cast("long")
+    sb = ((b - b_min) * ((1 << bits) - 1) / span_b).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        # Column | Column is boolean OR; bitwiseOR is the integer one
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(sa, i) % 2, 2 * i + 1)
+        ).bitwiseOR(F.shiftleft(F.shiftrightunsigned(sb, i) % 2, 2 * i))
+    return z
+
+
+def zorder_frame(
+    df: DataFrame, col_a: str, col_b: str, bits: int = ZORDER_BITS
+) -> DataFrame:
+    """``df`` plus a ``zval`` column; bounds computed in-plan (one
+    aggregate, broadcast cross join — no driver collect)."""
+    bounds = df.agg(
+        F.min(col_a).alias("__amin"),
+        F.max(col_a).alias("__amax"),
+        F.min(col_b).alias("__bmin"),
+        F.max(col_b).alias("__bmax"),
+    )
+    j = df.crossJoin(F.broadcast(bounds))
+    return j.withColumn(
+        "zval",
+        zorder_value(
+            F.col(col_a), F.col(col_b),
+            F.col("__amin"), F.col("__amax"),
+            F.col("__bmin"), F.col("__bmax"),
+            bits,
+        ),
+    ).drop("__amin", "__amax", "__bmin", "__bmax")
+
+
+_Z_BUCKET_SHIFT = 2 * ZORDER_BITS - 6  # top 6 bits -> 64 buckets
+
+_ZORDER_ORACLE = f"""
+WITH bounds AS (
+  SELECT min(l_partkey) AS amin, max(l_partkey) AS amax,
+         min(l_suppkey) AS bmin, max(l_suppkey) AS bmax
+  FROM lineitem
+),
+scaled AS (
+  SELECT ((l_partkey - amin) * {(1 << ZORDER_BITS) - 1})
+           // greatest(amax - amin, 1) AS sa,
+         ((l_suppkey - bmin) * {(1 << ZORDER_BITS) - 1})
+           // greatest(bmax - bmin, 1) AS sb,
+         l_partkey, l_suppkey
+  FROM lineitem, bounds
+),
+z AS (
+  SELECT l_partkey, l_suppkey,
+         {" | ".join(
+             f"((sa >> {i}) % 2 << {2 * i + 1}) | ((sb >> {i}) % 2 << {2 * i})"
+             for i in range(ZORDER_BITS)
+         )} AS zval
+  FROM scaled
+)
+SELECT CAST(zval >> {_Z_BUCKET_SHIFT} AS INT) AS zbucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(l_partkey) AS BIGINT) AS min_part,
+       CAST(max(l_partkey) AS BIGINT) AS max_part,
+       CAST(min(l_suppkey) AS BIGINT) AS min_supp,
+       CAST(max(l_suppkey) AS BIGINT) AS max_supp
+FROM z
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("sample_zorder_layout", oracle=_ZORDER_ORACLE)
+def q_zorder_layout(spark, sf_dir):
+    """Z-order interleave of (l_partkey, l_suppkey): per-top-6-bit
+    bucket counts and per-dimension ranges certify the full Morton
+    arithmetic cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    z = zorder_frame(li, "l_partkey", "l_suppkey")
+    return (
+        z.groupBy(
+            F.shiftrightunsigned("zval", _Z_BUCKET_SHIFT)
+            .cast("int")
+            .alias("zbucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+        .orderBy("zbucket")
+    )

@@ -293,3 +293,47 @@ def test_write_range_sorted_layout(spark, tmp_path):
     spans.sort()
     for (_, hi), (lo, _) in zip(spans, spans[1:]):
         assert hi <= lo  # file key ranges never overlap -> prunable
+
+
+def test_zorder_improves_secondary_dimension_skipping(spark, tmp_path):
+    import os
+
+    from machine_learning_with_spark_streaming_spark.operators.sampling import zorder_frame
+
+    # grid data where partkey and suppkey are independent: sorting by
+    # partkey alone leaves suppkey spanning its full range in EVERY
+    # file; z-order must shrink the per-file suppkey span
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("l_partkey"),
+        (F.col("id") / 64).cast("long").alias("l_suppkey"),
+    )
+
+    def spans(out_dir, order_col):
+        files = [
+            os.path.join(out_dir, f)
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        ]
+        total = 0.0
+        for fp in files:
+            rows = spark.read.parquet(fp).agg(
+                F.min("l_suppkey"), F.max("l_suppkey")
+            ).collect()[0]
+            total += rows[1] - rows[0]
+        return total / len(files)
+
+    plain = str(tmp_path / "plain")
+    df.repartitionByRange(16, "l_partkey").sortWithinPartitions(
+        "l_partkey"
+    ).write.parquet(plain)
+
+    zed = str(tmp_path / "zorder")
+    zorder_frame(df, "l_partkey", "l_suppkey").repartitionByRange(
+        16, "zval"
+    ).sortWithinPartitions("zval").drop("zval").write.parquet(zed)
+
+    span_plain = spans(plain, "l_partkey")
+    span_z = spans(zed, "zval")
+    # partkey-sorted files see ~the full 0-63 suppkey range; z-ordered
+    # files must cut that span at least in half
+    assert span_z <= span_plain / 2, (span_z, span_plain)
