@@ -400,3 +400,70 @@ def q_group_percentiles(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# ------------------------------------------------- equi-width histogram
+
+N_HIST_BINS = 20
+
+
+def equi_width_histogram(
+    df: DataFrame, value_col: str, n_bins: int = N_HIST_BINS
+) -> DataFrame:
+    """Distributed equi-width histogram: bounds from one min/max
+    aggregate (broadcast back in-plan), bin assignment as a map-only
+    expression, counts via groupBy — two scans, no driver-side binning.
+    The max value lands in the last bin (half-open bins, closed top).
+
+    Complements the percentile machinery (a14 exact, a13 sketch): the
+    histogram is the profile view, percentiles are the quantile view.
+    """
+    bounds = df.agg(
+        F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
+    )
+    j = df.crossJoin(F.broadcast(bounds))
+    span = F.greatest(F.col("__hi") - F.col("__lo"), F.lit(1e-300))
+    raw = F.floor((F.col(value_col) - F.col("__lo")) / span * n_bins)
+    bin_idx = F.least(raw, F.lit(n_bins - 1)).cast("int")
+    return (
+        j.withColumn("bin", bin_idx)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min(value_col), 2).alias("bin_min"),
+            F.round(F.max(value_col), 2).alias("bin_max"),
+        )
+    )
+
+
+_HIST_ORACLE = f"""
+WITH bounds AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+),
+binned AS (
+  SELECT least(CAST(floor((o_totalprice - lo)
+                 / greatest(hi - lo, 1e-300) * {N_HIST_BINS}) AS INT),
+               {N_HIST_BINS - 1}) AS bin,
+         o_totalprice
+  FROM orders, bounds
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       round(min(o_totalprice), 2) + 0.0 AS bin_min,
+       round(max(o_totalprice), 2) + 0.0 AS bin_max
+FROM binned
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("a17_equi_width_histogram", oracle=_HIST_ORACLE)
+def q_equi_width_histogram(spark, sf_dir):
+    """20-bin histogram of order totals."""
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    h = equi_width_histogram(orders, "o_totalprice")
+    return h.select(
+        "bin",
+        "n",
+        (F.col("bin_min") + 0.0).alias("bin_min"),
+        (F.col("bin_max") + 0.0).alias("bin_max"),
+    ).orderBy("bin")

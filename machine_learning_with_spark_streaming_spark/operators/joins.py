@@ -738,3 +738,129 @@ def q_inlist_pushdown_join(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# ------------------------------------------- SymSpell fuzzy (typo) join
+
+def _deletion_variants(col: Column) -> Column:
+    """``{s} ∪ {s with char i removed}`` as a distinct array — the
+    SymSpell deletion neighborhood for edit distance 1, from array
+    expressions (no UDF)."""
+    dels = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(col), F.lit(1))),
+        lambda i: F.concat(
+            F.substring(col, F.lit(1), (i - 1).cast("int")),
+            F.substring(col, (i + 1).cast("int"), F.length(col)),
+        ),
+    )
+    return F.array_distinct(F.concat(F.array(col), dels))
+
+
+def symspell_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Fuzzy equi-joinable typo matching (SymSpell blocking): both
+    sides explode their deletion neighborhoods, candidates come from an
+    EXACT join on the md5-hashed variant, and a final
+    ``levenshtein() <= max_dist`` verifies. Edit-distance-1 pairs
+    (substitution, insertion, deletion, or exact) always share a
+    variant, so recall is exact for ``max_dist=1``.
+
+    Scale shape: neighborhood size is |s|+1 per row (array explode,
+    map-side), the candidate join shuffles 8-byte hashes, and the
+    verify runs only on candidates — never |L|x|R|. The classic
+    entity-resolution/typo-dedup join Spark lacks as a built-in.
+    Reference analog: the key-normalization joins of pipeline/lib.py
+    (zfill/strip before merge), upgraded from normalize-then-exact to
+    tolerate real typos."""
+    from machine_learning_with_spark_streaming_spark.operators.dedup import md5_hash60
+
+    lv = left.select(
+        F.col(left_col).alias("__ls"),
+        F.explode(_deletion_variants(F.col(left_col))).alias("__v"),
+        *[c for c in left.columns if c != left_col],
+    ).select(
+        "*", md5_hash60(F.col("__v")).alias("__h")
+    ).drop("__v")
+    rv = right.select(
+        F.col(right_col).alias("__rs"),
+        F.explode(_deletion_variants(F.col(right_col))).alias("__v"),
+        *[c for c in right.columns if c != right_col],
+    ).select(
+        "*", md5_hash60(F.col("__v")).alias("__h")
+    ).drop("__v")
+    cand = lv.join(rv, "__h").drop("__h").distinct()
+    return (
+        cand.withColumn("dist", F.levenshtein("__ls", "__rs"))
+        .filter(F.col("dist") <= max_dist)
+        .withColumnRenamed("__ls", left_col)
+        .withColumnRenamed("__rs", right_col + "_matched")
+    )
+
+
+_FUZZY_ORACLE = """
+WITH dirty AS (
+  SELECT c_custkey AS dirty_key,
+         substr(c_name, 1, c_custkey % length(c_name))
+           || substr(c_name, c_custkey % length(c_name) + 2) AS dirty_name
+  FROM customer
+),
+lv AS (
+  SELECT dirty_key, dirty_name,
+         substr(dirty_name, 1, g.i - 1) || substr(dirty_name, g.i + 1) AS v
+  FROM dirty, LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(dirty_name), 1))) AS i) g
+  UNION
+  SELECT dirty_key, dirty_name, dirty_name AS v FROM dirty
+),
+rv AS (
+  SELECT c_custkey AS clean_key, c_name,
+         substr(c_name, 1, g.i - 1) || substr(c_name, g.i + 1) AS v
+  FROM customer, LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(c_name), 1))) AS i) g
+  UNION
+  SELECT c_custkey, c_name, c_name AS v FROM customer
+),
+cand AS (
+  SELECT DISTINCT dirty_key, dirty_name, clean_key, c_name
+  FROM lv JOIN rv ON lv.v = rv.v
+)
+SELECT CAST(dirty_key AS BIGINT) AS dirty_key,
+       CAST(clean_key AS BIGINT) AS clean_key,
+       CAST(levenshtein(dirty_name, c_name) AS INT) AS dist
+FROM cand
+WHERE levenshtein(dirty_name, c_name) <= 1
+ORDER BY 1, 2
+"""
+
+
+@register("j15_fuzzy_symspell_join", oracle=_FUZZY_ORACLE)
+def q_fuzzy_symspell_join(spark, sf_dir):
+    """Entity resolution under typos: customers with one
+    deterministically deleted character fuzzy-join back to the clean
+    roster via SymSpell deletion-neighborhood blocking + levenshtein
+    verify."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pos = F.col("c_custkey") % F.length("c_name")
+    dirty = cust.select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.concat(
+            F.substring(F.col("c_name"), F.lit(1), pos.cast("int")),
+            F.substring(
+                F.col("c_name"), (pos + 2).cast("int"), F.length("c_name")
+            ),
+        ).alias("dirty_name"),
+    )
+    clean = cust.select(
+        F.col("c_custkey").alias("clean_key"), F.col("c_name")
+    )
+    out = symspell_join(dirty, clean, "dirty_name", "c_name", max_dist=1)
+    return out.select(
+        "dirty_key",
+        "clean_key",
+        F.col("dist").cast("int").alias("dist"),
+    ).orderBy("dirty_key", "clean_key")

@@ -915,3 +915,65 @@ def q_zorder_layout(spark, sf_dir):
         )
         .orderBy("zbucket")
     )
+
+
+# ----------------------------------- weighted sampling w/o replacement
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Efraimidis–Spirakis A-ES weighted sampling WITHOUT replacement:
+    each row draws a key ``u^(1/w)`` (equivalently ``ln(u)/w``, used
+    here for numeric stability) and the global top-k keys win — the
+    distributed one-pass algorithm for "pick k docs biased by length /
+    quality score, never twice".
+
+    ``u`` derives from the md5 hash gate (``(h60+1)/(2^60+1)`` ∈ (0,1]),
+    NOT a PRNG — so membership is a pure function of ``(key, seed)``:
+    reproducible across runs, partitionings, and engines, like every
+    sampler in this module. Selection is ``orderBy(desc).limit(k)`` —
+    Spark plans TakeOrdered (per-partition top-k + driver merge of k
+    per partition, no global sort). Zero/negative weights are clamped
+    to a tiny epsilon (they effectively never win)."""
+    h = md5_hash60(
+        F.concat(F.col(key_col).cast("string"), F.lit(f"#wsamp{seed}"))
+    )
+    u = (h + F.lit(1)).cast("double") / F.lit(float((1 << 60) + 1))
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1e-12))
+    key = F.log(u) / w
+    return (
+        df.withColumn("__k", key)
+        .orderBy(F.col("__k").desc())
+        .limit(k)
+        .drop("__k")
+    )
+
+
+_WSAMP_K = 50
+
+_WSAMP_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#wsamp0'),
+              1, 15))::BIGINT + 1) / {float((1 << 60) + 1)!r})
+           / greatest(CAST(n_chars AS DOUBLE), 1e-12) AS k
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM keyed
+ORDER BY k DESC
+LIMIT {_WSAMP_K}
+"""
+
+
+@register("sample_weighted_no_replacement", oracle=_WSAMP_ORACLE)
+def q_weighted_sample_without_replacement(spark, sf_dir):
+    """Top-50 A-ES weighted sample of documents, weight = n_chars; the
+    selected id set is compared cross-engine (order-insensitive)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = weighted_sample_without_replacement(docs, _WSAMP_K, "n_chars")
+    return out.orderBy("doc_id")

@@ -206,3 +206,24 @@ def test_asof_join_salted_equals_plain(spark):
                 ).collect()
             }
             assert salted == plain, (strict, bucket_sec)
+
+
+def test_symspell_join_covers_all_edit1_kinds(spark):
+    from machine_learning_with_spark_streaming_spark.operators.joins import symspell_join
+
+    clean = spark.createDataFrame(
+        [(1, "spark")], "clean_key long, name string"
+    )
+    dirty = spark.createDataFrame(
+        [
+            (10, "spark"),   # exact
+            (11, "spork"),   # substitution
+            (12, "sparkk"),  # insertion
+            (13, "spak"),    # deletion
+            (14, "hadoop"),  # unrelated -> no match
+        ],
+        "dirty_key long, dname string",
+    )
+    out = symspell_join(dirty, clean, "dname", "name", max_dist=1)
+    got = {(r["dirty_key"], r["dist"]) for r in out.collect()}
+    assert got == {(10, 0), (11, 1), (12, 1), (13, 1)}

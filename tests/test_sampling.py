@@ -337,3 +337,25 @@ def test_zorder_improves_secondary_dimension_skipping(spark, tmp_path):
     # partkey-sorted files see ~the full 0-63 suppkey range; z-ordered
     # files must cut that span at least in half
     assert span_z <= span_plain / 2, (span_z, span_plain)
+
+
+def test_weighted_sample_without_replacement_properties(spark, sf_dir):
+    from machine_learning_with_spark_streaming_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    a = {r["doc_id"] for r in
+         weighted_sample_without_replacement(docs, 30, "n_chars").collect()}
+    b = {r["doc_id"] for r in
+         weighted_sample_without_replacement(
+             docs.repartition(7), 30, "n_chars").collect()}
+    assert len(a) == 30 and a == b  # no replacement + partition-invariant
+    c = {r["doc_id"] for r in
+         weighted_sample_without_replacement(docs, 30, "n_chars", seed=1).collect()}
+    assert a != c  # seed changes the draw
+    # weight bias: sampled docs skew long (mean above corpus mean)
+    stats = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    corpus_mean = sum(stats.values()) / len(stats)
+    sample_mean = sum(stats[d] for d in a) / len(a)
+    assert sample_mean > corpus_mean
