@@ -491,3 +491,68 @@ def q_upsert_latest_stream(spark, sf_dir):
     )
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+_STREAM_STATIC_ORACLE = """
+SELECT c.c_mktsegment AS segment, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 2) AS value_sum
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("s11_stream_static_join_stream", oracle=_STREAM_STATIC_ORACLE)
+def q_stream_static_join_stream(spark, sf_dir):
+    """§2.10/J2 on a stream: dimension enrichment of a REAL 4-micro-
+    batch event stream via a stream-static join (the static customer
+    dim broadcasts into every micro-batch — no state store involved;
+    Catalyst plans each batch like the batch join), aggregated in
+    complete mode. Oracle = the stateless batch join + rollup.
+
+    The scale contract: the stream side never shuffles for the join
+    (broadcast dim), and state exists only for the aggregation — the
+    standard shape for keyed stream enrichment at 100 TB/day ingest.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    work = tempfile.mkdtemp(prefix="mlwss_streamstatic_")
+    stage, ckpt = f"{work}/stage", f"{work}/ckpt"
+    events.select("user_id", "event_type", "value").repartition(4).write.parquet(
+        stage
+    )
+    stream = (
+        spark.readStream.schema("user_id bigint, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    joined = stream.join(
+        F.broadcast(cust), stream["user_id"] == cust["c_custkey"]
+    )
+    agg = joined.groupBy(
+        F.col("c_mktsegment").alias("segment"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+    sink = f"stream_static_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    mem = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    shutil.rmtree(work, ignore_errors=True)
+    return mem.orderBy("segment", "event_type")
