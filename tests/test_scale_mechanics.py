@@ -180,3 +180,54 @@ def test_inlist_pushdown_reaches_fact_scan(spark, sf_dir):
     plan2 = capped._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan2 and "Broadcast" in plan2
     assert pushed.count() == capped.count()
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Catalyst's InjectRuntimeFilter adds a bloom-filter semi-filter on
+    the fact side of a selective shuffle join (`might_contain(...)` fed
+    by a `bloom_filter_agg` subquery on the filtered dim) — the runtime
+    row-pruning that matters when the fact scan is 100 TB and the dim
+    filter keeps 20%. Default thresholds target cluster-sized inputs
+    (applicationSideScanSizeThreshold 10 GB), so the test lowers them;
+    at real scale the defaults fire on their own. Broadcast is disabled
+    to force the shuffle-join shape the filter exists for."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        od = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(od, li["l_orderkey"] == od["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+        # and the filtered plan still computes the right answer
+        n = j.collect()[0]["count"]
+        expected = (
+            load_table(spark, sf_dir, "lineitem")
+            .join(
+                load_table(spark, sf_dir, "orders").filter(
+                    F.col("o_orderpriority") == "1-URGENT"
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert n == expected
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
