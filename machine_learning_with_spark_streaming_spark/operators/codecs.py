@@ -76,13 +76,11 @@ def encode_bmp_gray(gray: bytes, width: int, height: int) -> bytes:
     return bytes(out)
 
 
-def decode_bmp(payload: bytes) -> dict:
-    """Parse a 24-bit uncompressed BMP; return dimensions + pixel stats.
-
-    Raises ValueError on malformed input and NotImplementedError for
-    BMP variants (compressed, non-24-bit) this stdlib parser does not
-    cover.
-    """
+def _parse_bmp_header(payload: bytes) -> tuple[int, int, int, int, bool]:
+    """Validate BMP headers; return (width, height, offset, stride,
+    bottom_up). Raises ValueError on malformed input and
+    NotImplementedError for variants (compressed, non-24-bit) the
+    stdlib parser does not cover."""
     if len(payload) < _BMP_PIXEL_OFFSET:
         raise ValueError("truncated BMP: no room for headers")
     magic, _fsize, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
@@ -108,6 +106,13 @@ def decode_bmp(payload: bytes) -> dict:
     stride = row_bytes + ((-row_bytes) % 4)
     if len(payload) < offset + stride * height:
         raise ValueError("truncated BMP: pixel array short")
+    return width, height, offset, stride, bottom_up
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse a 24-bit uncompressed BMP; return dimensions + pixel stats."""
+    width, height, offset, stride, bottom_up = _parse_bmp_header(payload)
+    row_bytes = width * 3
     total = 0
     max_byte = 0
     for y in range(height):
@@ -127,6 +132,35 @@ def decode_bmp(payload: bytes) -> dict:
         "mean_pixel": (total / n_channel_bytes) if n_channel_bytes else 0.0,
         "max_pixel": max_byte,
     }
+
+
+def decode_bmp_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a 24-bit BMP to (width, height, row-major top-down
+    grayscale bytes) taking the blue channel — exact for the grayscale
+    images :func:`encode_bmp_gray` writes (B=G=R), and the standard
+    single-channel view otherwise."""
+    width, height, offset, stride, bottom_up = _parse_bmp_header(payload)
+    out = bytearray(width * height)
+    for y in range(height):
+        src_row = (height - 1 - y) if bottom_up else y
+        start = offset + src_row * stride
+        for x in range(width):
+            out[y * width + x] = payload[start + x * 3]
+    return width, height, bytes(out)
+
+
+def resize_nearest(
+    gray: bytes, width: int, height: int, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor resample of a row-major grayscale image — the
+    canonical floor-index map ``src = floor(dst * in/out)`` (exact
+    integer arithmetic, no float sampling grid)."""
+    out = bytearray(out_w * out_h)
+    for y in range(out_h):
+        sy = y * height // out_h
+        for x in range(out_w):
+            out[y * out_w + x] = gray[sy * width + (x * width // out_w)]
+    return bytes(out)
 
 
 # ------------------------------------------------------------------- WAV
@@ -163,6 +197,18 @@ def decode_wav(payload: bytes) -> dict:
         "mean_abs_sample": (sum(abs_samples) / n) if n else 0.0,
         "max_abs_sample": max(abs_samples) if n else 0,
     }
+
+
+def decode_wav_samples(payload: bytes) -> list[int]:
+    """Decode a 16-bit PCM WAV to its interleaved sample values."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_channels = w.getnchannels()
+        sampwidth = w.getsampwidth()
+        n_frames = w.getnframes()
+        raw = w.readframes(n_frames)
+    if sampwidth != 2:
+        raise NotImplementedError(f"only 16-bit PCM supported, got {sampwidth * 8}")
+    return list(struct.unpack(f"<{n_frames * n_channels}h", raw))
 
 
 # ------------------------------------------- registered round-trip queries
@@ -321,3 +367,159 @@ def q_decode_wav(spark, sf_dir):
     """Real WAV (stdlib ``wave``) encode→decode round trip per audio
     asset; sample statistics hash-checked against the source bytes."""
     return wav_roundtrip_stats(_audio_docs(spark, sf_dir)).orderBy("asset_id")
+
+
+# ------------------------------------- pixel/sample processing queries
+
+OUT_W = OUT_H = 4  # 8x8 -> 4x4: floor-index map picks even rows/cols
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("mean_pixel", DoubleType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+
+def bmp_resize_stats(docs: DataFrame) -> DataFrame:
+    """Per image asset: encode the 8x8 grayscale fixture as a real BMP,
+    decode it back to pixels, nearest-neighbor downsample to 4x4, and
+    emit the resized image's mean plus a position-weighted checksum
+    ``sum(pixel[p] * (p+1))`` — a value that is wrong if any pixel lands
+    at the wrong place, so the oracle checks the *geometry* of the
+    resample, not just its histogram. Arrow-batched ``mapInPandas``;
+    this is the thumbnail/preprocess step of an image-training pipeline
+    in the exact plumbing a PIL-backed decoder would use."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                gray = bytes(payload)[:_N_PIX].ljust(_N_PIX, b"\x00")
+                w, h, decoded = decode_bmp_gray(encode_bmp_gray(gray, IMG_W, IMG_H))
+                small = resize_nearest(decoded, w, h, OUT_W, OUT_H)
+                n = OUT_W * OUT_H
+                rows.append(
+                    (
+                        aid,
+                        OUT_W,
+                        OUT_H,
+                        round(sum(small) / n, 6),
+                        sum(px * (p + 1) for p, px in enumerate(small)),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return docs.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+# Resized pixel p (0-based, row-major 4x4) samples source pixel
+# (2*(p//4), 2*(p%4)) of the 8x8 image -> head index 16*(p//4) + 2*(p%4)
+# (0-based); +1 for DuckDB's 1-based lists, with padding bytes = 0.
+_RESIZED_LIST = (
+    "list_transform(range(0, 16), p -> "
+    "coalesce(head[CAST(16 * (p // 4) + 2 * (p % 4) + 1 AS INT)], 0))"
+)
+
+_RESIZE_ORACLE = f"""
+{_head_cte('doc_id % 3 = 0', _N_PIX)}
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+       {OUT_W} AS out_width, {OUT_H} AS out_height,
+       round(CAST(list_sum({_RESIZED_LIST}) AS DOUBLE) / {OUT_W * OUT_H}, 6)
+         AS mean_pixel,
+       CAST(list_sum(list_transform(range(0, 16), p ->
+           coalesce(head[CAST(16 * (p // 4) + 2 * (p % 4) + 1 AS INT)], 0)
+           * (p + 1))) AS BIGINT) AS checksum
+FROM b ORDER BY asset_id
+"""
+
+
+@register("mm_resize_bmp", oracle=_RESIZE_ORACLE)
+def q_resize_bmp(spark, sf_dir):
+    """Real decode -> nearest-neighbor resize over image assets; the
+    position-weighted checksum proves every resized pixel came from the
+    floor-index source location."""
+    return bmp_resize_stats(_image_docs(spark, sf_dir)).orderBy("asset_id")
+
+
+FRAME_LEN = 16  # 64 samples -> 4 RMS frames
+SILENCE_RMS = 256.0
+
+WAV_RMS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", IntegerType()),
+        StructField("is_silence", IntegerType()),
+    ]
+)
+
+
+def wav_frame_rms(docs: DataFrame) -> DataFrame:
+    """Per audio asset: real WAV round trip, then frame-level RMS energy
+    (frames of FRAME_LEN samples) with peak and a silence flag — the
+    voice-activity-detection front end of an audio pipeline, as a 1->N
+    Arrow-batched expansion. All arithmetic is exact-integer until the
+    final sqrt (sum of squares <= 16 * 32768^2 << 2^53), so the oracle
+    reproduces the doubles bit-for-bit."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload)[:WAV_SAMPLES].ljust(WAV_SAMPLES, b"\x80")
+                samples = decode_wav_samples(
+                    encode_wav_pcm16([(b - 128) * 256 for b in raw], WAV_RATE)
+                )
+                for f in range(WAV_SAMPLES // FRAME_LEN):
+                    frame = samples[f * FRAME_LEN : (f + 1) * FRAME_LEN]
+                    rms = (sum(s * s for s in frame) / FRAME_LEN) ** 0.5
+                    rows.append(
+                        (
+                            aid,
+                            f,
+                            round(rms, 6),
+                            max(abs(s) for s in frame),
+                            int(rms < SILENCE_RMS),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in WAV_RMS_SCHEMA.fields])
+
+    return docs.mapInPandas(batches, WAV_RMS_SCHEMA)
+
+
+_WAV_RMS_ORACLE = f"""
+{_head_cte('doc_id % 3 = 1', WAV_SAMPLES)},
+frames AS (
+  SELECT doc_id, CAST(f.f AS INT) AS frame_idx,
+         list_transform(range(1, {FRAME_LEN} + 1), i ->
+           (coalesce(head[CAST(f.f * {FRAME_LEN} + i AS INT)], 128) - 128) * 256)
+           AS frame
+  FROM b, LATERAL (SELECT unnest(range(0, {WAV_SAMPLES // FRAME_LEN}))
+                   AS f) f
+)
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+       frame_idx,
+       round(sqrt(CAST(list_sum(list_transform(frame, s -> s * s))
+                       AS DOUBLE) / {FRAME_LEN}), 6) AS rms,
+       CAST(list_aggregate(list_transform(frame, s -> abs(s)), 'max') AS INT)
+         AS peak,
+       CAST(CASE WHEN sqrt(CAST(list_sum(list_transform(frame, s -> s * s))
+                                AS DOUBLE) / {FRAME_LEN}) < {SILENCE_RMS}
+                 THEN 1 ELSE 0 END AS INT) AS is_silence
+FROM frames ORDER BY asset_id, frame_idx
+"""
+
+
+@register("mm_wav_frame_rms", oracle=_WAV_RMS_ORACLE)
+def q_wav_frame_rms(spark, sf_dir):
+    """Frame-level RMS/peak/silence over real-decoded PCM samples (1->4
+    expansion per audio asset); the oracle replays the energy math from
+    the source bytes."""
+    return wav_frame_rms(_audio_docs(spark, sf_dir)).orderBy(
+        "asset_id", "frame_idx"
+    )

@@ -938,3 +938,185 @@ def q_source_overlap(spark, sf_dir):
         )
         .orderBy("grp_a", "grp_b")
     )
+
+
+# --------------------------------------- incremental near-dup (LSH index)
+
+
+def minhash_band_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    n: int = SHINGLE_N,
+    sh_tab: DataFrame | None = None,
+) -> DataFrame:
+    """``(id, band_idx, band_hash)`` — the LSH index rows for a corpus.
+
+    This is the *maintainable* form of the banding inside
+    :func:`minhash_lsh_pairs`: at 100 TB the base corpus's band table is
+    a stored artifact (parquet/Delta, partitioned by ``band_idx`` and
+    bucketed by ``band_hash``), appended to on every ingest — so probing
+    a new batch costs one band join against the index, never a
+    recompute of the base corpus's signatures.
+
+    ``sh_tab`` lets a caller that already materialized the shingle table
+    (it is also needed for candidate verification) avoid a second
+    shingle pass.
+    """
+    rows = num_hashes // bands
+    tab = sh_tab if sh_tab is not None else shingle_table(df, text_col, id_col, n)
+    exploded = tab.select("id", F.explode("sh").alias("shingle"))
+    sig = exploded.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    return banded.selectExpr(
+        "id",
+        f"stack({bands}, "
+        + ", ".join(f"{b}, band{b}" for b in range(bands))
+        + ") as (band_idx, band_hash)",
+    )
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    base: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = JACCARD_THRESHOLD,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Incremental *near*-dup detection: new-batch documents probed
+    against the base corpus's LSH band index, candidates verified with
+    exact Jaccard. Returns ``(doc_id, dup_of, jaccard)`` — one row per
+    (new doc, base doc) pair at or above ``threshold``.
+
+    The near-dup completion of :func:`incremental_dedup` (which catches
+    exact copies only): together they make dedup a *streaming* property
+    of the corpus rather than a batch recompute. Scale shape: the batch
+    side is small (one ingest), so its signatures are cheap; the base
+    side contributes only (a) its stored band table to one equi-join and
+    (b) the shingle sets of candidate-matched docs to verification —
+    both O(batch-adjacent), never O(corpus). Here both sides are
+    computed from DataFrames so the whole contract is oracle-checkable;
+    in production the base band/shingle tables are the stored artifacts
+    described in :func:`minhash_band_table`.
+    """
+    sh_new = shingle_table(batch, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh_base = shingle_table(base, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bands_new = minhash_band_table(
+        batch, text_col, id_col, num_hashes, bands, n, sh_tab=sh_new
+    )
+    bands_base = minhash_band_table(
+        base, text_col, id_col, num_hashes, bands, n, sh_tab=sh_base
+    )
+    cand = (
+        bands_new.alias("a")
+        .join(
+            bands_base.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(F.col("a.id").alias("id_new"), F.col("b.id").alias("id_base"))
+        .distinct()
+    )
+    return (
+        cand.join(
+            sh_new.select(F.col("id").alias("id_new"), F.col("sh").alias("sh_a")),
+            "id_new",
+        )
+        .join(
+            sh_base.select(F.col("id").alias("id_base"), F.col("sh").alias("sh_b")),
+            "id_base",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id_new").alias("doc_id"),
+            F.col("id_base").alias("dup_of"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
+# Cross-corpus exact Jaccard: the injected batch's shingle sets against
+# the base corpus's — the ground truth the LSH probe must reproduce
+# (candidate banding bounds cost, exact verification restores precision;
+# xxhash64 banding is deterministic, so recall is a fixed property
+# checked here, not a per-run coin flip).
+_INCR_MINHASH_ORACLE = f"""
+WITH batch AS (
+  SELECT doc_id + 100000 AS doc_id, text || ' zzz extra' AS text
+  FROM documents WHERE doc_id < 25
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents
+  WHERE doc_id >= 25 AND doc_id < 50
+),
+bw AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM batch),
+bsh AS (
+  SELECT DISTINCT doc_id,
+         ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] AS shingle
+  FROM bw, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g
+),
+dw AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+dsh AS (
+  SELECT DISTINCT doc_id,
+         ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] AS shingle
+  FROM dw, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g
+),
+bsz AS (SELECT doc_id, count(*) AS n_sh FROM bsh GROUP BY 1),
+dsz AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY 1),
+inter AS (
+  SELECT b.doc_id AS id_new, d.doc_id AS id_base, count(*) AS n_inter
+  FROM bsh b JOIN dsh d ON b.shingle = d.shingle
+  GROUP BY 1, 2
+)
+SELECT CAST(id_new AS BIGINT) AS doc_id,
+       CAST(id_base AS BIGINT) AS dup_of,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+         AS jaccard
+FROM inter
+JOIN bsz sa ON sa.doc_id = id_new
+JOIN dsz sb ON sb.doc_id = id_base
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
+ORDER BY 1, 2
+"""
+
+
+@register("dedup_incremental_minhash", oracle=_INCR_MINHASH_ORACLE)
+def q_incremental_minhash(spark, sf_dir):
+    """Daily-ingest *near*-dup pass: the same injected batch as
+    ``dedup_incremental`` (25 near copies + 25 exact copies) probed
+    against the base corpus's LSH band index. Exact copies match at
+    jaccard 1.0, near copies at their true similarity; short-doc near
+    copies whose suffix pushes them under the threshold drop in both
+    engines identically."""
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = base.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz extra")).alias("text"),
+    )
+    exact = base.filter((F.col("doc_id") >= 25) & (F.col("doc_id") < 50)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    batch = near.unionByName(exact)
+    return incremental_minhash_dedup(batch, base).orderBy("doc_id", "dup_of")

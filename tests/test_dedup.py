@@ -216,3 +216,34 @@ def test_source_overlap_matrix_known_overlap(spark):
     assert got[("A", "B")] == (3, 1.0)
     assert ("A", "C") not in got  # zero-overlap pairs don't materialize
     assert ("B", "A") not in got  # upper triangle only
+
+
+def test_incremental_minhash_catches_near_and_exact(spark):
+    """New-batch docs probed against the base LSH index: an exact copy
+    matches at 1.0, a near copy at its true Jaccard, a fresh doc not at
+    all — and base-internal duplicates are never reported (the probe is
+    strictly batch-vs-base)."""
+    from machine_learning_with_spark_streaming_spark.operators.dedup import incremental_minhash_dedup
+
+    base_text = " ".join(f"tok{i}" for i in range(40))
+    base = spark.createDataFrame(
+        [(1, base_text), (2, base_text), (3, "completely different words here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, base_text),                      # exact copy of 1 and 2
+            (102, base_text + " tail extra pad"),  # near copy
+            (103, " ".join(f"new{i}" for i in range(40))),  # fresh
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.dup_of): r.jaccard
+        for r in incremental_minhash_dedup(batch, base).collect()
+    }
+    assert got[(101, 1)] == 1.0 and got[(101, 2)] == 1.0
+    # near copy: 38 shared shingles of 41 union -> ~0.927
+    assert 0.8 <= got[(102, 1)] < 1.0
+    assert not any(d == 103 for d, _ in got)
+    assert not any(d in (1, 2, 3) for d, _ in got)  # base pairs excluded
