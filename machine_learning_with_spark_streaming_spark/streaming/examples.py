@@ -556,3 +556,132 @@ def q_stream_static_join_stream(spark, sf_dir):
     spark.catalog.dropTempView(sink)
     shutil.rmtree(work, ignore_errors=True)
     return mem.orderBy("segment", "event_type")
+
+
+_LOJ_STREAM_ORACLE = """
+SELECT CAST(l.event_id AS BIGINT) AS click_id,
+       CAST(r.event_id AS BIGINT) AS error_id,
+       CAST(l.user_id AS BIGINT) AS user_id
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts
+ AND r.ts <= l.ts + INTERVAL 21600 SECONDS
+ORDER BY 1, 2
+"""
+
+
+@register("s11_left_outer_join_stream", oracle=_LOJ_STREAM_ORACLE)
+def q_left_outer_join_stream(spark, sf_dir):
+    """§2.10: stream-stream LEFT OUTER interval join as a REAL
+    multi-batch run — the hard half of outer joins on streams: a
+    null-extended row for an unmatched click may only be emitted once
+    the watermark PROVES no matching error can still arrive, so this
+    exercises watermark-driven state eviction end to end.
+
+    Determinism recipe: each side is staged as 3 time-bucketed files in
+    event-time order (so every batch's rows sit above the previous
+    batch's watermark — nothing is dropped as late, and a buffered
+    click is never evicted while a future file could still hold its
+    match), plus a key=-1 sentinel file per side whose timestamp pushes
+    the final watermark past every real row — without it, clicks inside
+    the last watermark window would never get their null verdict. The
+    closing no-data batch then flushes every remaining unmatched click.
+    Oracle = the identical stateless batch LEFT JOIN.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    from datetime import timedelta
+
+    from machine_learning_with_spark_streaming_spark.streaming.pipeline import (
+        stream_stream_interval_join,
+    )
+
+    range_sec = 21600  # 6h match window
+    wm = "1 hour"
+
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+
+    work = tempfile.mkdtemp(prefix="mlwss_lojstream_")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+    )
+    # watermark must outrun every real row plus the join range before the
+    # run ends; +2h margin over range + delay
+    sentinel_ts = hi + timedelta(seconds=range_sec + 3 * 3600)
+
+    def stage(df, ts_col: str, side: str) -> str:
+        out = os.path.join(work, side)
+        os.makedirs(out)
+        for i in range(3):
+            b_lo = lo + span * i
+            b_hi = hi if i == 2 else lo + span * (i + 1)
+            cond = (F.col(ts_col) >= F.lit(b_lo)) & (
+                (F.col(ts_col) <= F.lit(b_hi)) if i == 2 else (F.col(ts_col) < F.lit(b_hi))
+            )
+            tmp = os.path.join(work, f"tmp_{side}_{i}")
+            df.filter(cond).coalesce(1).write.parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            # zero-padded names: listing order == event-time order
+            shutil.copyfile(part, os.path.join(out, f"{i:02d}.parquet"))
+        sent = spark.createDataFrame(
+            [(-1, -1, sentinel_ts)],
+            f"{df.columns[0]} bigint, user_id bigint, {ts_col} timestamp",
+        )
+        tmp = os.path.join(work, f"tmp_{side}_s")
+        sent.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.copyfile(part, os.path.join(out, "99.parquet"))
+        return out
+
+    l_dir = stage(clicks, "click_ts", "l")
+    r_dir = stage(errors, "error_ts", "r")
+
+    l_stream = (
+        spark.readStream.schema("click_id bigint, user_id bigint, click_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(l_dir)
+    )
+    r_stream = (
+        spark.readStream.schema("error_id bigint, user_id bigint, error_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(r_dir)
+    )
+    joined = stream_stream_interval_join(
+        l_stream,
+        r_stream,
+        key="user_id",
+        left_time="click_ts",
+        right_time="error_ts",
+        lower_sec=0,
+        upper_sec=range_sec,
+        watermark=wm,
+        how="left_outer",
+    )
+    sink = f"loj_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.select("click_id", "error_id", "user_id")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    mem = spark.table(sink).filter(F.col("user_id") >= 0).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    shutil.rmtree(work, ignore_errors=True)
+    return mem.orderBy("click_id", "error_id")

@@ -184,8 +184,9 @@ def stream_stream_interval_join(
     lower_sec: int,
     upper_sec: int,
     watermark: str | None = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join on a key plus an event-time range
+    """Stream-stream join on a key plus an event-time range
     (`right_time ∈ [left_time + lower, left_time + upper]`).
 
     On streaming frames both sides carry watermarks and the time-range
@@ -199,17 +200,28 @@ def stream_stream_interval_join(
     On batch frames the identical condition runs stateless, so
     stream-batch parity is testable by construction. Column names other
     than ``key`` must be disjoint between the sides.
+
+    ``how="left_outer"`` REQUIRES watermarks on streams: the
+    null-extended row for an unmatched left row can only be emitted
+    once the watermark proves no matching right row can still arrive —
+    the same state-eviction bound, doing double duty as the
+    completeness proof.
     """
     l, r = left, right
+    if how != "inner" and (l.isStreaming or r.isStreaming) and watermark is None:
+        raise ValueError("outer stream-stream joins need a watermark")
     if l.isStreaming and watermark is not None:
         l = l.withWatermark(left_time, watermark)
     if r.isStreaming and watermark is not None:
         r = r.withWatermark(right_time, watermark)
-    lo = F.make_dt_interval(secs=F.lit(float(lower_sec)))
-    hi = F.make_dt_interval(secs=F.lit(float(upper_sec)))
+    # literal INTERVAL arithmetic (not make_dt_interval): the outer-join
+    # analyzer must recognize the range condition to derive the state
+    # watermark, and it only pattern-matches the literal form
+    lo = F.expr(f"INTERVAL {int(lower_sec)} SECONDS")
+    hi = F.expr(f"INTERVAL {int(upper_sec)} SECONDS")
     cond = (
         (l[key] == r[key])
         & (r[right_time] >= l[left_time] + lo)
         & (r[right_time] <= l[left_time] + hi)
     )
-    return l.join(r, cond).drop(r[key])
+    return l.join(r, cond, how).drop(r[key])

@@ -299,3 +299,39 @@ def test_watermark_drops_late_rows_accounted(spark, tmp_path):
     rows = spark.sql("select * from late_acct").collect()
     # the late row's 100.0 must not appear in any window sum
     assert all(r["value_sum"] < 100.0 for r in rows)
+
+
+def test_left_outer_stream_join_emits_null_rows(spark, sf_dir):
+    """The real-stream LEFT OUTER interval join must (a) equal the
+    stateless batch LEFT join and (b) actually contain null-extended
+    rows — proving the watermark advanced far enough to flush every
+    unmatched click's verdict, not just the matched pairs."""
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+    from machine_learning_with_spark_streaming_spark.streaming.examples import (
+        q_left_outer_join_stream,
+    )
+
+    got = q_left_outer_join_stream(spark, sf_dir).collect()
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    expected = sorted(
+        (r["click_id"], r["error_id"])
+        for r in clicks.join(
+            errors,
+            (F.col("user_id") == F.col("e_user"))
+            & (F.col("e_ts") >= F.col("c_ts"))
+            & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 21600 SECONDS")),
+            "left_outer",
+        ).collect()
+    )
+    assert sorted((r.click_id, r.error_id) for r in got) == expected
+    n_null = sum(1 for r in got if r.error_id is None)
+    assert n_null > 0  # unmatched clicks DID get their null verdict
+    assert all(r.user_id >= 0 for r in got)  # sentinels filtered out
