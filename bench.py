@@ -103,6 +103,7 @@ EXTENDED += [
     "dedup_incremental_minhash",
     "mm_resize_bmp",
     "mm_wav_frame_rms",
+    "pipeline_rag_index",
 ]
 
 

@@ -556,3 +556,167 @@ def q_rag_retrieve(spark, sf_dir):
         emb, emb.filter(F.col("vec_id") < N_QUERIES), docs
     )
     return out.orderBy("query_id", "rank")
+
+
+# ----------------------- hashed-projection RAG indexing (text -> top-k)
+
+
+RAG_DIM = 64
+RAG_QUERY = "spark join shuffle partition"
+RAG_TOP_K = 10
+
+
+def _hash_bucket_sign(word):
+    """(bucket, sign) for one word under the hashing trick: bucket =
+    md5-60bit % RAG_DIM, sign = independent md5 bit — both derivable
+    identically in DuckDB, so the whole embedding is cross-engine."""
+    from machine_learning_with_spark_streaming_spark.operators.dedup import md5_hash60
+
+    b = F.pmod(md5_hash60(word), F.lit(RAG_DIM))
+    s = F.pmod(md5_hash60(F.concat(word, F.lit("#s"))), F.lit(2)) * 2 - 1
+    return b, s
+
+
+def hashed_chunk_embeddings(chunks: DataFrame) -> DataFrame:
+    """Sparse hashed bag-of-words embedding per chunk, in long form
+    ``(doc_id, chunk_idx, b, val)`` — the hashing-trick featurization
+    (signed buckets, a.k.a. the feature-hashing/SimHash family). All
+    values are ±1 sums, i.e. INTEGERS: every downstream dot product and
+    norm is exact until one final IEEE sqrt/divide, which is what makes
+    a full text->embed->retrieve pipeline hash-certifiable with no
+    model dependency.
+
+    Long (COO) form deliberately: at 100 TB the index is a table
+    partitioned by bucket, dot products are joins + aggregations with
+    map-side partials, and no row ever holds a dense vector."""
+    cw = chunks.select("doc_id", "chunk_idx", F.explode("toks").alias("w"))
+    b, s = _hash_bucket_sign(F.col("w"))
+    return (
+        cw.select("doc_id", "chunk_idx", b.alias("b"), s.alias("s"))
+        .groupBy("doc_id", "chunk_idx", "b")
+        .agg(F.sum("s").alias("val"))
+    )
+
+
+def rag_index_topk(
+    docs: DataFrame, query: str = RAG_QUERY, k: int = RAG_TOP_K
+) -> DataFrame:
+    """End-to-end RAG indexing + retrieval with zero model dependency:
+    chunk documents (certified windowing), embed each chunk with the
+    hashing trick, embed the query text the same way, rank by cosine.
+
+    Scale shape: the chunk index (one groupBy) is the only corpus-sized
+    shuffle; the query embedding is broadcast, the dot product touches
+    only chunks sharing a bucket with the query, and the final top-k is
+    a TakeOrdered, never a global sort."""
+    from machine_learning_with_spark_streaming_spark.operators.text import chunk_token_table
+
+    spark = docs.sparkSession
+    cemb = hashed_chunk_embeddings(chunk_token_table(docs)).persist()
+    qw = spark.createDataFrame([(w,) for w in query.split()], "w string")
+    b, s = _hash_bucket_sign(F.col("w"))
+    qemb = (
+        qw.select(b.alias("b"), s.alias("s"))
+        .groupBy("b")
+        .agg(F.sum("s").alias("qval"))
+    )
+    dot = (
+        cemb.join(F.broadcast(qemb), "b")
+        .groupBy("doc_id", "chunk_idx")
+        .agg(F.sum(F.col("val") * F.col("qval")).alias("dot"))
+    )
+    norm = cemb.groupBy("doc_id", "chunk_idx").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("cn")
+    )
+    qn = qemb.agg(F.sqrt(F.sum(F.col("qval") * F.col("qval"))).alias("qn"))
+    scored = (
+        dot.join(norm, ["doc_id", "chunk_idx"])
+        .crossJoin(F.broadcast(qn))
+        .filter(F.col("cn") > 0)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (F.col("dot") / (F.col("cn") * F.col("qn"))).alias("cos"),
+        )
+    )
+    top = scored.orderBy(F.desc("cos"), "doc_id", "chunk_idx").limit(k)
+    w = Window.orderBy(F.desc("cos"), "doc_id", "chunk_idx")
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "doc_id",
+        "chunk_idx",
+        F.round("cos", 6).alias("cosine"),
+    )
+
+
+from machine_learning_with_spark_streaming_spark.operators.text import (  # noqa: E402
+    CHUNK_SIZE as _CHUNK_SIZE,
+    CHUNK_STRIDE as _CHUNK_STRIDE,
+)
+
+_H60 = "('0x' || substr(md5({w}), 1, 15))::BIGINT"
+_RAG_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+_RAG_INDEX_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split({_RAG_NORM}, ' ') AS ws FROM documents),
+st AS (
+  SELECT doc_id, ws, g.s AS start
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(0, len(ws) - 1, {_CHUNK_STRIDE})) AS s
+  ) g
+),
+cw AS (
+  SELECT doc_id, CAST(start / {_CHUNK_STRIDE} AS INT) AS chunk_idx, u.word
+  FROM st, LATERAL (
+    SELECT unnest(list_slice(ws, start + 1, start + {_CHUNK_SIZE})) AS word
+  ) u
+),
+ce AS (
+  SELECT doc_id, chunk_idx,
+         {_H60.format(w='word')} % {RAG_DIM} AS b,
+         ({_H60.format(w="word || '#s'")} % 2) * 2 - 1 AS s
+  FROM cw
+),
+cemb AS (
+  SELECT doc_id, chunk_idx, b, sum(s) AS val FROM ce GROUP BY 1, 2, 3
+),
+qw AS (SELECT unnest(string_split('{RAG_QUERY}', ' ')) AS word),
+qe AS (
+  SELECT {_H60.format(w='word')} % {RAG_DIM} AS b,
+         ({_H60.format(w="word || '#s'")} % 2) * 2 - 1 AS s
+  FROM qw
+),
+qemb AS (SELECT b, sum(s) AS qval FROM qe GROUP BY 1),
+dotp AS (
+  SELECT doc_id, chunk_idx, sum(val * qval) AS dot
+  FROM cemb JOIN qemb USING (b) GROUP BY 1, 2
+),
+cn AS (
+  SELECT doc_id, chunk_idx, sqrt(CAST(sum(val * val) AS DOUBLE)) AS cn
+  FROM cemb GROUP BY 1, 2
+),
+qn AS (SELECT sqrt(CAST(sum(qval * qval) AS DOUBLE)) AS qn FROM qemb),
+scored AS (
+  SELECT d.doc_id, d.chunk_idx,
+         CAST(d.dot AS DOUBLE) / (c.cn * q.qn) AS cos
+  FROM dotp d JOIN cn c USING (doc_id, chunk_idx), qn q
+  WHERE c.cn > 0
+),
+top AS (
+  SELECT * FROM scored ORDER BY cos DESC, doc_id, chunk_idx LIMIT {RAG_TOP_K}
+)
+SELECT CAST(row_number() OVER (ORDER BY cos DESC, doc_id, chunk_idx) AS INT)
+         AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, chunk_idx, round(cos, 6) AS cosine
+FROM top ORDER BY rank
+"""
+
+
+@register("pipeline_rag_index", oracle=_RAG_INDEX_ORACLE)
+def q_rag_index(spark, sf_dir):
+    """Text->chunk->hashed-embedding->cosine-top-k — the INDEXING bookend
+    to sim_rag_retrieve's serving path; every arithmetic step is integer
+    until one sqrt/divide, so the oracle reproduces the ranking
+    bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return rag_index_topk(docs)

@@ -808,18 +808,16 @@ CHUNK_SIZE = 64
 CHUNK_STRIDE = 48
 
 
-def chunk_windows(
+def chunk_token_table(
     df: DataFrame,
     size: int = CHUNK_SIZE,
     stride: int = CHUNK_STRIDE,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Overlapping token windows per document (RAG/embedding chunking:
-    size-token chunks every stride tokens, so consecutive chunks share
-    size-stride tokens of context). Pure array expressions — sequence of
-    starts → slice per start → explode; no UDF, no shuffle beyond the
-    explode's row growth (bounded: ~n_tokens/stride chunks per doc)."""
+    """``(id, chunk_idx, toks)`` — the overlapping-window chunk table
+    shared by :func:`chunk_windows` and the RAG index pipeline
+    (operators/similarity.py:rag_index_topk)."""
     ws = words(text_col)
     base = df.select(F.col(id_col).alias(id_col), ws.alias("__ws"))
     starts = F.sequence(F.lit(0), F.size("__ws") - 1, F.lit(stride))
@@ -835,8 +833,27 @@ def chunk_windows(
     return base.select(id_col, chunk.alias("c")).select(
         id_col,
         F.col("c.chunk_idx").alias("chunk_idx"),
-        F.size("c.toks").cast("int").alias("n_tokens"),
-        F.md5(F.concat_ws(" ", F.col("c.toks"))).alias("chunk_md5"),
+        F.col("c.toks").alias("toks"),
+    )
+
+
+def chunk_windows(
+    df: DataFrame,
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token windows per document (RAG/embedding chunking:
+    size-token chunks every stride tokens, so consecutive chunks share
+    size-stride tokens of context). Pure array expressions — sequence of
+    starts → slice per start → explode; no UDF, no shuffle beyond the
+    explode's row growth (bounded: ~n_tokens/stride chunks per doc)."""
+    return chunk_token_table(df, size, stride, text_col, id_col).select(
+        id_col,
+        "chunk_idx",
+        F.size("toks").cast("int").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("toks"))).alias("chunk_md5"),
     )
 
 

@@ -610,3 +610,52 @@ def test_bigram_logprob_short_docs_absent(spark):
     )
     ids = {r["doc_id"] for r in bigram_logprob(df).collect()}
     assert ids == {2}
+
+
+def test_rag_index_topk_matches_python_replay(spark):
+    """The hashed-projection index + cosine ranking must equal a pure
+    Python replay of the same hashing trick (bucket/sign from md5),
+    including tie-breaks — on a corpus small enough to enumerate."""
+    import hashlib
+    import math
+
+    from machine_learning_with_spark_streaming_spark.operators.similarity import (
+        RAG_DIM,
+        rag_index_topk,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha alpha beta beta"),
+        (3, "epsilon zeta eta theta"),
+        (4, "alpha beta"),
+    ]
+    query = "alpha beta"
+
+    def h60(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+
+    def emb(ws):
+        v = [0] * RAG_DIM
+        for w in ws:
+            v[h60(w) % RAG_DIM] += (h60(w + "#s") % 2) * 2 - 1
+        return v
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    qv = emb(query.split())
+    # every doc here is shorter than CHUNK_STRIDE -> exactly one chunk
+    expect = sorted(
+        ((round(cos(emb(t.split()), qv), 6), d) for d, t in docs),
+        key=lambda x: (-x[0], x[1]),
+    )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = rag_index_topk(df, query=query, k=3).collect()
+    assert [(r.doc_id, r.chunk_idx) for r in got] == [
+        (d, 0) for _c, d in expect[:3]
+    ]
+    assert [r.cosine for r in got] == [c for c, _d in expect[:3]]
+    assert [r.rank for r in got] == [1, 2, 3]

@@ -74,6 +74,11 @@ QUERIES = [
     "s14_cohort_retention",
     "sim_ann_recall",
     "diag_key_skew",
+    # round-3 close additions
+    "text_subword_tokenize",
+    "dedup_incremental_minhash",
+    "mm_resize_bmp",
+    "mm_wav_frame_rms",
 ]
 
 
