@@ -104,6 +104,7 @@ EXTENDED += [
     "mm_resize_bmp",
     "mm_wav_frame_rms",
     "pipeline_rag_index",
+    "pipeline_tokenize_pack",
 ]
 
 

@@ -76,11 +76,16 @@ def subword_tokens(word: Column) -> Column:
 
 
 def subword_tokenize(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document subword token count + order-sensitive md5 signature
     of the full token stream (tokens joined by single spaces — vocab
     entries never contain spaces, so the encoding is unambiguous).
+    ``keep_cols`` pass through untouched (the packing pipeline carries
+    ``source`` this way instead of re-joining on doc_id).
 
     The token stream is materialized in its own projection so the fold
     expression evaluates once per row (two consumers: size + md5)."""
@@ -89,8 +94,11 @@ def subword_tokenize(
         lambda w: F.length(w) > 0,
     )
     toks = F.flatten(F.transform(words, subword_tokens))
-    return df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks")).select(
+    return df.select(
+        F.col(id_col).alias("doc_id"), *keep_cols, toks.alias("__toks")
+    ).select(
         "doc_id",
+        *keep_cols,
         F.size("__toks").alias("n_subword_tokens"),
         F.md5(F.concat_ws(" ", F.col("__toks"))).alias("token_sig"),
     )
@@ -142,3 +150,83 @@ def q_subword_tokenize(spark, sf_dir):
     replayed by the oracle as a recursive CTE."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return subword_tokenize(docs).orderBy("doc_id")
+
+
+PACK_BUDGET = 1024
+
+# The tokenizer CTE chain (words -> tok -> fin -> agg) reused by the
+# packing pipeline; counts joins the per-doc token totals back to every
+# document (empty docs -> 0 tokens).
+_COUNTS_CTES = f"""
+words AS (
+  SELECT doc_id, CAST(g.i AS INT) AS widx, ws[g.i] AS w
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents) t,
+       LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+  WHERE len(ws[g.i]) > 0
+),
+tok AS (
+  SELECT doc_id, widx, w, 1 AS pos, 0 AS n FROM words
+  UNION ALL
+  SELECT doc_id, widx, w, pos + length(t) AS pos, n + 1 AS n
+  FROM (
+    SELECT doc_id, widx, w, pos, n,
+           CASE WHEN list_contains({_VLIT}, substr(w, pos, 4))
+                  THEN substr(w, pos, 4)
+                WHEN list_contains({_VLIT}, substr(w, pos, 3))
+                  THEN substr(w, pos, 3)
+                WHEN list_contains({_VLIT}, substr(w, pos, 2))
+                  THEN substr(w, pos, 2)
+                ELSE substr(w, pos, 1) END AS t
+    FROM tok WHERE pos <= length(w)
+  )
+),
+fin AS (SELECT doc_id, widx, n FROM tok WHERE pos > length(w)),
+agg AS (SELECT doc_id, sum(n) AS n_toks FROM fin GROUP BY doc_id),
+counts AS (
+  SELECT d.doc_id, d.source, CAST(coalesce(a.n_toks, 0) AS BIGINT) AS n
+  FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+)"""
+
+_TOKENIZE_PACK_ORACLE = f"""
+WITH RECURSIVE {_COUNTS_CTES},
+packed AS (
+  SELECT source,
+         CAST(floor(coalesce(sum(n) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {PACK_BUDGET}) AS INT) AS chunk_id,
+         n
+  FROM counts
+)
+SELECT source, chunk_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS sum_tokens
+FROM packed GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("pipeline_tokenize_pack", oracle=_TOKENIZE_PACK_ORACLE)
+def q_tokenize_pack(spark, sf_dir):
+    """Tokenizer-exact sequence packing: count every document's tokens
+    with the frozen-vocab tokenizer (not a whitespace proxy), then pack
+    per-source streams into PACK_BUDGET-token chunks — the budget
+    decision a training pipeline actually makes, certified end to end.
+    The oracle's recursive CTE only tracks (pos, n): token *count* needs
+    no token list."""
+    from machine_learning_with_spark_streaming_spark.operators.sampling import pack_token_budget
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    counted = subword_tokenize(docs, keep_cols=("source",)).select(
+        "doc_id", "source", F.col("n_subword_tokens").cast("long").alias("n")
+    )
+    packed = pack_token_budget(counted, PACK_BUDGET, "n")
+    return (
+        packed.groupBy("source", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("bigint").alias("sum_tokens"),
+        )
+        .orderBy("source", "chunk_id")
+    )
