@@ -12,12 +12,13 @@ a first-class, *certifiable* operator — not a black-box Python library
 call.
 
 Scale shape: tokenization is map-only (zero shuffles, zero Python).
-The per-word greedy walk is a sequential recurrence, expressed as a
-``F.aggregate`` fold with struct state ``(pos, toks)`` over character
-positions — whole-stage-codegen'd per row, embarrassingly parallel
-across rows, which is exactly how a 100 TB corpus wants to tokenize.
-The DuckDB oracle replays the same walk as a linear recursive CTE (the
-``pack_token_budget_exact`` certification pattern).
+The per-word greedy walk is a sequential recurrence, served as ONE
+ordered-alternation regex pass per word (see ``_GREEDY_PATTERN``) —
+whole-stage-codegen'd per row, embarrassingly parallel across rows,
+which is exactly how a 100 TB corpus wants to tokenize. The DuckDB
+oracle replays the walk as a linear recursive CTE (the
+``pack_token_budget_exact`` certification pattern), so two independent
+formulations must agree for the hash check to pass.
 
 Reference parity: the reference tokenizes tweet text driver-side with
 sklearn's HashingVectorizer (`/root/reference/Final_code/Streaming_Final.py`);
@@ -40,8 +41,9 @@ from machine_learning_with_spark_streaming_spark.schemas import load_table
 #: leftmost-first engine tries alternatives in listed order, so listing
 #: vocab entries longest-first and '.' last reproduces the greedy walk
 #: exactly — one automaton pass per word instead of a per-character fold
-#: (measured 2.7x at sf0.1, 5.4x vs the array_contains form; both Java regex and RE2 are leftmost-first, the same
-#: Java∩RE2 parity contract the PII module relies on). Entries are
+#: (measured 2.7x at sf0.1, 5.4x vs the array_contains form; Java regex
+#: and RE2 are both leftmost-first — the same Java∩RE2 parity contract
+#: the PII module relies on). Entries are
 #: re.escape'd; '.' never crosses a space because normalize_text leaves
 #: no newlines and vocab entries contain no spaces.
 import re as _re
