@@ -40,6 +40,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -522,4 +523,146 @@ def q_wav_frame_rms(spark, sf_dir):
     the source bytes."""
     return wav_frame_rms(_audio_docs(spark, sf_dir)).orderBy(
         "asset_id", "frame_idx"
+    )
+
+
+# ------------------------------ pixel/sample downstream compositions
+
+THUMB_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("thumb_sig", StringType()),
+    ]
+)
+
+
+def bmp_thumb_signatures(docs: DataFrame) -> DataFrame:
+    """Perceptual-dedup stand-in: real decode -> 4x4 nearest-neighbor
+    thumbnail -> md5 over the decimal pixel string. Identical thumbnails
+    mean identical sampled pixels — the exact-on-thumbnail form of
+    image near-dup (a pHash would swap the signature function, keep the
+    plumbing and the groupBy)."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                gray = bytes(payload)[:_N_PIX].ljust(_N_PIX, b"\x00")
+                w, h, decoded = decode_bmp_gray(encode_bmp_gray(gray, IMG_W, IMG_H))
+                small = resize_nearest(decoded, w, h, OUT_W, OUT_H)
+                sig = hashlib.md5(" ".join(str(p) for p in small).encode()).hexdigest()
+                rows.append((aid, sig))
+            yield pd.DataFrame(rows, columns=[f.name for f in THUMB_SCHEMA.fields])
+
+    return docs.mapInPandas(batches, THUMB_SCHEMA)
+
+
+_IMAGE_DEDUP_ORACLE = f"""
+{_head_cte('doc_id % 3 = 0', _N_PIX)},
+thumbs AS (
+  SELECT doc_id,
+         md5(array_to_string({_RESIZED_LIST}, ' ')) AS thumb_sig
+  FROM b
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id,
+         md5(array_to_string({_RESIZED_LIST}, ' ')) AS thumb_sig
+  FROM b WHERE doc_id < 30
+)
+SELECT thumb_sig,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS keeper_id
+FROM thumbs
+GROUP BY 1 HAVING count(*) > 1
+ORDER BY keeper_id
+"""
+
+
+@register("mm_image_dedup", oracle=_IMAGE_DEDUP_ORACLE)
+def q_image_dedup(spark, sf_dir):
+    """Duplicate-image groups by thumbnail hash over the image assets
+    plus 10 injected re-uploads (asset_id + 500000): every injected copy
+    must land in a group with its original, and organically colliding
+    thumbnails group too. The shuffle moves 16-byte signatures, never
+    pixels — the image-dedup scale shape."""
+    base = _image_docs(spark, sf_dir)
+    copies = base.filter(F.col("asset_id") < 30).select(
+        (F.col("asset_id") + 500000).alias("asset_id"), "payload"
+    )
+    sigs = bmp_thumb_signatures(base.unionByName(copies))
+    return (
+        sigs.groupBy("thumb_sig")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("asset_id").alias("keeper_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("keeper_id")
+    )
+
+
+def speech_segments(docs: DataFrame) -> DataFrame:
+    """Voice-activity segments: consecutive non-silent RMS frames merged
+    into (seg_start, seg_end) islands per asset — the gaps-and-islands
+    window over the decoded frame table (grp = frame_idx - row_number
+    per asset). Output keeps exact-integer stats only (no float
+    re-aggregation, so cross-engine hashing stays bit-stable)."""
+    from pyspark.sql import Window
+
+    frames = wav_frame_rms(docs).filter(F.col("is_silence") == 0)
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    grp = (F.col("frame_idx") - F.row_number().over(w)).alias("__grp")
+    return (
+        frames.select("asset_id", "frame_idx", "peak", grp)
+        .groupBy("asset_id", "__grp")
+        .agg(
+            F.min("frame_idx").alias("seg_start"),
+            F.max("frame_idx").alias("seg_end"),
+            F.count(F.lit(1)).cast("int").alias("n_frames"),
+            F.max("peak").alias("max_peak"),
+        )
+        .drop("__grp")
+    )
+
+
+_SEGMENTS_ORACLE = f"""
+{_head_cte('doc_id % 3 = 1', WAV_SAMPLES)},
+frames AS (
+  SELECT doc_id, CAST(f.f AS INT) AS frame_idx,
+         list_transform(range(1, {FRAME_LEN} + 1), i ->
+           (coalesce(head[CAST(f.f * {FRAME_LEN} + i AS INT)], 128) - 128) * 256)
+           AS frame
+  FROM b, LATERAL (SELECT unnest(range(0, {WAV_SAMPLES // FRAME_LEN}))
+                   AS f) f
+),
+scored AS (
+  SELECT doc_id, frame_idx,
+         CAST(list_aggregate(list_transform(frame, s -> abs(s)), 'max') AS INT)
+           AS peak,
+         sqrt(CAST(list_sum(list_transform(frame, s -> s * s))
+                   AS DOUBLE) / {FRAME_LEN}) AS rms
+  FROM frames
+),
+voiced AS (
+  SELECT doc_id, frame_idx, peak,
+         frame_idx - row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY frame_idx) AS grp
+  FROM scored WHERE rms >= {SILENCE_RMS}
+)
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+       CAST(min(frame_idx) AS INT) AS seg_start,
+       CAST(max(frame_idx) AS INT) AS seg_end,
+       CAST(count(*) AS INT) AS n_frames,
+       max(peak) AS max_peak
+FROM voiced GROUP BY doc_id, grp
+ORDER BY asset_id, seg_start
+"""
+
+
+@register("mm_speech_segments", oracle=_SEGMENTS_ORACLE)
+def q_speech_segments(spark, sf_dir):
+    """Non-silent frame islands per audio asset (the VAD segment
+    extraction step); oracle replays decode -> frame RMS -> islands."""
+    return speech_segments(_audio_docs(spark, sf_dir)).orderBy(
+        "asset_id", "seg_start"
     )

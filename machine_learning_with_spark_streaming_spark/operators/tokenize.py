@@ -223,3 +223,57 @@ def q_tokenize_pack(spark, sf_dir):
         )
         .orderBy("source", "chunk_id")
     )
+
+
+_TOKENIZE_STREAM_ORACLE = f"""
+WITH RECURSIVE {_COUNTS_CTES}
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens
+FROM counts GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("s11_tokenize_stream", oracle=_TOKENIZE_STREAM_ORACLE)
+def q_tokenize_stream(spark, sf_dir):
+    """Streaming token accounting: the frozen-vocab tokenizer riding a
+    REAL 4-micro-batch document stream, accumulating exact per-source
+    token totals in complete-mode state — the live ingest counter a
+    training-data pipeline runs ("how many tokens has source X
+    contributed so far"). Tokenization itself is stateless/map-only per
+    batch; only the |sources|-row rollup holds state. Oracle = the
+    recursive-CTE tokenizer over the whole corpus."""
+    import shutil
+    import tempfile
+    import uuid
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    work = tempfile.mkdtemp(prefix="mlwss_tokstream_")
+    stage, ckpt = f"{work}/stage", f"{work}/ckpt"
+    docs.repartition(4).write.parquet(stage)
+    stream = (
+        spark.readStream.schema("doc_id bigint, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    counted = subword_tokenize(stream, keep_cols=("source",))
+    agg = counted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_subword_tokens").cast("bigint").alias("total_tokens"),
+    )
+    sink = f"tok_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    mem = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    shutil.rmtree(work, ignore_errors=True)
+    return mem.orderBy("source")
