@@ -685,3 +685,97 @@ def q_left_outer_join_stream(spark, sf_dir):
     spark.catalog.dropTempView(sink)
     shutil.rmtree(work, ignore_errors=True)
     return mem.orderBy("click_id", "error_id")
+
+
+_PACK_STREAM_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, source,
+         len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+           AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+walk AS (
+  SELECT source, rn, n_tokens, 0 AS chunk_id, n_tokens AS used
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.rn, t.n_tokens,
+         CASE WHEN w.used + t.n_tokens > 512 THEN w.chunk_id + 1
+              ELSE w.chunk_id END,
+         CASE WHEN w.used + t.n_tokens > 512 THEN t.n_tokens
+              ELSE w.used + t.n_tokens END
+  FROM walk w JOIN toks t ON t.source = w.source AND t.rn = w.rn + 1
+)
+SELECT source, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM walk
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("s11_pack_stream", oracle=_PACK_STREAM_ORACLE)
+def q_pack_stream(spark, sf_dir):
+    """Streaming sequence packing as a REAL 4-micro-batch run: the exact
+    greedy 512-token walk with its (chunk, used) cursor in the state
+    store, documents arriving as doc_id-range files (the ordered-ingest
+    contract). Every document's chunk assignment must equal the batch
+    walk over the whole corpus — the oracle's recursive CTE. This is
+    chunk assignment as an ingest-time property: a 100 TB/day pipeline
+    packs while it lands instead of re-walking the corpus nightly."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from machine_learning_with_spark_streaming_spark.operators.text import words
+    from machine_learning_with_spark_streaming_spark.streaming.stateful import streaming_packer
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(words("text")).cast("long").alias("n_tokens")
+    )
+    hi = docs.agg(F.max("doc_id")).first()[0] or 0
+    work = tempfile.mkdtemp(prefix="mlwss_packstream_")
+    stage, ckpt = f"{work}/stage", f"{work}/ckpt"
+    import glob
+    import os
+
+    os.makedirs(stage)
+    n_files = 4
+    step = hi // n_files + 1
+    for i in range(n_files):
+        part = docs.filter(
+            (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+        )
+        tmp = f"{work}/tmp_{i}"
+        part.coalesce(1).write.parquet(tmp)
+        shutil.copyfile(
+            glob.glob(f"{tmp}/part-*.parquet")[0], f"{stage}/{i:02d}.parquet"
+        )
+    stream = (
+        spark.readStream.schema("doc_id bigint, source string, n_tokens bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    packed = streaming_packer(stream, budget=512)
+    sink = f"pack_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        packed.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    mem = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    shutil.rmtree(work, ignore_errors=True)
+    return (
+        mem.groupBy("source", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+        .orderBy("source", "chunk_id")
+    )

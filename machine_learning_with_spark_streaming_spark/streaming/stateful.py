@@ -65,3 +65,74 @@ def running_totals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+PACK_STREAM_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("chunk_id", LongType()),
+    ]
+)
+
+_PACK_STATE_SCHEMA = StructType(
+    [StructField("chunk", LongType()), StructField("used", LongType())]
+)
+
+
+def streaming_packer(
+    stream: DataFrame,
+    budget: int,
+    tokens_col: str = "n_tokens",
+    part_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming sequence packer: the exact greedy token-budget walk of
+    ``operators/sampling.py:pack_token_budget_exact``, with the
+    (chunk, used) cursor carried in the state store per stream key —
+    chunk assignment becomes an *ingest-time* property instead of a
+    batch recompute.
+
+    Contract: per key, documents must arrive in ``id_col`` order across
+    micro-batches (the staging/partitioning layer's job — e.g. id-range
+    files, or Kafka partitions keyed by source with ordered producers);
+    within a batch the walk sorts. Under that contract the assignment
+    equals the batch walk over the whole corpus — which is exactly what
+    the oracle checks.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        chunk, used = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(id_col).reset_index(drop=True)
+            out = []
+            for t in pdf[tokens_col]:
+                t = int(t)
+                if used > 0 and used + t > budget:
+                    chunk, used = chunk + 1, 0
+                out.append(chunk)
+                used += t
+            yield pd.DataFrame(
+                {
+                    "source": key[0],
+                    "doc_id": pdf[id_col],
+                    "n_tokens": pdf[tokens_col],
+                    "chunk_id": out,
+                }
+            )
+        state.update((chunk, used))
+
+    return (
+        stream.select(part_col, id_col, tokens_col)
+        .groupBy(part_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=PACK_STREAM_SCHEMA,
+            stateStructType=_PACK_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -58,3 +58,60 @@ def test_running_totals_stream_batch_parity(spark, sf_dir, tmp_path):
     for r in hist:
         assert r.n_events >= seen.get(r.key, 0)
         seen[r.key] = r.n_events
+
+
+def test_streaming_packer_carries_cursor_across_batches(spark, tmp_path):
+    """Two ordered micro-batches; the second batch's first doc must join
+    the chunk the first batch left open (state carry), and the full
+    assignment must equal the batch walk."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.sampling import pack_token_budget_exact
+    from machine_learning_with_spark_streaming_spark.streaming.stateful import streaming_packer
+
+    rows = [
+        # source A: 300+150 (batch 1), then 50 fits the open chunk 0,
+        # then 400 forces chunk 1 — the carry is observable
+        (1, "A", 300), (2, "A", 150),
+        (3, "B", 500),
+        (10, "A", 50), (11, "A", 400),
+        (12, "B", 100),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    stage = str(tmp_path / "stage")
+    import os
+    os.makedirs(stage)
+    for i, cond in enumerate([F.col("doc_id") < 10, F.col("doc_id") >= 10]):
+        tmp = str(tmp_path / f"tmp{i}")
+        df.filter(cond).coalesce(1).write.parquet(tmp)
+        shutil.copyfile(glob.glob(f"{tmp}/part-*.parquet")[0], f"{stage}/{i:02d}.parquet")
+    stream = (
+        spark.readStream.schema("doc_id bigint, source string, n_tokens bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    sink = "pack_carry_test"
+    q = (
+        streaming_packer(stream, budget=512)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.doc_id: r.chunk_id for r in spark.table(sink).collect()
+    }
+    spark.catalog.dropTempView(sink)
+    expect = {
+        r.doc_id: r.chunk_id
+        for r in pack_token_budget_exact(df, 512, "n_tokens").collect()
+    }
+    assert got == expect
+    assert got[10] == 0  # joined the chunk batch 1 left open (300+150+50)
+    assert got[11] == 1  # 400 would overflow 512 -> new chunk
