@@ -118,3 +118,42 @@ def test_derby_jar_is_sparks_own(spark):
 
     jars = os.listdir(os.path.join(os.path.dirname(pyspark.__file__), "jars"))
     assert any(j.startswith("derby-") for j in jars)
+
+
+def test_aggregate_pushdown_executes_in_remote_engine(spark, derby_url):
+    """Via the DSv2 JDBCTableCatalog with pushDownAggregate, a GROUP BY
+    over the remote table plans as `PushedAggregates: [COUNT(*),
+    SUM(...)]` — the aggregation runs inside Derby and Spark receives
+    |groups| rows, not the table. At 100 TB-behind-JDBC this is the
+    difference between shipping the warehouse and shipping the answer;
+    S6's predicate pushdown is the same contract one operator earlier."""
+    write_table(_orders(spark), derby_url, "agg_push", mode="overwrite",
+                properties=DERBY_PROPS)
+    confs = {
+        "spark.sql.catalog.derby":
+            "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog",
+        "spark.sql.catalog.derby.url": derby_url,
+        "spark.sql.catalog.derby.driver": "org.apache.derby.jdbc.EmbeddedDriver",
+        "spark.sql.catalog.derby.pushDownAggregate": "true",
+    }
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        q = spark.sql(
+            "SELECT cust_id, count(*) AS n, sum(amount) AS amt "
+            "FROM derby.APP.AGG_PUSH GROUP BY cust_id"
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregates: [COUNT(*), SUM(amount)]" in plan, plan[:1500]
+        got = {r.cust_id: (r.n, r.amt) for r in q.collect()}
+        expect = {
+            r.cust_id: (r.n, r.amt)
+            for r in _orders(spark)
+            .groupBy("cust_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("amt"))
+            .collect()
+        }
+        assert got == expect
+    finally:
+        for k in confs:
+            spark.conf.unset(k)

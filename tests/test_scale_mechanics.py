@@ -231,3 +231,35 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Joining a date-partitioned fact to a dim filtered on a NON-join
+    column must inject a dynamicpruning subquery into the fact scan's
+    PartitionFilters — at 100 TB this is the mechanism that turns
+    "join to this quarter's dim rows" into "read only this quarter's
+    fact partitions", with no literal filter anywhere in user code."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_month", F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+    )
+    path = str(tmp_path / "fact_dpp")
+    orders.write.partitionBy("o_month").parquet(path)
+    fact = spark.read.parquet(path)
+
+    dim = (
+        orders.select("o_month").distinct()
+        .withColumn("quarter", F.concat(F.substring("o_month", 1, 4),
+                                        F.lit("-Q"),
+                                        ((F.substring("o_month", 6, 2).cast("int") - 1)
+                                         / 3 + 1).cast("int")))
+    )
+    target_q = dim.orderBy("quarter").first()["quarter"]
+    j = fact.join(F.broadcast(dim.filter(F.col("quarter") == target_q)), "o_month")
+
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the pruned join still returns exactly the quarter's rows
+    expected = orders.join(
+        dim.filter(F.col("quarter") == target_q), "o_month"
+    ).count()
+    assert j.count() == expected > 0
