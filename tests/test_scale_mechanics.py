@@ -263,3 +263,47 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
         dim.filter(F.col("quarter") == target_q), "o_month"
     ).count()
     assert j.count() == expected > 0
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's runtime skew handling — the automatic counterpart of the
+    manual salting in operators/skew.py: with one key holding half the
+    fact, the finalized adaptive plan marks the join `skew=true` and the
+    hot partition's AQEShuffleRead `skewed` (split into subpartitions,
+    each joined against a replicated dim read). Thresholds are lowered
+    to fire at test scale; the 10-GB-partition defaults fire on their
+    own at cluster scale. Coalescing is disabled so the skew reader's
+    decision is observable in isolation."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(400000).select(
+            F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload_" * 5), F.col("id")).alias("p"),
+        )
+        dim = spark.range(40000).select(
+            F.col("id").alias("k"), F.lit("d").alias("dval")
+        )
+        j = fact.join(dim, "k").select(F.count(F.lit(1)).alias("n"))
+        n = j.collect()[0]["n"]
+        # key 0: 200k fact rows x 1 dim row; keys 1..39999 odd: ~20k matches
+        assert n == 200000 + sum(1 for x in range(1, 40000) if x % 2 == 1)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:1500]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
