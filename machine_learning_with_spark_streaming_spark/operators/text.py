@@ -1742,3 +1742,172 @@ def q_bigram_logprob(spark, sf_dir):
     """Bigram conditional-LM quality score over documents."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return bigram_logprob(docs).orderBy("doc_id")
+
+
+# ------------------------------- mergeable (incremental) datasheet
+
+HIST_BIN_WIDTH = 512
+HIST_N_BINS = 8
+
+
+def datasheet_sketch(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mergeable datasheet partial for one corpus part, as a long
+    ``(kind, key, value)`` table:
+
+    - ``count`` rows: n_docs / total_chars / total_ws_tokens partials;
+    - ``lang`` / ``source`` rows: distinct values seen (presence sets);
+    - ``hash`` rows: the 8-byte normalized-text fingerprints with
+      multiplicity — the same artifact the incremental-dedup base
+      maintains, reused here for the dup-rate;
+    - ``hist`` rows: fixed-width char-length bin counts (the mergeable
+      replacement for :func:`corpus_datasheet`'s exact percentiles —
+      quantiles don't merge, histograms do).
+
+    Two sketches merge with ``groupBy(kind, key).sum(value)``; a merged
+    sketch finalizes to the identical datasheet a full recompute gives
+    (the a16 rollup-maintenance contract, applied to corpus stats).
+    Sketch size is O(unique docs) from the hash rows — exactly the
+    fingerprint table a 100 TB incremental-dedup deployment already
+    stores; everything else is O(bins + langs + sources)."""
+    from machine_learning_with_spark_streaming_spark.operators.dedup import normalize_text
+
+    ws_count = F.size(words(text_col)).cast("long")
+    n_chars = F.length(text_col).cast("long")
+    counts = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_chars).alias("total_chars"),
+        F.sum(ws_count).alias("total_ws_tokens"),
+    ).selectExpr(
+        "stack(3, 'n_docs', n_docs, 'total_chars', total_chars,"
+        " 'total_ws_tokens', total_ws_tokens) AS (key, value)"
+    ).select(F.lit("count").alias("kind"), "key", "value")
+    langs = (
+        docs.groupBy(F.col("lang").alias("key"))
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(F.lit("lang").alias("kind"), "key", "value")
+    )
+    sources = (
+        docs.groupBy(F.col("source").alias("key"))
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(F.lit("source").alias("kind"), "key", "value")
+    )
+    hashes = (
+        docs.groupBy(
+            F.conv(F.xxhash64(normalize_text(text_col)).cast("string"), 10, 16)
+            .alias("key")
+        )
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(F.lit("hash").alias("kind"), "key", "value")
+    )
+    bins = (
+        docs.groupBy(
+            F.least(
+                F.floor(n_chars / HIST_BIN_WIDTH), F.lit(HIST_N_BINS - 1)
+            ).cast("string").alias("key")
+        )
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(F.lit("hist").alias("kind"), "key", "value")
+    )
+    return counts.unionByName(langs).unionByName(sources).unionByName(
+        hashes
+    ).unionByName(bins)
+
+
+def merge_sketches(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two datasheet sketches — additive on every kind (presence
+    sets just accumulate multiplicity; only row EXISTENCE matters for
+    them)."""
+    return (
+        a.unionByName(b)
+        .groupBy("kind", "key")
+        .agg(F.sum("value").alias("value"))
+    )
+
+
+def finalize_datasheet(sketch: DataFrame) -> DataFrame:
+    """Sketch -> the (metric, value) datasheet. One aggregate over the
+    sketch (which is tiny except for hash rows, and those reduce to two
+    conditional counts)."""
+    agg = sketch.agg(
+        F.sum(F.when((F.col("kind") == "count") & (F.col("key") == "n_docs"),
+                     F.col("value"))).alias("n_docs"),
+        F.sum(F.when((F.col("kind") == "count") & (F.col("key") == "total_chars"),
+                     F.col("value"))).alias("total_chars"),
+        F.sum(F.when((F.col("kind") == "count") & (F.col("key") == "total_ws_tokens"),
+                     F.col("value"))).alias("total_ws_tokens"),
+        F.count(F.when(F.col("kind") == "lang", 1)).alias("n_langs"),
+        F.count(F.when(F.col("kind") == "source", 1)).alias("n_sources"),
+        F.count(F.when(F.col("kind") == "hash", 1)).alias("n_uniq"),
+        *[
+            F.sum(
+                F.when((F.col("kind") == "hist") & (F.col("key") == str(i)),
+                       F.col("value"))
+            ).alias(f"hist_{i}")
+            for i in range(HIST_N_BINS)
+        ],
+    ).withColumn(
+        "exact_dup_rate",
+        F.round(1.0 - F.col("n_uniq") / F.col("n_docs"), 6),
+    )
+    metrics = ["n_docs", "n_langs", "n_sources", "total_chars",
+               "total_ws_tokens", "exact_dup_rate"] + [
+        f"hist_{i}" for i in range(HIST_N_BINS)
+    ]
+    stack = ", ".join(
+        f"'{m}', CAST(coalesce({m}, 0) AS DOUBLE)" for m in metrics
+    )
+    return agg.selectExpr(
+        f"stack({len(metrics)}, {stack}) AS (metric, value)"
+    )
+
+
+_INCR_DATASHEET_ORACLE = f"""
+WITH lens AS (
+  SELECT doc_id, lang, source, length(text) AS n_chars,
+         len(string_split({_NORM}, ' ')) AS n_ws,
+         {_NORM} AS nrm,
+         least(CAST(floor(length(text) / {HIST_BIN_WIDTH}) AS BIGINT),
+               {HIST_N_BINS - 1}) AS bin
+  FROM documents
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+         CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+         CAST(sum(n_chars) AS DOUBLE) AS total_chars,
+         CAST(sum(n_ws) AS DOUBLE) AS total_ws_tokens,
+         round(1.0 - CAST(count(DISTINCT nrm) AS DOUBLE) / count(*), 6)
+           AS exact_dup_rate,
+         {", ".join(
+             f"CAST(sum(CASE WHEN bin = {i} THEN 1 ELSE 0 END) AS DOUBLE)"
+             f" AS hist_{i}" for i in range(HIST_N_BINS))}
+  FROM lens
+)
+SELECT metric, value FROM (
+  {" UNION ALL ".join(
+      f"SELECT 'ds_metric' AS _k, '{m}' AS metric, {m} AS value FROM m"
+      for m in ["n_docs", "n_langs", "n_sources", "total_chars",
+                "total_ws_tokens", "exact_dup_rate"]
+      + [f"hist_{i}" for i in range(HIST_N_BINS)])}
+)
+ORDER BY metric
+"""
+
+
+@register("v11_incremental_datasheet", oracle=_INCR_DATASHEET_ORACLE)
+def q_incremental_datasheet(spark, sf_dir):
+    """Incremental datasheet maintenance: the corpus split into two
+    parts, each sketched independently, sketches merged, datasheet
+    finalized — and the result must equal a from-scratch computation
+    over the whole corpus (the oracle). The dup-rate works across the
+    split because the hash fingerprints merge; the histogram replaces
+    percentiles because quantiles don't merge and bin counts do."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    part_a = docs.filter(F.col("doc_id") % 2 == 0)
+    part_b = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = merge_sketches(datasheet_sketch(part_a), datasheet_sketch(part_b))
+    return finalize_datasheet(merged).orderBy("metric")

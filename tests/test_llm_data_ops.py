@@ -659,3 +659,35 @@ def test_rag_index_topk_matches_python_replay(spark):
     ]
     assert [r.cosine for r in got] == [c for c, _d in expect[:3]]
     assert [r.rank for r in got] == [1, 2, 3]
+
+
+def test_datasheet_sketch_merge_equals_full_recompute(spark):
+    """finalize(merge(sketch(A), sketch(B))) == finalize(sketch(A∪B)),
+    including the cross-part duplicate (same text in both halves) that
+    only the merged hash fingerprints can count correctly."""
+    from machine_learning_with_spark_streaming_spark.operators.text import (
+        datasheet_sketch,
+        finalize_datasheet,
+        merge_sketches,
+    )
+
+    rows_a = [(1, "en", "s1", "alpha beta"), (2, "de", "s2", "gamma")]
+    rows_b = [(3, "en", "s1", "alpha beta"), (4, "fr", "s3", "x " * 600)]
+    schema = "doc_id long, lang string, source string, text string"
+    a, b = spark.createDataFrame(rows_a, schema), spark.createDataFrame(rows_b, schema)
+    both = spark.createDataFrame(rows_a + rows_b, schema)
+    merged = {
+        r.metric: r.value
+        for r in finalize_datasheet(
+            merge_sketches(datasheet_sketch(a), datasheet_sketch(b))
+        ).collect()
+    }
+    full = {
+        r.metric: r.value
+        for r in finalize_datasheet(datasheet_sketch(both)).collect()
+    }
+    assert merged == full
+    assert merged["n_docs"] == 4.0
+    assert merged["n_langs"] == 3.0 and merged["n_sources"] == 3.0
+    assert merged["exact_dup_rate"] == 0.25  # doc 3 duplicates doc 1 ACROSS parts
+    assert merged["hist_2"] == 1.0  # the 1200-char doc lands in bin 2
