@@ -105,6 +105,8 @@ EXTENDED += [
     "mm_wav_frame_rms",
     "pipeline_rag_index",
     "pipeline_tokenize_pack",
+    "s11_pack_stream",
+    "v11_incremental_datasheet",
 ]
 
 

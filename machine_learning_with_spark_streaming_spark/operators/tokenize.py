@@ -277,3 +277,41 @@ def q_tokenize_stream(spark, sf_dir):
     spark.catalog.dropTempView(sink)
     shutil.rmtree(work, ignore_errors=True)
     return mem.orderBy("source")
+
+
+_COMPRESSION_ORACLE = f"""
+WITH RECURSIVE {_COUNTS_CTES}
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(d.text)) AS BIGINT) AS total_chars,
+       CAST(sum(c.n) AS BIGINT) AS total_tokens,
+       round(CAST(sum(length(d.text)) AS DOUBLE) / sum(c.n), 6)
+         AS chars_per_token
+FROM counts c JOIN documents d ON d.doc_id = c.doc_id
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+@register("text_token_compression", oracle=_COMPRESSION_ORACLE)
+def q_token_compression(spark, sf_dir):
+    """Per-language tokenizer compression report (chars per subword
+    token) — the fertility metric that drives multilingual mix and
+    pricing decisions: a language the frozen vocab serves badly shows
+    low chars/token and eats budget. Integer sums until one final
+    division, so the doubles match cross-engine."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").cast("long").alias("n_chars"), "text"
+    )
+    counted = subword_tokenize(docs, keep_cols=("lang", "n_chars"))
+    return (
+        counted.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_subword_tokens").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum("n_chars") / F.sum("n_subword_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )

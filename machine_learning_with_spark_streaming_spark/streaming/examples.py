@@ -779,3 +779,82 @@ def q_pack_stream(spark, sf_dir):
         )
         .orderBy("source", "chunk_id")
     )
+
+
+_INCR_DEDUP_STREAM_ORACLE = """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+FROM (SELECT doc_id,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nrm
+      FROM documents)
+GROUP BY nrm
+ORDER BY 1
+"""
+
+
+@register("s11_incremental_dedup_stream", oracle=_INCR_DEDUP_STREAM_ORACLE)
+def q_incremental_dedup_stream(spark, sf_dir):
+    """Ingest-time exact dedup as a REAL 4-micro-batch foreachBatch
+    loop: each batch anti-joins its normalized-text hashes against the
+    fingerprint table accumulated by all PREVIOUS batches, emits only
+    first occurrences, and appends its own new hashes — the maintained
+    fingerprint artifact of operators/dedup.py:incremental_dedup driven
+    by a live stream. Batches arrive as doc_id-range files, so
+    "first occurrence" is "minimum doc_id", which is exactly what the
+    whole-corpus oracle computes. The fingerprint side only ever joins
+    and appends 8-byte hashes; document text never re-shuffles."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from machine_learning_with_spark_streaming_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id")).first()[0] or 0
+    work = tempfile.mkdtemp(prefix="mlwss_incrdedup_")
+    stage = f"{work}/stage"
+    os.makedirs(stage)
+    step = hi // 4 + 1
+    for i in range(4):
+        part = docs.filter(
+            (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+        )
+        tmp = f"{work}/tmp_{i}"
+        part.coalesce(1).write.parquet(tmp)
+        shutil.copyfile(
+            glob.glob(f"{tmp}/part-*.parquet")[0], f"{stage}/{i:02d}.parquet"
+        )
+    fp_dir, out_dir = f"{work}/fingerprints", f"{work}/kept"
+    empty = spark.createDataFrame([], "h long")
+    empty.write.parquet(fp_dir)
+    empty.select(F.lit(0).cast("long").alias("doc_id")).limit(0).write.parquet(
+        out_dir
+    )
+
+    def sink(batch_df, _batch_id):
+        hashed = batch_df.select(
+            "doc_id", F.xxhash64(normalize_text("text")).alias("h")
+        )
+        # keep-first within the batch, then against the accumulated base
+        firsts = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+        base = batch_df.sparkSession.read.parquet(fp_dir)
+        new = firsts.join(base, "h", "left_anti").localCheckpoint(eager=True)
+        new.select("doc_id").write.mode("append").parquet(out_dir)
+        new.select("h").write.mode("append").parquet(fp_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{work}/ckpt_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    kept = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return kept.orderBy("doc_id")

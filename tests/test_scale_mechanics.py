@@ -307,3 +307,21 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_exchange_reuse_on_self_joined_aggregate(spark, sf_dir):
+    """Self-joining an aggregate must plan ONE shuffle + ReusedExchange,
+    not two identical shuffles — Catalyst's subplan dedup, which is what
+    keeps self-comparison analytics (v2 totals-compare, drift reports,
+    the ANN recall report's two arms sharing a scan) from paying twice
+    at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("q"))
+    j = (
+        per_part.alias("a")
+        .join(per_part.alias("b"), F.col("a.q") == F.col("b.q"))
+        .select(F.count(F.lit(1)).alias("n"))
+    )
+    assert j.collect()[0]["n"] > 0
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan[:1500]
