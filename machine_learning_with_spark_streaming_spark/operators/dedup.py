@@ -244,6 +244,11 @@ def minhash_lsh_pairs(
     ``persist_shingles`` materializes the shingle table once for its
     three consumers (signatures + both verification joins) — measured
     3.7x at sf0.1; the cluster-scale analog is a temp-table write."""
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands}) — a remainder would silently drop hashes"
+        )
     rows = num_hashes // bands
     # one shingle pass feeds both the signatures and the verification
     sh_tab = shingle_table(df, text_col, id_col, n)
@@ -965,6 +970,11 @@ def minhash_band_table(
     (it is also needed for candidate verification) avoid a second
     shingle pass.
     """
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands}) — a remainder would silently drop hashes"
+        )
     rows = num_hashes // bands
     tab = sh_tab if sh_tab is not None else shingle_table(df, text_col, id_col, n)
     exploded = tab.select("id", F.explode("sh").alias("shingle"))
@@ -1035,7 +1045,7 @@ def incremental_minhash_dedup(
         .select(F.col("a.id").alias("id_new"), F.col("b.id").alias("id_base"))
         .distinct()
     )
-    return (
+    pairs = (
         cand.join(
             sh_new.select(F.col("id").alias("id_new"), F.col("sh").alias("sh_a")),
             "id_new",
@@ -1055,7 +1065,15 @@ def incremental_minhash_dedup(
             F.col("id_base").alias("dup_of"),
             F.round("jaccard", 6).alias("jaccard"),
         )
+        # pair results are batch-adjacent-small: materialize eagerly so
+        # the shingle caches can be released instead of leaking for the
+        # session lifetime (a 157-query driver session runs many of
+        # these back to back)
+        .localCheckpoint(eager=True)
     )
+    sh_new.unpersist()
+    sh_base.unpersist()
+    return pairs
 
 
 # Cross-corpus exact Jaccard: the injected batch's shingle sets against

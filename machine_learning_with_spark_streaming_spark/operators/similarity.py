@@ -629,24 +629,31 @@ def rag_index_topk(
         F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("cn")
     )
     qn = qemb.agg(F.sqrt(F.sum(F.col("qval") * F.col("qval"))).alias("qn"))
+    # norm LEFT JOIN dot: chunks sharing no bucket with the query rank
+    # at cosine 0 instead of vanishing, so top-k returns k rows whenever
+    # k chunks exist (the retrieval contract) — deterministic tie-break
+    # on (doc_id, chunk_idx) orders the zero-score tail
     scored = (
-        dot.join(norm, ["doc_id", "chunk_idx"])
+        norm.join(dot, ["doc_id", "chunk_idx"], "left")
         .crossJoin(F.broadcast(qn))
         .filter(F.col("cn") > 0)
         .select(
             "doc_id",
             "chunk_idx",
-            (F.col("dot") / (F.col("cn") * F.col("qn"))).alias("cos"),
+            (F.coalesce(F.col("dot"), F.lit(0)) / (F.col("cn") * F.col("qn")))
+            .alias("cos"),
         )
     )
     top = scored.orderBy(F.desc("cos"), "doc_id", "chunk_idx").limit(k)
     w = Window.orderBy(F.desc("cos"), "doc_id", "chunk_idx")
-    return top.select(
+    out = top.select(
         F.row_number().over(w).alias("rank"),
         "doc_id",
         "chunk_idx",
         F.round("cos", 6).alias("cosine"),
-    )
+    ).localCheckpoint(eager=True)  # k rows; lets the chunk index cache go
+    cemb.unpersist()
+    return out
 
 
 from machine_learning_with_spark_streaming_spark.operators.text import (  # noqa: E402
@@ -697,9 +704,9 @@ cn AS (
 ),
 qn AS (SELECT sqrt(CAST(sum(qval * qval) AS DOUBLE)) AS qn FROM qemb),
 scored AS (
-  SELECT d.doc_id, d.chunk_idx,
-         CAST(d.dot AS DOUBLE) / (c.cn * q.qn) AS cos
-  FROM dotp d JOIN cn c USING (doc_id, chunk_idx), qn q
+  SELECT c.doc_id, c.chunk_idx,
+         CAST(coalesce(d.dot, 0) AS DOUBLE) / (c.cn * q.qn) AS cos
+  FROM cn c LEFT JOIN dotp d USING (doc_id, chunk_idx), qn q
   WHERE c.cn > 0
 ),
 top AS (

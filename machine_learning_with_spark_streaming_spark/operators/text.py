@@ -1837,8 +1837,15 @@ def finalize_datasheet(sketch: DataFrame) -> DataFrame:
                      F.col("value"))).alias("total_chars"),
         F.sum(F.when((F.col("kind") == "count") & (F.col("key") == "total_ws_tokens"),
                      F.col("value"))).alias("total_ws_tokens"),
-        F.count(F.when(F.col("kind") == "lang", 1)).alias("n_langs"),
-        F.count(F.when(F.col("kind") == "source", 1)).alias("n_sources"),
+        # NULL keys stay in the sketch (their doc counts matter for
+        # n_docs partials elsewhere) but must not count as a distinct
+        # value — count(DISTINCT lang) semantics exclude NULL
+        F.count(
+            F.when((F.col("kind") == "lang") & F.col("key").isNotNull(), 1)
+        ).alias("n_langs"),
+        F.count(
+            F.when((F.col("kind") == "source") & F.col("key").isNotNull(), 1)
+        ).alias("n_sources"),
         F.count(F.when(F.col("kind") == "hash", 1)).alias("n_uniq"),
         *[
             F.sum(

@@ -48,8 +48,13 @@ from machine_learning_with_spark_streaming_spark.schemas import load_table
 #: no newlines and vocab entries contain no spaces.
 import re as _re
 
+# (?s): Java's '.' excludes Unicode line terminators (U+2028/U+2029/
+# U+0085) that the ASCII-only \s+ normalization does NOT collapse — the
+# fallback must consume every char or those vanish from the token
+# stream, breaking losslessness and the oracle's substr-walk parity.
 _GREEDY_PATTERN = (
-    "(" + "|".join(_re.escape(g) for g in sorted(VOCAB, key=len, reverse=True))
+    "(?s)("
+    + "|".join(_re.escape(g) for g in sorted(VOCAB, key=len, reverse=True))
     + "|.)"
 )
 

@@ -10,6 +10,31 @@ from machine_learning_with_spark_streaming_spark.registry import register
 from machine_learning_with_spark_streaming_spark.schemas import load_table
 from machine_learning_with_spark_streaming_spark.streaming.pipeline import windowed_event_aggregate
 
+
+def stage_ordered_files(parts, out_dir: str) -> str:
+    """Write each DataFrame in ``parts`` as ONE parquet file named
+    ``00.parquet``, ``01.parquet``, ... under ``out_dir``. Sequential
+    writes give monotonically increasing mtimes AND lexicographic
+    names, so the file stream source replays them in list order — the
+    ordered-ingest contract every multi-micro-batch certification run
+    here relies on. Shared by the left-outer join, streaming packer,
+    and streaming ingest-dedup queries (and their tests)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    os.makedirs(out_dir, exist_ok=True)
+    for i, part in enumerate(parts):
+        tmp = tempfile.mkdtemp(prefix="mlwss_stage_")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.copyfile(
+            glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+            os.path.join(out_dir, f"{i:02d}.parquet"),
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out_dir
+
 _S11_TUMBLING_ORACLE = """
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
        event_type,
@@ -623,28 +648,21 @@ def q_left_outer_join_stream(spark, sf_dir):
     sentinel_ts = hi + timedelta(seconds=range_sec + 3 * 3600)
 
     def stage(df, ts_col: str, side: str) -> str:
-        out = os.path.join(work, side)
-        os.makedirs(out)
+        parts = []
         for i in range(3):
             b_lo = lo + span * i
             b_hi = hi if i == 2 else lo + span * (i + 1)
             cond = (F.col(ts_col) >= F.lit(b_lo)) & (
                 (F.col(ts_col) <= F.lit(b_hi)) if i == 2 else (F.col(ts_col) < F.lit(b_hi))
             )
-            tmp = os.path.join(work, f"tmp_{side}_{i}")
-            df.filter(cond).coalesce(1).write.parquet(tmp)
-            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            # zero-padded names: listing order == event-time order
-            shutil.copyfile(part, os.path.join(out, f"{i:02d}.parquet"))
-        sent = spark.createDataFrame(
-            [(-1, -1, sentinel_ts)],
-            f"{df.columns[0]} bigint, user_id bigint, {ts_col} timestamp",
+            parts.append(df.filter(cond))
+        parts.append(  # the watermark-flush sentinel rides as the last file
+            spark.createDataFrame(
+                [(-1, -1, sentinel_ts)],
+                f"{df.columns[0]} bigint, user_id bigint, {ts_col} timestamp",
+            )
         )
-        tmp = os.path.join(work, f"tmp_{side}_s")
-        sent.coalesce(1).write.parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        shutil.copyfile(part, os.path.join(out, "99.parquet"))
-        return out
+        return stage_ordered_files(parts, os.path.join(work, side))
 
     l_dir = stage(clicks, "click_ts", "l")
     r_dir = stage(errors, "error_ts", "r")
@@ -740,18 +758,16 @@ def q_pack_stream(spark, sf_dir):
     import glob
     import os
 
-    os.makedirs(stage)
-    n_files = 4
-    step = hi // n_files + 1
-    for i in range(n_files):
-        part = docs.filter(
-            (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
-        )
-        tmp = f"{work}/tmp_{i}"
-        part.coalesce(1).write.parquet(tmp)
-        shutil.copyfile(
-            glob.glob(f"{tmp}/part-*.parquet")[0], f"{stage}/{i:02d}.parquet"
-        )
+    step = hi // 4 + 1
+    stage_ordered_files(
+        [
+            docs.filter(
+                (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+            )
+            for i in range(4)
+        ],
+        stage,
+    )
     stream = (
         spark.readStream.schema("doc_id bigint, source string, n_tokens bigint")
         .option("maxFilesPerTrigger", 1)
@@ -814,17 +830,16 @@ def q_incremental_dedup_stream(spark, sf_dir):
     hi = docs.agg(F.max("doc_id")).first()[0] or 0
     work = tempfile.mkdtemp(prefix="mlwss_incrdedup_")
     stage = f"{work}/stage"
-    os.makedirs(stage)
     step = hi // 4 + 1
-    for i in range(4):
-        part = docs.filter(
-            (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
-        )
-        tmp = f"{work}/tmp_{i}"
-        part.coalesce(1).write.parquet(tmp)
-        shutil.copyfile(
-            glob.glob(f"{tmp}/part-*.parquet")[0], f"{stage}/{i:02d}.parquet"
-        )
+    stage_ordered_files(
+        [
+            docs.filter(
+                (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+            )
+            for i in range(4)
+        ],
+        stage,
+    )
     fp_dir, out_dir = f"{work}/fingerprints", f"{work}/kept"
     empty = spark.createDataFrame([], "h long")
     empty.write.parquet(fp_dir)

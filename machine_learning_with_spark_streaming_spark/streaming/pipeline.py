@@ -217,6 +217,12 @@ def stream_stream_interval_join(
     # literal INTERVAL arithmetic (not make_dt_interval): the outer-join
     # analyzer must recognize the range condition to derive the state
     # watermark, and it only pattern-matches the literal form
+    if int(lower_sec) != lower_sec or int(upper_sec) != upper_sec:
+        raise ValueError(
+            "interval bounds must be whole seconds: "
+            f"got ({lower_sec}, {upper_sec}) — int() would silently "
+            "truncate and widen/narrow the join window"
+        )
     lo = F.expr(f"INTERVAL {int(lower_sec)} SECONDS")
     hi = F.expr(f"INTERVAL {int(upper_sec)} SECONDS")
     cond = (

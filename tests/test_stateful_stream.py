@@ -64,12 +64,10 @@ def test_streaming_packer_carries_cursor_across_batches(spark, tmp_path):
     """Two ordered micro-batches; the second batch's first doc must join
     the chunk the first batch left open (state carry), and the full
     assignment must equal the batch walk."""
-    import glob
-    import shutil
-
     from pyspark.sql import functions as F
 
     from machine_learning_with_spark_streaming_spark.operators.sampling import pack_token_budget_exact
+    from machine_learning_with_spark_streaming_spark.streaming.examples import stage_ordered_files
     from machine_learning_with_spark_streaming_spark.streaming.stateful import streaming_packer
 
     rows = [
@@ -81,13 +79,10 @@ def test_streaming_packer_carries_cursor_across_batches(spark, tmp_path):
         (12, "B", 100),
     ]
     df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
-    stage = str(tmp_path / "stage")
-    import os
-    os.makedirs(stage)
-    for i, cond in enumerate([F.col("doc_id") < 10, F.col("doc_id") >= 10]):
-        tmp = str(tmp_path / f"tmp{i}")
-        df.filter(cond).coalesce(1).write.parquet(tmp)
-        shutil.copyfile(glob.glob(f"{tmp}/part-*.parquet")[0], f"{stage}/{i:02d}.parquet")
+    stage = stage_ordered_files(
+        [df.filter(F.col("doc_id") < 10), df.filter(F.col("doc_id") >= 10)],
+        str(tmp_path / "stage"),
+    )
     stream = (
         spark.readStream.schema("doc_id bigint, source string, n_tokens bigint")
         .option("maxFilesPerTrigger", 1)

@@ -48,3 +48,21 @@ def test_subword_tokenize_degenerate_docs(spark):
     toks = _py_greedy("one") + _py_greedy("two")
     assert rows[4].n_subword_tokens == len(toks)
     assert rows[4].token_sig == hashlib.md5(" ".join(toks).encode()).hexdigest()
+
+
+def test_unicode_line_terminators_are_not_dropped(spark):
+    """Java regex '.' excludes U+2028/U+2029/U+0085 — which the
+    ASCII-only whitespace normalization does NOT collapse — so the
+    fallback must run in DOTALL mode or those characters silently
+    vanish from the token stream, breaking losslessness and oracle
+    parity."""
+    from pyspark.sql import functions as F
+
+    words = ["a\u2028b", "x\u2029y", "p\u0085q"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r.w: r.toks
+        for r in df.select("w", subword_tokens(F.col("w")).alias("toks")).collect()
+    }
+    for w in words:
+        assert "".join(got[w]) == w, (w, got[w])
