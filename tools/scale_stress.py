@@ -79,6 +79,12 @@ QUERIES = [
     "dedup_incremental_minhash",
     "mm_resize_bmp",
     "mm_wav_frame_rms",
+    "pipeline_rag_index",
+    "pipeline_tokenize_pack",
+    "text_token_compression",
+    "v11_incremental_datasheet",
+    "mm_image_dedup",
+    "mm_speech_segments",
 ]
 
 
