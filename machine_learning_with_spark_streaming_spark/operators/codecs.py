@@ -245,13 +245,17 @@ def bmp_roundtrip_stats(docs: DataFrame) -> DataFrame:
                 st = decode_bmp(encode_bmp_gray(gray, IMG_W, IMG_H))
                 rows.append(
                     (aid, st["width"], st["height"], st["n_pixels"],
-                     round(st["mean_pixel"], 6), st["max_pixel"])
+                     st["mean_pixel"], st["max_pixel"])
                 )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in BMP_STATS_SCHEMA.fields]
             )
 
-    return docs.mapInPandas(batches, BMP_STATS_SCHEMA)
+    # JVM-side HALF_UP round — Python round() is banker's and diverges
+    # from the DuckDB oracle on exact ties
+    return docs.mapInPandas(batches, BMP_STATS_SCHEMA).withColumn(
+        "mean_pixel", F.round("mean_pixel", 6)
+    )
 
 
 WAV_STATS_SCHEMA = StructType(
@@ -280,13 +284,15 @@ def wav_roundtrip_stats(docs: DataFrame) -> DataFrame:
                 st = decode_wav(encode_wav_pcm16(samples, WAV_RATE))
                 rows.append(
                     (aid, st["n_channels"], st["frame_rate"], st["n_frames"],
-                     round(st["mean_abs_sample"], 6), st["max_abs_sample"])
+                     st["mean_abs_sample"], st["max_abs_sample"])
                 )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in WAV_STATS_SCHEMA.fields]
             )
 
-    return docs.mapInPandas(batches, WAV_STATS_SCHEMA)
+    return docs.mapInPandas(batches, WAV_STATS_SCHEMA).withColumn(
+        "mean_abs_sample", F.round("mean_abs_sample", 6)
+    )
 
 
 def _image_docs(spark, sf_dir: str) -> DataFrame:
@@ -408,13 +414,15 @@ def bmp_resize_stats(docs: DataFrame) -> DataFrame:
                         aid,
                         OUT_W,
                         OUT_H,
-                        round(sum(small) / n, 6),
+                        sum(small) / n,
                         sum(px * (p + 1) for p, px in enumerate(small)),
                     )
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
 
-    return docs.mapInPandas(batches, RESIZE_SCHEMA)
+    return docs.mapInPandas(batches, RESIZE_SCHEMA).withColumn(
+        "mean_pixel", F.round("mean_pixel", 6)
+    )
 
 
 # Resized pixel p (0-based, row-major 4x4) samples source pixel
@@ -483,14 +491,16 @@ def wav_frame_rms(docs: DataFrame) -> DataFrame:
                         (
                             aid,
                             f,
-                            round(rms, 6),
+                            rms,  # silence flag uses the raw value too
                             max(abs(s) for s in frame),
                             int(rms < SILENCE_RMS),
                         )
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in WAV_RMS_SCHEMA.fields])
 
-    return docs.mapInPandas(batches, WAV_RMS_SCHEMA)
+    return docs.mapInPandas(batches, WAV_RMS_SCHEMA).withColumn(
+        "rms", F.round("rms", 6)
+    )
 
 
 _WAV_RMS_ORACLE = f"""

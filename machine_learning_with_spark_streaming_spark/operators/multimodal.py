@@ -135,7 +135,10 @@ def extract_features(assets: DataFrame) -> DataFrame:
                 {
                     "asset_id": pdf["asset_id"].values,
                     "n_bytes": arr["n_bytes"].astype("int32"),
-                    "mean_byte": arr["mean_byte"].round(6),
+                    # raw double; rounding happens JVM-side below — Python
+                    # round() is banker's and diverges from DuckDB's
+                    # half-up on exact .xxxxxx5 ties
+                    "mean_byte": arr["mean_byte"],
                     "max_byte": arr["max_byte"].astype("int32"),
                     "width": pdf["width"].astype("int32"),
                     "height": pdf["height"].astype("int32"),
@@ -149,7 +152,9 @@ def extract_features(assets: DataFrame) -> DataFrame:
     flat = assets.select(
         "asset_id", "payload", "meta.width", "meta.height", "meta.n_frames"
     )
-    return flat.mapInPandas(batches, FEATURE_SCHEMA)
+    return flat.mapInPandas(batches, FEATURE_SCHEMA).withColumn(
+        "mean_byte", F.round("mean_byte", 6)
+    )
 
 
 _META_ORACLE = """
@@ -265,14 +270,16 @@ def sample_frames(assets: DataFrame, every: int = FRAME_SAMPLE_EVERY) -> DataFra
                     out["frame_idx"].append(idx)
                     out["frame_offset"].append(idx * frame_len)
                     out["frame_mean_byte"].append(
-                        round(float(chunk.mean()), 6) if len(chunk) else 0.0
+                        float(chunk.mean()) if len(chunk) else 0.0
                     )
             yield pd.DataFrame(out)
 
     videos = assets.filter(F.col("kind") == "video").select(
         "asset_id", "payload", F.col("meta.n_frames").alias("n_frames")
     )
-    return videos.mapInPandas(expand, FRAME_SCHEMA)
+    return videos.mapInPandas(expand, FRAME_SCHEMA).withColumn(
+        "frame_mean_byte", F.round("frame_mean_byte", 6)
+    )
 
 
 _FRAMES_ORACLE = f"""
