@@ -50,8 +50,11 @@ def running_totals(
             n += len(pdf)
             s += float(pdf[value_col].sum())
         state.update((n, s))
+        # raw double out; consumers round JVM-side (F.round is HALF_UP
+        # like the DuckDB oracle — Python round() is banker's and would
+        # diverge on exact .xxxxxx5 ties)
         yield pd.DataFrame(
-            {"key": [key[0]], "n_events": [n], "value_sum": [round(s, 6)]}
+            {"key": [key[0]], "n_events": [n], "value_sum": [s]}
         )
 
     return (

@@ -2,6 +2,7 @@
 must converge to the batch aggregate (stream-batch parity) and show
 state carried between batches (monotone updates)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from machine_learning_with_spark_streaming_spark.schemas import load_table
@@ -46,12 +47,14 @@ def test_running_totals_stream_batch_parity(spark, sf_dir, tmp_path):
         for r in batch.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 6).alias("s"),
+            F.sum("value").alias("s"),
         )
         .collect()
     }
-    got = {k: (n, round(s, 6)) for k, (n, s) in final.items()}
-    assert got == expected
+    assert set(final) == set(expected)
+    for k, (n, s) in final.items():
+        assert n == expected[k][0]
+        assert s == pytest.approx(expected[k][1], abs=1e-6)
 
     # state must be carried: totals per key never decrease across updates
     seen: dict[str, int] = {}
