@@ -1509,15 +1509,23 @@ def hashed_quality_score(
         F.sum(wm).alias("sum_w_micro"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+    # score in INTEGER micro-units: half-away-from-zero rounding of
+    # sum/n done in exact integer arithmetic. The float form
+    # round(sum/(n*1e6) + bias/1e6, 6) lands on decimal ties whenever
+    # n | 2*sum, and Spark's BigDecimal rounding vs DuckDB's
+    # scaled-multiply rounding disagree on tie-adjacent doubles (found
+    # by the sf0.1 sweep) — integers cannot disagree.
+    mean_micro = (
+        F.when(F.col("sum_w_micro") >= 0, F.lit(1)).otherwise(F.lit(-1))
+        * F.expr(
+            "(2 * abs(sum_w_micro) + n_tokens) div (2 * n_tokens)"
+        )
+    )
     return agg.select(
         "id",
         "n_tokens",
         "sum_w_micro",
-        F.round(
-            F.col("sum_w_micro") / (F.col("n_tokens") * 1000000.0)
-            + BIAS_MICRO / 1000000.0,
-            6,
-        ).alias("score"),
+        (mean_micro + F.lit(BIAS_MICRO)).cast("long").alias("score_micro"),
         (
             (F.col("sum_w_micro") + F.lit(BIAS_MICRO) * F.col("n_tokens")) > 0
         ).cast("int").alias("pred_good"),
@@ -1548,8 +1556,9 @@ agg AS (
   FROM scored GROUP BY 1
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, sum_w_micro,
-       round(CAST(sum_w_micro AS DOUBLE) / (n_tokens * 1000000.0)
-             + {BIAS_MICRO} / 1000000.0, 6) AS score,
+       CAST(CASE WHEN sum_w_micro >= 0 THEN 1 ELSE -1 END
+            * ((2 * abs(sum_w_micro) + n_tokens) // (2 * n_tokens))
+            + {BIAS_MICRO} AS BIGINT) AS score_micro,
        CAST(sum_w_micro + {BIAS_MICRO} * n_tokens > 0 AS INT) AS pred_good
 FROM agg
 ORDER BY 1
@@ -1558,8 +1567,8 @@ ORDER BY 1
 
 @register("text_quality_classifier", oracle=_textclf_oracle())
 def q_hashed_quality_classifier(spark, sf_dir):
-    """Frozen hashed-linear quality filter over documents; the exact
-    integer verdict and the rounded score are both hash-compared."""
+    """Frozen hashed-linear quality filter over documents; the verdict
+    and the micro-unit score are both exact integers, hash-compared."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return (
         hashed_quality_score(docs)
@@ -1567,7 +1576,7 @@ def q_hashed_quality_classifier(spark, sf_dir):
             F.col("id").alias("doc_id"),
             "n_tokens",
             "sum_w_micro",
-            "score",
+            "score_micro",
             "pred_good",
         )
         .orderBy("doc_id")
