@@ -28,6 +28,12 @@ from machine_learning_with_spark_streaming_spark.testing import rowset as _rowse
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--shuffle", type=int, default=16,
+        help="spark.sql.shuffle.partitions — rerunning the full sweep "
+             "under a different value is the cheap local proxy for "
+             "cluster-vs-local answer stability",
+    )
     ap.add_argument("names", nargs="*", help="subset of query names to run")
     args = ap.parse_args()
 
@@ -37,7 +43,7 @@ def main() -> int:
     oracles = entry.oracle_sql()
     names = args.names or list(queries)
 
-    spark = get_session("verify-all", shuffle_partitions=16)
+    spark = get_session("verify-all", shuffle_partitions=args.shuffle)
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         path = f"{args.sf}/{t}.parquet"
