@@ -727,3 +727,90 @@ def q_rag_index(spark, sf_dir):
     bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return rag_index_topk(docs)
+
+
+# -------------------------- embedding drift monitor (snapshot compare)
+
+
+def centroid_drift(
+    old: DataFrame, new: DataFrame, group_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-group embedding drift between two corpus snapshots: cosine
+    and L2 shift between each group's centroid then vs now — the
+    model-vs-data drift monitor an embedding pipeline runs on every
+    re-crawl/re-embed ("did the meaning of label 7 move?").
+
+    Built on the certified :func:`group_centroids` long form; the drift
+    math consumes the ROUNDED centroid components, so the float-sum
+    order noise is already absorbed before any cross-engine comparison.
+    One (group, pos) join between two |groups|x|dims| tables — drift
+    cost is independent of corpus size once the centroids exist."""
+    a = group_centroids(old, group_col, vec_col).select(
+        "grp", "pos", F.col("centroid").alias("ca")
+    )
+    b = group_centroids(new, group_col, vec_col).select(
+        "grp", "pos", F.col("centroid").alias("cb")
+    )
+    j = a.join(b, ["grp", "pos"])
+    return (
+        j.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_dims"),
+            F.sum(F.col("ca") * F.col("cb")).alias("__dot"),
+            F.sum(F.col("ca") * F.col("ca")).alias("__na"),
+            F.sum(F.col("cb") * F.col("cb")).alias("__nb"),
+            F.sum(
+                (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
+            ).alias("__d2"),
+        )
+        .select(
+            "grp",
+            "n_dims",
+            F.round(
+                F.col("__dot") / (F.sqrt("__na") * F.sqrt("__nb")), 6
+            ).alias("cos_drift"),
+            F.round(F.sqrt("__d2"), 6).alias("l2_shift"),
+        )
+    )
+
+
+_DRIFT_ORACLE = """
+WITH ex AS (
+  SELECT vec_id % 2 AS half, label AS grp, CAST(g.i - 1 AS INT) AS pos,
+         CAST(embedding[g.i] AS DOUBLE) AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+),
+cent AS (
+  SELECT half, grp, pos, round(avg(x), 6) AS c
+  FROM ex GROUP BY 1, 2, 3
+),
+j AS (
+  SELECT a.grp, a.pos, a.c AS ca, b.c AS cb
+  FROM cent a JOIN cent b ON a.grp = b.grp AND a.pos = b.pos
+  WHERE a.half = 0 AND b.half = 1
+)
+SELECT CAST(grp AS INT) AS grp,
+       CAST(count(*) AS INT) AS n_dims,
+       round(sum(ca * cb) / (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb))), 6)
+         AS cos_drift,
+       round(sqrt(sum((ca - cb) * (ca - cb))), 6) AS l2_shift
+FROM j GROUP BY grp ORDER BY grp
+"""
+
+
+@register("emb_centroid_drift", oracle=_DRIFT_ORACLE)
+def q_centroid_drift(spark, sf_dir):
+    """Drift between the even-id and odd-id halves of the embeddings
+    table treated as two snapshots: same-distribution halves must show
+    near-1 cosine and small L2 shift per label — and the numbers are
+    hash-compared, not eyeballed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    return (
+        centroid_drift(old, new, "label")
+        .select(F.col("grp").cast("int").alias("grp"), "n_dims",
+                "cos_drift", "l2_shift")
+        .orderBy("grp")
+    )
