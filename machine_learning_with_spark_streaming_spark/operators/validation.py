@@ -15,7 +15,7 @@ cost is the two input aggregations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from machine_learning_with_spark_streaming_spark.registry import register
@@ -868,3 +868,83 @@ def q_column_profile(spark, sf_dir):
     """Single-pass profile of four heterogeneous lineitem columns."""
     li = load_table(spark, sf_dir, "lineitem")
     return column_profile(li, _PROFILE_COLS).orderBy("column")
+
+
+# --------------------------------- CDC log -> snapshot materialization
+
+
+def cdc_apply(
+    changes: DataFrame,
+    key_col: str,
+    op_col: str = "op",
+    order_cols: tuple[str, ...] = ("ts",),
+    delete_op: str = "D",
+) -> DataFrame:
+    """Materialize a change-data-capture log into its current snapshot:
+    for each key, the LAST change in ``order_cols`` order wins; a
+    terminal delete removes the key entirely. Insert/update need no
+    distinction (both are upserts under last-wins), which is the
+    standard CDC-merge contract (Debezium/Delta MERGE semantics).
+
+    One window over the key partitioning — identical cost shape to the
+    W4 latest-snapshot op; at 100 TB the log is typically pre-bucketed
+    by key so the window reuses the layout. Deterministic total order
+    required: include a tiebreaker column in ``order_cols``."""
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("__rn")
+    )
+
+
+_CDC_ORACLE = """
+WITH log AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'D'
+              WHEN event_type = 'click' THEN 'U'
+              ELSE 'I' END AS op
+  FROM events
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM log
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       op AS last_op,
+       CAST(ts AS TIMESTAMP) AS last_ts,
+       round(value, 6) AS current_value
+FROM ranked WHERE rn = 1 AND op <> 'D'
+ORDER BY user_id
+"""
+
+
+@register("v12_cdc_apply", oracle=_CDC_ORACLE)
+def q_cdc_apply(spark, sf_dir):
+    """CDC materialization over the events table read as a change log
+    (errors = deletes, clicks = updates, the rest = inserts): keys whose
+    latest change is a delete vanish from the snapshot; everyone else
+    carries their last value. (event_id tie-breaks equal timestamps.)"""
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    log = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "click", "U")
+        .otherwise("I")
+        .alias("op"),
+    )
+    snap = cdc_apply(log, "user_id", order_cols=("ts", "event_id"))
+    return snap.select(
+        "user_id",
+        F.col("op").alias("last_op"),
+        F.col("ts").alias("last_ts"),
+        F.round("value", 6).alias("current_value"),
+    ).orderBy("user_id")

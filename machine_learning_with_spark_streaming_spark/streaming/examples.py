@@ -873,3 +873,68 @@ def q_incremental_dedup_stream(spark, sf_dir):
     kept = spark.read.parquet(out_dir).localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return kept.orderBy("doc_id")
+
+
+@register("s11_session_window_stream", oracle=_S11_SESSION_ORACLE)
+def q_session_window_stream(spark, sf_dir):
+    """§2.10: session windows as a REAL 4-micro-batch stream — the
+    hardest stateful window: sessions MERGE in the state store when a
+    later batch's event falls inside an open session's gap, and only
+    close (emit, append mode) once the watermark passes session end +
+    gap. Same determinism recipe as the left-outer join: time-bucketed
+    staged files keep arrivals above the watermark, and a user_id=-1
+    sentinel pushes the final watermark past every real session so all
+    of them flush. Oracle = the batch gap-sessionization SQL — the
+    streamed sessions must equal the batch ones exactly."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    from datetime import timedelta
+
+    from machine_learning_with_spark_streaming_spark.streaming.pipeline import sessionized_aggregate
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    work = tempfile.mkdtemp(prefix="mlwss_sesstream_")
+    parts = []
+    for i in range(3):
+        b_lo, b_hi = lo + span * i, (hi if i == 2 else lo + span * (i + 1))
+        cond = (F.col("ts") >= F.lit(b_lo)) & (
+            (F.col("ts") <= F.lit(b_hi)) if i == 2 else (F.col("ts") < F.lit(b_hi))
+        )
+        parts.append(events.filter(cond))
+    sentinel_ts = hi + timedelta(hours=3)  # > gap (30m) + watermark (1h)
+    parts.append(
+        spark.createDataFrame(
+            [(-1, sentinel_ts, 0.0)], "user_id bigint, ts timestamp, value double"
+        )
+    )
+    stage = stage_ordered_files(parts, os.path.join(work, "stage"))
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    sessions = sessionized_aggregate(
+        stream, gap="30 minutes", watermark="1 hour"
+    )
+    sink = f"sess_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    mem = spark.table(sink).filter(F.col("user_id") >= 0).localCheckpoint(
+        eager=True
+    )
+    spark.catalog.dropTempView(sink)
+    shutil.rmtree(work, ignore_errors=True)
+    return mem.select(
+        "user_id", "session_start", "n_events", "value_sum"
+    ).orderBy("user_id", "session_start")
