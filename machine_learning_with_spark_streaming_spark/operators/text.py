@@ -1927,3 +1927,71 @@ def q_incremental_datasheet(spark, sf_dir):
     part_b = docs.filter(F.col("doc_id") % 2 == 1)
     merged = merge_sketches(datasheet_sketch(part_a), datasheet_sketch(part_b))
     return finalize_datasheet(merged).orderBy("metric")
+
+
+@register("s11_datasheet_stream", oracle=_INCR_DATASHEET_ORACLE)
+def q_datasheet_stream(spark, sf_dir):
+    """The mergeable datasheet maintained BY INGEST: a REAL 4-micro-batch
+    document stream where each batch sketches itself and merges into the
+    accumulated sketch table (foreachBatch, groupBy-sum merge), and the
+    final sketch finalizes to exactly the whole-corpus datasheet — the
+    v11 contract upgraded from two-part batch to live stream. Sketch
+    merging is associative+commutative, so batch boundaries cannot
+    matter; that is precisely what the oracle checks."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    hi = docs.agg(F.max("doc_id")).first()[0] or 0
+    work = tempfile.mkdtemp(prefix="mlwss_dsstream_")
+    from machine_learning_with_spark_streaming_spark.streaming.examples import stage_ordered_files
+
+    step = hi // 4 + 1
+    stage = stage_ordered_files(
+        [
+            docs.filter(
+                (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+            )
+            for i in range(4)
+        ],
+        f"{work}/stage",
+    )
+    sketch_dir = f"{work}/sketch"
+    spark.createDataFrame(
+        [], "kind string, key string, value bigint"
+    ).write.parquet(sketch_dir)
+
+    def sink(batch_df, _batch_id):
+        ss = batch_df.sparkSession
+        base = ss.read.parquet(sketch_dir)
+        merged = merge_sketches(base, datasheet_sketch(batch_df)).localCheckpoint(
+            eager=True
+        )
+        merged.write.mode("overwrite").parquet(f"{sketch_dir}_next")
+        # swap: the sketch table is tiny (O(unique docs) hash rows)
+        shutil.rmtree(sketch_dir)
+        os.rename(f"{sketch_dir}_next", sketch_dir)
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, lang string, source string, text string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{work}/ckpt_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = finalize_datasheet(
+        spark.read.parquet(sketch_dir)
+    ).orderBy("metric").localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return final
