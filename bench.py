@@ -107,6 +107,8 @@ EXTENDED += [
     "pipeline_tokenize_pack",
     "s11_pack_stream",
     "v11_incremental_datasheet",
+    "v12_cdc_apply",
+    "emb_centroid_drift",
 ]
 
 
