@@ -977,3 +977,110 @@ def q_weighted_sample_without_replacement(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     out = weighted_sample_without_replacement(docs, _WSAMP_K, "n_chars")
     return out.orderBy("doc_id")
+
+
+# --------------------- deterministic negative sampling (contrastive)
+
+NEG_BUCKETS = 8
+NEG_K = 4
+
+
+def sample_negatives(
+    anchors: DataFrame,
+    candidates: DataFrame,
+    k: int = NEG_K,
+    n_buckets: int = NEG_BUCKETS,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic negatives for contrastive training: each anchor
+    gets ``k`` different-label candidates, chosen by pure hash
+    arithmetic — reproducible across runs, partitionings, and engines
+    (the md5-gate discipline of every sampler here).
+
+    Scale shape: candidates are hashed into ``n_buckets`` buckets and
+    each anchor probes ONE pseudo-random bucket, so the join touches
+    |anchors| x |corpus|/n_buckets rows — never the n² pair space.
+    Within the probed bucket candidates are ranked by
+    ``md5(anchor#cand)``, i.e. an anchor-specific shuffle, so negatives
+    differ per anchor without any RNG state. An anchor whose probed
+    bucket holds fewer than ``k`` different-label rows yields fewer
+    negatives (the honest outcome; raise n_buckets' probe count to
+    trade cost for fill)."""
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("a_label"),
+        (
+            md5_hash60(F.concat(F.col(id_col).cast("string"), F.lit(f"#p{seed}")))
+            % n_buckets
+        ).alias("bucket"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("c_label"),
+        (
+            md5_hash60(F.concat(F.col(id_col).cast("string"), F.lit(f"#b{seed}")))
+            % n_buckets
+        ).alias("bucket"),
+    )
+    pair_rank = md5_hash60(
+        F.concat(
+            F.col("anchor_id").cast("string"),
+            F.lit("#"),
+            F.col("neg_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(pair_rank.asc(), F.col("neg_id"))
+    return (
+        c.join(F.broadcast(a), "bucket")
+        .filter(
+            (F.col("c_label") != F.col("a_label"))
+            & (F.col("neg_id") != F.col("anchor_id"))
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", F.col("rank").cast("int").alias("rank"), "neg_id")
+    )
+
+
+_NEG_H60 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+_NEGATIVES_ORACLE = f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS a_label,
+         {_NEG_H60.format(expr="CAST(vec_id AS VARCHAR) || '#p0'")}
+           % {NEG_BUCKETS} AS bucket
+  FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id AS neg_id, label AS c_label,
+         {_NEG_H60.format(expr="CAST(vec_id AS VARCHAR) || '#b0'")}
+           % {NEG_BUCKETS} AS bucket
+  FROM embeddings
+), ranked AS (
+  SELECT anchor_id, neg_id,
+         row_number() OVER (
+           PARTITION BY anchor_id
+           ORDER BY {_NEG_H60.format(
+               expr="CAST(anchor_id AS VARCHAR) || '#' || CAST(neg_id AS VARCHAR)")}
+             ASC, neg_id
+         ) AS rank
+  FROM c JOIN a USING (bucket)
+  WHERE c_label <> a_label AND neg_id <> anchor_id
+)
+SELECT CAST(anchor_id AS BIGINT) AS anchor_id, CAST(rank AS INT) AS rank,
+       CAST(neg_id AS BIGINT) AS neg_id
+FROM ranked WHERE rank <= {NEG_K}
+ORDER BY anchor_id, rank
+"""
+
+
+@register("sample_negatives", oracle=_NEGATIVES_ORACLE)
+def q_sample_negatives(spark, sf_dir):
+    """4 deterministic different-label negatives per anchor (first 8
+    vectors), via one bucket probe — the contrastive-pair generator
+    whose sample is a pure function of ids."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return sample_negatives(
+        emb.filter(F.col("vec_id") < 8), emb
+    ).orderBy("anchor_id", "rank")

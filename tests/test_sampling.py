@@ -359,3 +359,25 @@ def test_weighted_sample_without_replacement_properties(spark, sf_dir):
     corpus_mean = sum(stats.values()) / len(stats)
     sample_mean = sum(stats[d] for d in a) / len(a)
     assert sample_mean > corpus_mean
+
+
+def test_sample_negatives_contract(spark):
+    """Negatives are different-label, deterministic, and partitioning-
+    invariant; each anchor gets at most k."""
+    from machine_learning_with_spark_streaming_spark.operators.sampling import sample_negatives
+
+    rows = [(i, i % 3) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, label int")
+    anchors = df.filter(F.col("vec_id") < 6)
+    out = sample_negatives(anchors, df, k=3).collect()
+    labels = dict(rows)
+    by_anchor: dict[int, list[int]] = {}
+    for r in out:
+        assert labels[r.neg_id] != labels[r.anchor_id]
+        assert r.neg_id != r.anchor_id
+        by_anchor.setdefault(r.anchor_id, []).append(r.neg_id)
+    assert all(len(v) <= 3 for v in by_anchor.values())
+    # deterministic under a different partitioning
+    again = sample_negatives(anchors.repartition(7), df.repartition(5), k=3)
+    assert sorted((r.anchor_id, r.rank, r.neg_id) for r in again.collect()) == \
+        sorted((r.anchor_id, r.rank, r.neg_id) for r in out)
