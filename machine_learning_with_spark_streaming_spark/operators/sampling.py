@@ -1084,3 +1084,86 @@ def q_sample_negatives(spark, sf_dir):
     return sample_negatives(
         emb.filter(F.col("vec_id") < 8), emb
     ).orderBy("anchor_id", "rank")
+
+
+# ----------------------- length-bucketed batching (padding efficiency)
+
+LB_BUCKETS = 4
+LB_BATCH = 32
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    tokens_col: str,
+    n_buckets: int = LB_BUCKETS,
+    batch_size: int = LB_BATCH,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batch construction (sorted batching): documents
+    are quantile-bucketed by token count, batches formed within a
+    bucket, and the padded cost of each batch is ``batch_max x n_docs``
+    — the standard trainer trick that cuts padding waste versus mixing
+    short and long sequences in one batch. Returns per (bucket, batch):
+    occupancy, actual and padded token counts.
+
+    Deterministic: ``ntile`` over a (tokens, id) total order, batch id =
+    row_number div batch_size — both engines reproduce the exact
+    assignment. Scale: two windows over ONE global sort; at 100 TB swap
+    ntile for the certified percentile-boundary broadcast
+    (``range_shard_assignment``) and the windows become per-bucket."""
+    wb = Window.orderBy(F.col(tokens_col), F.col(id_col))
+    bucketed = df.withColumn("bucket", F.ntile(n_buckets).over(wb) - 1)
+    win = Window.partitionBy("bucket").orderBy(F.col(tokens_col), F.col(id_col))
+    batched = bucketed.withColumn(
+        "batch", ((F.row_number().over(win) - 1) / batch_size).cast("int")
+    )
+    return (
+        batched.groupBy("bucket", "batch")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.max(tokens_col).cast("bigint").alias("max_tokens"),
+            F.sum(tokens_col).cast("bigint").alias("actual_tokens"),
+        )
+        .withColumn(
+            "padded_tokens", (F.col("max_tokens") * F.col("n_docs")).cast("bigint")
+        )
+    )
+
+
+_LENGTH_BATCH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+           AS n FROM documents
+),
+bucketed AS (
+  SELECT doc_id, n,
+         ntile({LB_BUCKETS}) OVER (ORDER BY n, doc_id) - 1 AS bucket
+  FROM toks
+),
+batched AS (
+  SELECT bucket, n,
+         CAST((row_number() OVER (PARTITION BY bucket ORDER BY n, doc_id) - 1)
+              // {LB_BATCH} AS INT) AS batch
+  FROM bucketed
+)
+SELECT CAST(bucket AS INT) AS bucket, batch,
+       CAST(count(*) AS INT) AS n_docs,
+       CAST(max(n) AS BIGINT) AS max_tokens,
+       CAST(sum(n) AS BIGINT) AS actual_tokens,
+       CAST(max(n) * count(*) AS BIGINT) AS padded_tokens
+FROM batched GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("sample_length_batches", oracle=_LENGTH_BATCH_ORACLE)
+def q_length_batches(spark, sf_dir):
+    """Length-bucketed 32-doc batches over the corpus with per-batch
+    padded-vs-actual token cost — the padding-efficiency layout report."""
+    from machine_learning_with_spark_streaming_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(words("text")).cast("long").alias("n")
+    )
+    return length_bucketed_batches(docs, "n").orderBy("bucket", "batch")
