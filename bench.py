@@ -109,6 +109,9 @@ EXTENDED += [
     "v11_incremental_datasheet",
     "v12_cdc_apply",
     "emb_centroid_drift",
+    "sim_topk_multiprobe",
+    "sample_negatives",
+    "sample_length_batches",
 ]
 
 
