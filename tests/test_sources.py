@@ -455,3 +455,42 @@ def test_orc_roundtrip_via_read_auto(spark, tmp_path):
     back = read_auto(spark, out)
     assert back.count() == 100
     assert {r["id"]: r["v"] for r in back.collect()} == {i: 2 * i for i in range(100)}
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A lake directory whose older files lack a newly added column must
+    read with mergeSchema: union schema, NULLs for the missing column in
+    old files — the append-only schema-evolution contract."""
+    old = spark.createDataFrame([(1, "a")], "id long, name string")
+    new = spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    )
+    old.write.parquet(str(tmp_path / "t"), mode="append")
+    new.write.parquet(str(tmp_path / "t"), mode="append")
+    merged = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "t"))
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+
+def test_corrupt_json_lines_quarantined_not_fatal(spark, tmp_path):
+    """PERMISSIVE JSON ingest: malformed lines land in _corrupt_record
+    instead of failing the job — the quarantine half of the K8
+    error-side-output contract at the parser level."""
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "{broken json!!\n"
+        '{"id": 3, "v": "also ok"}\n'
+    )
+    df = (
+        spark.read.schema("id long, v string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = df.collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert {r.id for r in good} == {1, 3}
+    assert len(bad) == 1 and "broken" in bad[0]._corrupt_record
