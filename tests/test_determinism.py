@@ -23,6 +23,12 @@ SWEEP = [
     "text_subword_tokenize",
     "pipeline_rag_index",
     "pipeline_tokenize_pack",
+    "v12_cdc_apply",
+    "sample_negatives",
+    "sample_length_batches",
+    "sim_topk_multiprobe",
+    "emb_centroid_drift",
+    "v11_incremental_datasheet",
 ]
 
 
