@@ -909,3 +909,89 @@ def q_topk_multiprobe(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     out = topk_cosine_multiprobe(emb, emb.filter(F.col("vec_id") < N_QUERIES))
     return out.orderBy("query_id", "rank")
+
+
+_ANN_SERVING_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL.format(v='embedding')} AS bucket
+  FROM embeddings WHERE vec_id < 32
+), c AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL.format(v='embedding')} AS bucket
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('q.embedding', 'c.embedding')} AS cos
+  FROM q JOIN c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id, round(cos, 6) AS cos
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("s11_ann_serving_stream", oracle=_ANN_SERVING_ORACLE)
+def q_ann_serving_stream(spark, sf_dir):
+    """Online ANN retrieval serving: a REAL 4-micro-batch stream of
+    query vectors scored per batch against the STATIC corpus index
+    (sign-LSH bucket equi-join; the index broadcasts into every batch —
+    no state store, each query answered within its arrival batch, the
+    production online-retrieval shape). foreachBatch appends results;
+    the union over batches must equal the batch top-k for all 32
+    queries at once."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 32).select("vec_id", "embedding")
+    work = tempfile.mkdtemp(prefix="mlwss_annserve_")
+    stage = f"{work}/stage"
+    os.makedirs(stage)
+    # 4 files of 8 queries each (id-range split; order is irrelevant —
+    # serving is stateless per batch)
+    for i in range(4):
+        part = queries.filter(
+            (F.col("vec_id") >= i * 8) & (F.col("vec_id") < (i + 1) * 8)
+        )
+        tmp = f"{work}/tmp_{i}"
+        part.coalesce(1).write.parquet(tmp)
+        shutil.copyfile(
+            glob.glob(f"{tmp}/part-*.parquet")[0], f"{stage}/{i:02d}.parquet"
+        )
+    out_dir = f"{work}/results"
+    spark.createDataFrame(
+        [], "query_id long, rank int, neighbor_id long, cos double"
+    ).write.parquet(out_dir)
+
+    def sink(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        topk = topk_cosine_bucketed(emb, batch_df, id_col="vec_id")
+        topk.select(
+            "query_id", F.col("rank").cast("int").alias("rank"),
+            "neighbor_id", "cos",
+        ).write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{work}/ckpt_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res.orderBy("query_id", "rank")

@@ -948,3 +948,87 @@ def q_cdc_apply(spark, sf_dir):
         F.col("ts").alias("last_ts"),
         F.round("value", 6).alias("current_value"),
     ).orderBy("user_id")
+
+
+# ------------------------------- robust (median/MAD) outlier screening
+
+
+def mad_outlier_report(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier screening: flag rows more than
+    ``k`` median-absolute-deviations from the group median — the
+    standard data-cleaning gate that, unlike z-scores, is not itself
+    corrupted by the outliers it hunts.
+
+    Two passes (median, then MAD of residuals) with the group medians
+    re-entering as a broadcast join; the report aggregates back to one
+    row per group. Exact percentiles here; at 100 TB swap both to
+    ``percentile_approx`` (a14's documented trade) — the k*MAD gate is
+    threshold-based, so sketch error only moves borderline rows."""
+    med = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("__med")
+    )
+    with_med = df.join(F.broadcast(med), group_col)
+    mad = with_med.groupBy(group_col).agg(
+        F.percentile(
+            F.abs(F.col(value_col) - F.col("__med")), F.lit(0.5)
+        ).alias("__mad")
+    )
+    flagged = with_med.join(F.broadcast(mad), group_col).withColumn(
+        "__is_out",
+        (
+            F.abs(F.col(value_col) - F.col("__med")) > F.lit(k) * F.col("__mad")
+        ).cast("int"),
+    )
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.first("__med"), 6).alias("median"),
+            F.round(F.first("__mad"), 6).alias("mad"),
+            F.sum("__is_out").cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, percentile_cont(0.5) WITHIN GROUP (ORDER BY value)
+           AS med
+  FROM events GROUP BY 1
+),
+mad AS (
+  SELECT e.event_type,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(e.value - m.med))
+           AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(any_value(m.med), 6) AS median,
+       round(any_value(d.mad), 6) AS mad,
+       CAST(sum(CASE WHEN abs(e.value - m.med) > 3.0 * d.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+@register("v13_mad_outliers", oracle=_MAD_ORACLE)
+def q_mad_outliers(spark, sf_dir):
+    """Per-event-type robust outlier screen over event values (3-MAD
+    gate); medians, MADs, and outlier counts hash-compared."""
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return (
+        mad_outlier_report(events, "value", "event_type")
+        .orderBy("event_type")
+    )
