@@ -1995,3 +1995,101 @@ def q_datasheet_stream(spark, sf_dir):
     ).orderBy("metric").localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return final
+
+
+def histogram_drift(
+    old: DataFrame, new: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Length-distribution drift between two corpus snapshots: per
+    fixed-width char-length bin, document counts then vs now, the
+    per-bin share delta, plus a TOTAL row carrying the L1 distance
+    between the two normalized histograms (0 = identical distribution,
+    2 = disjoint). The distribution-shift alarm a recurring crawl runs
+    before training on a new snapshot — mergeable-bin counts make it
+    incremental for free (the v11 sketch already maintains them)."""
+    def hist(df, name):
+        n_chars = F.length(text_col).cast("long")
+        return (
+            df.groupBy(
+                F.least(
+                    F.floor(n_chars / HIST_BIN_WIDTH), F.lit(HIST_N_BINS - 1)
+                ).cast("int").alias("bin")
+            )
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    a, b = hist(old, "n_old"), hist(new, "n_new")
+    j = (
+        a.join(b, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    tot = j.agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    per_bin = (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_old",
+            "n_new",
+            F.round(
+                F.abs(
+                    F.col("n_new") / F.col("t_new")
+                    - F.col("n_old") / F.col("t_old")
+                ),
+                6,
+            ).alias("share_delta"),
+        )
+    )
+    total_row = (
+        per_bin.agg(
+            F.sum("n_old").alias("n_old"),
+            F.sum("n_new").alias("n_new"),
+            F.round(F.sum("share_delta"), 6).alias("share_delta"),
+        )
+        .select(F.lit(-1).cast("int").alias("bin"), "n_old", "n_new", "share_delta")
+    )
+    return per_bin.unionByName(total_row)
+
+
+_HIST_DRIFT_ORACLE = f"""
+WITH lens AS (
+  SELECT doc_id % 2 AS half,
+         least(CAST(floor(length(text) / {HIST_BIN_WIDTH}) AS BIGINT),
+               {HIST_N_BINS - 1}) AS bin
+  FROM documents
+),
+h AS (
+  SELECT bin,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_old,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_new
+  FROM lens GROUP BY bin
+),
+tot AS (SELECT sum(n_old) AS t_old, sum(n_new) AS t_new FROM h),
+per_bin AS (
+  SELECT CAST(bin AS INT) AS bin,
+         CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+         round(abs(CAST(n_new AS DOUBLE) / t_new
+                   - CAST(n_old AS DOUBLE) / t_old), 6) AS share_delta
+  FROM h, tot
+)
+SELECT * FROM per_bin
+UNION ALL
+SELECT -1, sum(n_old), sum(n_new), round(sum(share_delta), 6) FROM per_bin
+ORDER BY bin
+"""
+
+
+@register("v14_histogram_drift", oracle=_HIST_DRIFT_ORACLE)
+def q_histogram_drift(spark, sf_dir):
+    """Length-histogram drift between the even/odd document halves as
+    two snapshots; the TOTAL (-1) row is the L1 distribution distance."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return histogram_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    ).orderBy("bin")
