@@ -197,3 +197,20 @@ def test_column_profile_empty_columns_raises(spark):
 
     with pytest.raises(ValueError):
         column_profile(spark.range(1), [])
+
+
+def test_mad_outlier_report_flags_known_outlier(spark):
+    """A group of tight values plus one wild point: exactly that point
+    is beyond 3 MAD; an all-identical group has MAD 0 and flags every
+    deviation (the known MAD degenerate — callers add an epsilon floor
+    when values can be constant)."""
+    from machine_learning_with_spark_streaming_spark.operators.validation import mad_outlier_report
+
+    rows = [("a", v) for v in [10.0, 11.0, 9.0, 10.5, 9.5, 100.0]] + [
+        ("b", 5.0), ("b", 5.0), ("b", 5.0)
+    ]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = {r.grp: r for r in mad_outlier_report(df, "value", "grp").collect()}
+    assert out["a"].n_outliers == 1          # only the 100.0
+    assert out["a"].median == 10.25
+    assert out["b"].n_outliers == 0 and out["b"].mad == 0.0
