@@ -2002,9 +2002,15 @@ def histogram_drift(
 ) -> DataFrame:
     """Length-distribution drift between two corpus snapshots: per
     fixed-width char-length bin, document counts then vs now, the
-    per-bin share delta, plus a TOTAL row carrying the L1 distance
-    between the two normalized histograms (0 = identical distribution,
-    2 = disjoint). The distribution-shift alarm a recurring crawl runs
+    per-bin share delta in exact integer ppm, plus a TOTAL row carrying
+    the L1 distance between the two normalized histograms (0 =
+    identical distribution, ~2_000_000 ppm = disjoint).
+    ``share_delta_ppm = abs(n_new*1e6 div t_new - n_old*1e6 div
+    t_old)`` in pure BIGINT arithmetic — no doubles in the output, so
+    the value hashes identically on any engine/version (the r3 driver
+    divergence on the earlier ``round(.., 6)`` double form was Spark
+    HALF_UP vs DuckDB scaled-multiply tie rounding).
+    The distribution-shift alarm a recurring crawl runs
     before training on a new snapshot — mergeable-bin counts make it
     incremental for free (the v11 sketch already maintains them)."""
     def hist(df, name):
@@ -2036,22 +2042,30 @@ def histogram_drift(
             "bin",
             "n_old",
             "n_new",
-            F.round(
-                F.abs(
-                    F.col("n_new") / F.col("t_new")
-                    - F.col("n_old") / F.col("t_old")
-                ),
-                6,
-            ).alias("share_delta"),
+            F.abs(
+                F.expr(
+                    "CASE WHEN t_new > 0"
+                    " THEN n_new * 1000000L div t_new ELSE 0L END"
+                )
+                - F.expr(
+                    "CASE WHEN t_old > 0"
+                    " THEN n_old * 1000000L div t_old ELSE 0L END"
+                )
+            ).cast("long").alias("share_delta_ppm"),
         )
     )
     total_row = (
         per_bin.agg(
             F.sum("n_old").alias("n_old"),
             F.sum("n_new").alias("n_new"),
-            F.round(F.sum("share_delta"), 6).alias("share_delta"),
+            F.sum("share_delta_ppm").cast("long").alias("share_delta_ppm"),
         )
-        .select(F.lit(-1).cast("int").alias("bin"), "n_old", "n_new", "share_delta")
+        .select(
+            F.lit(-1).cast("int").alias("bin"),
+            "n_old",
+            "n_new",
+            "share_delta_ppm",
+        )
     )
     return per_bin.unionByName(total_row)
 
@@ -2073,13 +2087,15 @@ tot AS (SELECT sum(n_old) AS t_old, sum(n_new) AS t_new FROM h),
 per_bin AS (
   SELECT CAST(bin AS INT) AS bin,
          CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
-         round(abs(CAST(n_new AS DOUBLE) / t_new
-                   - CAST(n_old AS DOUBLE) / t_old), 6) AS share_delta
+         CAST(abs((n_new * 1000000) // t_new
+                  - (n_old * 1000000) // t_old) AS BIGINT) AS share_delta_ppm
   FROM h, tot
 )
 SELECT * FROM per_bin
 UNION ALL
-SELECT -1, sum(n_old), sum(n_new), round(sum(share_delta), 6) FROM per_bin
+SELECT -1, sum(n_old), sum(n_new),
+       CAST(sum(share_delta_ppm) AS BIGINT)
+FROM per_bin
 ORDER BY bin
 """
 
