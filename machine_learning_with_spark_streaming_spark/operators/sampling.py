@@ -1090,6 +1090,7 @@ def q_sample_negatives(spark, sf_dir):
 
 LB_BUCKETS = 4
 LB_BATCH = 32
+LB_SUBS = 8  # sub-partitions per bucket — sizes the widest window partition
 
 
 def length_bucketed_batches(
@@ -1098,6 +1099,7 @@ def length_bucketed_batches(
     n_buckets: int = LB_BUCKETS,
     batch_size: int = LB_BATCH,
     id_col: str = "doc_id",
+    subs_per_bucket: int = LB_SUBS,
 ) -> DataFrame:
     """Length-bucketed batch construction (sorted batching): documents
     are quantile-bucketed by token count, batches formed within a
@@ -1106,16 +1108,90 @@ def length_bucketed_batches(
     short and long sequences in one batch. Returns per (bucket, batch):
     occupancy, actual and padded token counts.
 
-    Deterministic: ``ntile`` over a (tokens, id) total order, batch id =
-    row_number div batch_size — both engines reproduce the exact
-    assignment. Scale: two windows over ONE global sort; at 100 TB swap
-    ntile for the certified percentile-boundary broadcast
-    (``range_shard_assignment``) and the windows become per-bucket."""
-    wb = Window.orderBy(F.col(tokens_col), F.col(id_col))
-    bucketed = df.withColumn("bucket", F.ntile(n_buckets).over(wb) - 1)
-    win = Window.partitionBy("bucket").orderBy(F.col(tokens_col), F.col(id_col))
-    batched = bucketed.withColumn(
-        "batch", ((F.row_number().over(win) - 1) / batch_size).cast("int")
+    Semantics: ``bucket = #(percentile boundaries < tokens)`` (exact
+    ``i/n_buckets`` PERCENTILE_CONT boundaries, rounded 6 dp, strict
+    ``>`` so boundary ties go low — the ``range_shard_assignment``
+    rule), ``batch = (row_number() over (partition by bucket order by
+    tokens, id) - 1) div batch_size``. Both engines reproduce the exact
+    assignment.
+
+    Scale shape (the r3 ntile form put the whole corpus through ONE
+    ``Exchange SinglePartition`` window): boundaries are one distributed
+    aggregate broadcast back as a single-row array, and the per-bucket
+    row_number is decomposed so no window partition exceeds ~corpus /
+    (n_buckets * subs_per_bucket): a finer percentile grid assigns each
+    row a sub-partition (a pure function of tokens, so ordering by
+    (tokens, id) within a sub refines the bucket order), row_number runs
+    per sub, and the rank offset of each sub within its bucket comes
+    from a bounded (n_buckets*subs_per_bucket)-row count table whose
+    prefix sums are computed as array folds — no corpus-sized
+    single-partition exchange anywhere. Raise ``subs_per_bucket`` with
+    corpus size to keep window partitions executor-sized."""
+    n_fine = n_buckets * subs_per_bucket
+    ps = [j / n_fine for j in range(1, n_fine)]
+    bnd = df.agg(
+        F.transform(
+            F.percentile(F.col(tokens_col), F.array(*[F.lit(p) for p in ps])),
+            lambda x: F.round(x, 6),
+        ).alias("__fine")
+    ).select(
+        "__fine",
+        # coarse bucket boundaries are the fine grid at multiples of
+        # subs_per_bucket (identical doubles — same percentile call)
+        F.array(
+            *[
+                F.element_at("__fine", i * subs_per_bucket)
+                for i in range(1, n_buckets)
+            ]
+        ).alias("__coarse"),
+    )
+    t = F.col(tokens_col)
+    assigned = (
+        df.crossJoin(F.broadcast(bnd))
+        .select(
+            df["*"],
+            F.size(F.filter("__coarse", lambda b: t > b)).cast("int").alias(
+                "bucket"
+            ),
+            F.size(F.filter("__fine", lambda b: t > b)).cast("int").alias(
+                "__sub"
+            ),
+        )
+    )
+    # bounded: one row per non-empty sub-partition; prefix sums via an
+    # array fold over the per-bucket sub list (no window, no collect)
+    counts = assigned.groupBy("bucket", "__sub").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    offsets = (
+        counts.groupBy("bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__sub", "__cnt"))
+            ).alias("__arr")
+        )
+        .select(
+            "bucket",
+            F.explode(
+                F.expr(
+                    "transform(__arr, x -> struct(x.__sub as __sub,"
+                    " aggregate(filter(__arr, y -> y.__sub < x.__sub),"
+                    " 0L, (a, y) -> a + y.__cnt) as __off))"
+                )
+            ).alias("__o"),
+        )
+        .select("bucket", F.col("__o.__sub").alias("__sub"), F.col("__o.__off").alias("__off"))
+    )
+    batched = (
+        assigned.join(F.broadcast(offsets), ["bucket", "__sub"])
+        .withColumn(
+            "batch",
+            F.expr(
+                f"cast((__off + row_number() over (partition by __sub"
+                f" order by {tokens_col}, {id_col}) - 1)"
+                f" div {batch_size} as int)"
+            ),
+        )
     )
     return (
         batched.groupBy("bucket", "batch")
@@ -1136,10 +1212,16 @@ WITH toks AS (
          len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
            AS n FROM documents
 ),
+bnd AS (
+  SELECT list_transform(
+           quantile_cont(n, [{", ".join(str(i / LB_BUCKETS) for i in range(1, LB_BUCKETS))}]),
+           x -> round(x, 6)) AS b
+  FROM toks
+),
 bucketed AS (
   SELECT doc_id, n,
-         ntile({LB_BUCKETS}) OVER (ORDER BY n, doc_id) - 1 AS bucket
-  FROM toks
+         CAST(len(list_filter(bnd.b, x -> toks.n > x)) AS INT) AS bucket
+  FROM toks CROSS JOIN bnd
 ),
 batched AS (
   SELECT bucket, n,

@@ -325,3 +325,31 @@ def test_exchange_reuse_on_self_joined_aggregate(spark, sf_dir):
     assert j.collect()[0]["n"] > 0
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan[:1500]
+
+
+def test_length_batches_has_no_global_window(spark, sf_dir):
+    """r3's length_bucketed_batches put the corpus through one
+    Exchange SinglePartition window (global ntile). The redesign
+    (percentile-boundary broadcast + per-sub-partition row_number +
+    array-fold rank offsets) must keep every SinglePartition exchange
+    fed by map-side aggregate partials only, and every Window
+    partitioned."""
+    import __spark_entry__ as entry
+
+    from machine_learning_with_spark_streaming_spark.planaudit import (
+        parse_plan_tree,
+        unbounded_single_partition_windows,
+    )
+
+    df = entry.queries()["sample_length_batches"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert unbounded_single_partition_windows(plan) == []
+    # every Window node must declare a partition spec (no global sort)
+    for node in parse_plan_tree(plan):
+        if node.label.startswith("Window"):
+            assert "windowspecdefinition(" in node.label
+            spec = node.label.split("windowspecdefinition(", 1)[1]
+            # first argument of the spec is the partition column list;
+            # a global window starts the spec with the order columns
+            # only — ours must partition by the fine sub-bucket
+            assert spec.startswith("__sub"), node.label[:200]
