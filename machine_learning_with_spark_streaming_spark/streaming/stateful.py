@@ -109,24 +109,32 @@ def streaming_packer(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         chunk, used = state.get if state.exists else (0, 0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(id_col).reset_index(drop=True)
-            out = []
-            for t in pdf[tokens_col]:
-                t = int(t)
-                if used > 0 and used + t > budget:
-                    chunk, used = chunk + 1, 0
-                out.append(chunk)
-                used += t
-            yield pd.DataFrame(
-                {
-                    "source": key[0],
-                    "doc_id": pdf[id_col],
-                    "n_tokens": pdf[tokens_col],
-                    "chunk_id": out,
-                }
-            )
+        # A key's batch rows arrive as MULTIPLE Arrow chunks in
+        # arbitrary shuffle order once the group exceeds
+        # arrow.maxRecordsPerBatch — concatenate before the single
+        # sorted walk, or the greedy cursor diverges from the batch
+        # walk (and the oracle) exactly when groups get big.
+        chunks = list(pdfs)
+        if not chunks:  # timeout-triggered invocations carry no rows
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        out = []
+        for t in pdf[tokens_col]:
+            t = int(t)
+            if used > 0 and used + t > budget:
+                chunk, used = chunk + 1, 0
+            out.append(chunk)
+            used += t
         state.update((chunk, used))
+        yield pd.DataFrame(
+            {
+                "source": key[0],
+                "doc_id": pdf[id_col],
+                "n_tokens": pdf[tokens_col],
+                "chunk_id": out,
+            }
+        )
 
     return (
         stream.select(part_col, id_col, tokens_col)

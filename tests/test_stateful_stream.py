@@ -113,3 +113,53 @@ def test_streaming_packer_carries_cursor_across_batches(spark, tmp_path):
     assert got == expect
     assert got[10] == 0  # joined the chunk batch 1 left open (300+150+50)
     assert got[11] == 1  # 400 would overflow 512 -> new chunk
+
+
+def test_streaming_packer_survives_multi_chunk_arrow_delivery(spark, tmp_path):
+    """When a key's batch group exceeds arrow.maxRecordsPerBatch, the
+    rows reach the state function as MULTIPLE pandas chunks in
+    arbitrary shuffle order. The packer must concatenate before its
+    sorted greedy walk — per-chunk walks diverge from the batch oracle
+    exactly when groups get big (r3 advice finding). Forced here with
+    a 4-row Arrow chunk size against a 30-doc group."""
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.sampling import pack_token_budget_exact
+    from machine_learning_with_spark_streaming_spark.streaming.examples import stage_ordered_files
+    from machine_learning_with_spark_streaming_spark.streaming.stateful import streaming_packer
+
+    rows = [(i, "A", 60 + (i * 37) % 140) for i in range(1, 31)]
+    rows += [(i, "B", 80 + (i * 53) % 200) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    # shuffle row order inside the staged file so arrival order is not
+    # already sorted — the walk must impose the id order itself
+    staged = df.orderBy(F.xxhash64("doc_id", "source"))
+    stage = stage_ordered_files([staged], str(tmp_path / "stage"))
+    stream = (
+        spark.readStream.schema("doc_id bigint, source string, n_tokens bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    orig = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        sink = "pack_multichunk_test"
+        q = (
+            streaming_packer(stream, budget=512)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {(r.source, r.doc_id): r.chunk_id for r in spark.table(sink).collect()}
+        spark.catalog.dropTempView(sink)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", orig)
+    expect = {
+        (r.source, r.doc_id): r.chunk_id
+        for r in pack_token_budget_exact(df, 512, "n_tokens").collect()
+    }
+    assert got == expect
