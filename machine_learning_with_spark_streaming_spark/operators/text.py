@@ -1170,7 +1170,13 @@ def corpus_datasheet(
         F.countDistinct("source").cast("double").alias("n_sources"),
         F.sum(F.length(text_col)).cast("double").alias("total_chars"),
         F.sum(ws_count).alias("total_ws_tokens"),
-        F.countDistinct(F.xxhash64(normalize_text(text_col)))
+        # NULL text coalesces to '' BEFORE hashing: Spark xxhash64
+        # never returns NULL (a NULL input hashes to the seed), so an
+        # uncoalesced NULL doc would count as a real fingerprint here
+        # while the oracle's count(DISTINCT ...) excluded it
+        F.countDistinct(
+            F.xxhash64(F.coalesce(normalize_text(text_col), F.lit("")))
+        )
         .cast("double")
         .alias("__n_uniq"),
         F.round(F.percentile(F.length(text_col), F.lit(0.5)), 4).alias(
@@ -1216,7 +1222,8 @@ UNION ALL
 SELECT 'total_ws_tokens', CAST(sum(len({_WS})) AS DOUBLE) FROM documents
 UNION ALL
 SELECT 'exact_dup_rate',
-       round(1.0 - CAST(count(DISTINCT norm) AS DOUBLE) / count(*), 6)
+       round(1.0 - CAST(count(DISTINCT coalesce(norm, '')) AS DOUBLE)
+             / count(*), 6)
 FROM corpus
 UNION ALL
 SELECT 'p50_chars', round(quantile_cont(length(text), 0.5), 4) FROM corpus
@@ -1803,9 +1810,16 @@ def datasheet_sketch(
         .select(F.lit("source").alias("kind"), "key", "value")
     )
     hashes = (
+        # coalesce NULL text to '' so both engines count NULL-text docs
+        # identically (xxhash64(NULL) is the seed, a real fingerprint)
         docs.groupBy(
-            F.conv(F.xxhash64(normalize_text(text_col)).cast("string"), 10, 16)
-            .alias("key")
+            F.conv(
+                F.xxhash64(
+                    F.coalesce(normalize_text(text_col), F.lit(""))
+                ).cast("string"),
+                10,
+                16,
+            ).alias("key")
         )
         .agg(F.count(F.lit(1)).alias("value"))
         .select(F.lit("hash").alias("kind"), "key", "value")
@@ -1894,7 +1908,8 @@ m AS (
          CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
          CAST(sum(n_chars) AS DOUBLE) AS total_chars,
          CAST(sum(n_ws) AS DOUBLE) AS total_ws_tokens,
-         round(1.0 - CAST(count(DISTINCT nrm) AS DOUBLE) / count(*), 6)
+         round(1.0 - CAST(count(DISTINCT coalesce(nrm, '')) AS DOUBLE)
+               / count(*), 6)
            AS exact_dup_rate,
          {", ".join(
              f"CAST(sum(CASE WHEN bin = {i} THEN 1 ELSE 0 END) AS DOUBLE)"

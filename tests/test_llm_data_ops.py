@@ -718,3 +718,50 @@ def test_multiprobe_recall_dominates_single_bucket(spark):
     r_multi = exact.intersect(multi).count() / exact.count()
     assert r_multi > r_single  # deterministic on the seeded corpus
     assert r_multi >= 0.5  # 5 of 16 buckets probed recovers most neighbors
+
+
+def test_datasheet_null_text_counts_like_oracle(spark, oracle_con):
+    """NULL-text docs: Spark xxhash64 hashes NULL to the seed (a real
+    fingerprint) while SQL count(DISTINCT ...) drops NULL — the two
+    engines diverged on exact_dup_rate until both sides coalesce text
+    to '' (r3 advice finding). Pin the coalesced semantics on a corpus
+    with a NULL-text doc AND an empty-text doc: they count as
+    duplicates of each other, identically in both engines."""
+    import duckdb
+
+    from machine_learning_with_spark_streaming_spark.operators.text import (
+        corpus_datasheet,
+        datasheet_sketch,
+        finalize_datasheet,
+    )
+
+    rows = [
+        (1, "en", "s1", "alpha"),
+        (2, "en", "s1", None),
+        (3, "de", "s2", ""),
+        (4, "fr", "s1", "alpha"),
+    ]
+    schema = "doc_id long, lang string, source string, text string"
+    df = spark.createDataFrame(rows, schema)
+    # NULL('') and '' collapse to one fingerprint; 'alpha' twice ->
+    # n_uniq = 2 of 4 docs -> dup rate 0.5 in BOTH paths
+    ds = {r.metric: r.value for r in corpus_datasheet(df).collect()}
+    assert ds["exact_dup_rate"] == 0.5
+    sk = {
+        r.metric: r.value
+        for r in finalize_datasheet(datasheet_sketch(df)).collect()
+    }
+    assert sk["exact_dup_rate"] == 0.5
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d (doc_id BIGINT, lang VARCHAR, source VARCHAR,"
+        " text VARCHAR)"
+    )
+    con.executemany("INSERT INTO d VALUES (?, ?, ?, ?)", rows)
+    (oracle_rate,) = con.execute(
+        "SELECT round(1.0 - CAST(count(DISTINCT coalesce("
+        "lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ''))"
+        " AS DOUBLE) / count(*), 6) FROM d"
+    ).fetchone()
+    con.close()
+    assert oracle_rate == 0.5
