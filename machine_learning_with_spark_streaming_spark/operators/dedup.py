@@ -1081,6 +1081,16 @@ def incremental_minhash_dedup(
 # (candidate banding bounds cost, exact verification restores precision;
 # xxhash64 banding is deterministic, so recall is a fixed property
 # checked here, not a per-run coin flip).
+#
+# DOCUMENTED RECALL ASSUMPTION: this oracle asserts 100% LSH recall.
+# With 16 hashes / 8 bands of 2 rows, a true pair at exactly J=0.8
+# misses every band with p ≈ (1 − 0.8²)⁸ ≈ 2.8e-4 — deterministic for
+# any given corpus under xxhash64, but data-dependent across corpora.
+# DuckDB cannot reproduce xxhash64, so the candidate set can't be
+# enumerated oracle-side; instead the assumption is pinned per fixture
+# by tests/test_dedup.py::test_lsh_band_recall_is_total_on_certified_
+# fixtures, which fails (pointing here) if a regenerated corpus ever
+# contains a band-missed true pair.
 _INCR_MINHASH_ORACLE = f"""
 WITH batch AS (
   SELECT doc_id + 100000 AS doc_id, text || ' zzz extra' AS text

@@ -247,3 +247,88 @@ def test_incremental_minhash_catches_near_and_exact(spark):
     assert 0.8 <= got[(102, 1)] < 1.0
     assert not any(d == 103 for d, _ in got)
     assert not any(d in (1, 2, 3) for d, _ in got)  # base pairs excluded
+
+
+import os
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "docs_dir",
+    [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",  # the driver's certification scale
+    ],
+)
+def test_lsh_band_recall_is_total_on_certified_fixtures(spark, docs_dir):
+    """The incremental-minhash oracle computes exact all-pairs Jaccard
+    >= 0.8, implicitly asserting 100% recall for the Spark band probe
+    (16 hashes / 8 bands of 2: a true pair at J=0.8 misses every band
+    with p ~= (1-0.64)^8 ~= 2.8e-4 — deterministic per corpus under
+    xxhash64, but data-dependent). This test pins the assumption on
+    the exact corpora the driver certifies against: every
+    exact-Jaccard pair at/above threshold must appear in the
+    band-collision candidate set. If a future fixture regeneration
+    trips this, the oracle needs a candidate-set rewrite, not the
+    engine."""
+    if not os.path.exists(f"{docs_dir}/documents.parquet"):
+        pytest.skip(f"no testdata at {docs_dir}")
+    from machine_learning_with_spark_streaming_spark.operators.dedup import (
+        minhash_band_table,
+        shingle_table,
+    )
+
+    base = spark.read.parquet(f"{docs_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    near = base.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz extra")).alias("text"),
+    )
+    exact = base.filter(
+        (F.col("doc_id") >= 25) & (F.col("doc_id") < 50)
+    ).select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    batch = near.unionByName(exact)
+
+    sh_new = shingle_table(batch)
+    sh_base = shingle_table(base)
+    truth = {
+        (r.id_new, r.id_base)
+        for r in (
+            sh_new.select(F.col("id").alias("id_new"), F.col("sh").alias("sh_a"))
+            .join(
+                sh_base.select(
+                    F.col("id").alias("id_base"), F.col("sh").alias("sh_b")
+                ),
+                F.arrays_overlap("sh_a", "sh_b"),
+            )
+            .withColumn(
+                "j",
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+            )
+            .filter(F.col("j") >= 0.8)
+            .collect()
+        )
+    }
+    cand = {
+        (r.id_new, r.id_base)
+        for r in (
+            minhash_band_table(batch)
+            .alias("a")
+            .join(
+                minhash_band_table(base).alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash")),
+            )
+            .select(
+                F.col("a.id").alias("id_new"), F.col("b.id").alias("id_base")
+            )
+            .distinct()
+            .collect()
+        )
+    }
+    assert truth, "fixture lost its injected duplicates"
+    missed = truth - cand
+    assert not missed, f"LSH band probe missed true pairs: {sorted(missed)[:10]}"
