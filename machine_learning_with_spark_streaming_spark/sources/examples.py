@@ -440,3 +440,88 @@ def q_s3_jsonl_roundtrip(spark, sf_dir):
     )
     shutil.rmtree(work, ignore_errors=True)
     return back
+
+
+_K3_COERCE_ORACLE = """
+WITH drifted AS (
+  -- the mistyped extract: every column serialized as text, names
+  -- case-mangled, order scrambled, plus an extra column to drop
+  SELECT CAST(o_totalprice AS VARCHAR) AS O_TOTALPRICE,
+         o_orderpriority AS extra_col,
+         CAST(o_orderkey AS VARCHAR) AS O_ORDERKEY,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         o_orderstatus
+  FROM orders
+),
+fixed AS (
+  -- the coercion: cast back to the target table's types
+  SELECT CAST(O_ORDERKEY AS BIGINT) AS o_orderkey,
+         o_orderstatus,
+         CAST(O_TOTALPRICE AS DOUBLE) AS o_totalprice,
+         CAST(o_orderdate AS DATE) AS o_orderdate
+  FROM drifted
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(min(o_orderdate) AS VARCHAR) AS first_date,
+       CAST(max(o_orderdate) AS VARCHAR) AS last_date
+FROM fixed GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("k3_sink_schema_coercion", oracle=_K3_COERCE_ORACLE)
+def q_sink_schema_coercion(spark, sf_dir):
+    """K3 sink-schema coercion (DryRun parity, pipeline/DryRun.py:
+    115-188): a deliberately mistyped extract — every column as text,
+    names case-mangled, order scrambled, an extra column riding along —
+    coerced back to the target table's schema by ``coerce_to_schema``
+    (the same cast path ``coerce_to_table_schema`` applies after
+    introspecting a live JDBC table; the live half is certified against
+    embedded Derby in tests/test_jdbc_derby.py). The aggregate
+    certifies every cast expression: string→bigint (sum_key),
+    string→double (exact integer cents), string→date (min/max)."""
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+    from machine_learning_with_spark_streaming_spark.sources.jdbc import coerce_to_schema
+
+    orders = load_table(spark, sf_dir, "orders")
+    drifted = orders.select(
+        F.col("o_totalprice").cast("string").alias("O_TOTALPRICE"),
+        F.col("o_orderpriority").alias("extra_col"),
+        F.col("o_orderkey").cast("string").alias("O_ORDERKEY"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderstatus",
+    )
+    target = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderdate", DateType()),
+        ]
+    )
+    fixed = coerce_to_schema(drifted, target)
+    return (
+        fixed.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+            F.min("o_orderdate").cast("string").alias("first_date"),
+            F.max("o_orderdate").cast("string").alias("last_date"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -90,3 +90,75 @@ def upsert_delta_rows(
     if n:
         write_changed(changed)
     return n
+
+
+def read_table_schema(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+):
+    """Target-table schema via JDBC metadata only — the Spark
+    equivalent of the reference's INFORMATION_SCHEMA.COLUMNS probe
+    (pipeline/DryRun.py:115-130). ``.schema`` on a JDBC relation
+    resolves from driver metadata without fetching rows."""
+    return read_table(spark, url, table, properties).schema
+
+
+def coerce_to_schema(df: DataFrame, target, strict: bool = True) -> DataFrame:
+    """Cast + reorder ``df`` to match a target ``StructType`` — the
+    engine half of the reference's pre-upload type coercion
+    (pipeline/DryRun.py:137-188: read the sink table's types, align the
+    frame column-by-column before to_sql). Spark-first: one ``select``
+    of cast expressions, fully JVM-side; under ANSI mode an
+    incompatible VALUE (e.g. a non-numeric string into BIGINT) fails
+    the write loudly instead of silently nulling — the reference's
+    errors='coerce'→NaN path is exactly the silent type drift this
+    guards against.
+
+    Matching is case-insensitive (the reference lowercases both sides).
+    Extra ``df`` columns are dropped (DryRun keeps only EXPECTED_COLS);
+    a target column missing from ``df`` raises when ``strict`` else is
+    filled with typed NULLs. Structurally uncastable pairs (array →
+    int, ...) raise at analysis time via Spark's cast resolution."""
+    from pyspark.sql import functions as F
+
+    by_lower = {}
+    for c in df.columns:
+        by_lower.setdefault(c.lower(), c)
+    exprs = []
+    missing = []
+    for field in target.fields:
+        src = by_lower.get(field.name.lower())
+        if src is None:
+            if strict:
+                missing.append(field.name)
+            else:
+                exprs.append(
+                    F.lit(None).cast(field.dataType).alias(field.name)
+                )
+        else:
+            exprs.append(F.col(src).cast(field.dataType).alias(field.name))
+    if missing:
+        raise ValueError(
+            f"dataframe is missing target table column(s) {missing}; "
+            f"have {df.columns}"
+        )
+    return df.select(*exprs)
+
+
+def coerce_to_table_schema(
+    df: DataFrame,
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """DryRun parity: introspect the live target table's schema and
+    coerce ``df`` to it before ``write_table`` — the guard a real load
+    path needs because source extracts drift types constantly
+    (pipeline/DryRun.py:115-188)."""
+    return coerce_to_schema(
+        df, read_table_schema(spark, url, table, properties), strict=strict
+    )

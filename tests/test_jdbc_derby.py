@@ -157,3 +157,73 @@ def test_aggregate_pushdown_executes_in_remote_engine(spark, derby_url):
     finally:
         for k in confs:
             spark.conf.unset(k)
+
+
+def test_coerce_to_table_schema_fixes_type_drift(spark, derby_url):
+    """DryRun parity (pipeline/DryRun.py:115-188): a deliberately
+    mistyped extract (ids/amounts as strings, ints where the table has
+    doubles) must coerce to the live table's introspected schema and
+    append cleanly; a frame missing a target column must refuse."""
+    from machine_learning_with_spark_streaming_spark.sources.jdbc import (
+        coerce_to_table_schema,
+    )
+
+    write_table(
+        _orders(spark, 5), derby_url, "orders_coerce",
+        mode="overwrite", properties=DERBY_PROPS,
+    )
+    drifted = spark.createDataFrame(
+        [("100", 9, "77.5", "F"), ("101", 3, "12.25", "O")],
+        # wrong types AND wrong order AND wrong case
+        "ORDER_ID string, CUST_ID int, amount string, status string",
+    ).select("amount", "status", "ORDER_ID", "CUST_ID")
+    fixed = coerce_to_table_schema(
+        drifted, spark, derby_url, "orders_coerce", properties=DERBY_PROPS
+    )
+    assert [f.name.lower() for f in fixed.schema.fields] == [
+        "order_id", "cust_id", "amount", "status",
+    ]
+    write_table(fixed, derby_url, "orders_coerce",
+                mode="append", properties=DERBY_PROPS)
+    back = read_table(spark, derby_url, "orders_coerce", properties=DERBY_PROPS)
+    assert back.count() == 7
+    got = {tuple(r) for r in back.collect() if r[0] >= 100}
+    assert got == {(100, 9, 77.5, "F"), (101, 3, 12.25, "O")}
+
+    with pytest.raises(ValueError, match="missing target table column"):
+        coerce_to_table_schema(
+            drifted.drop("status"), spark, derby_url, "orders_coerce",
+            properties=DERBY_PROPS,
+        )
+    # non-strict fills typed NULLs instead
+    filled = coerce_to_table_schema(
+        drifted.drop("status"), spark, derby_url, "orders_coerce",
+        properties=DERBY_PROPS, strict=False,
+    )
+    assert [r.status for r in filled.collect()] == [None, None]
+
+
+def test_coerce_rejects_bad_values_loudly(spark, derby_url):
+    """ANSI cast: a non-numeric string bound for a numeric column fails
+    the job instead of silently writing NULL (the reference's
+    errors='coerce' NaN path is the drift this guards against)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import NumberFormatException
+
+    from machine_learning_with_spark_streaming_spark.sources.jdbc import (
+        coerce_to_table_schema,
+    )
+
+    write_table(
+        _orders(spark, 3), derby_url, "orders_badval",
+        mode="overwrite", properties=DERBY_PROPS,
+    )
+    bad = spark.createDataFrame(
+        [("not-a-number", 1, "1.0", "F")],
+        "order_id string, cust_id int, amount string, status string",
+    )
+    fixed = coerce_to_table_schema(
+        bad, spark, derby_url, "orders_badval", properties=DERBY_PROPS
+    )
+    with pytest.raises((Py4JJavaError, NumberFormatException)):
+        fixed.collect()
