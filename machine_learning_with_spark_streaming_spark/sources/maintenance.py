@@ -18,11 +18,60 @@ Three tiers, cheapest first:
 
 from __future__ import annotations
 
+import ctypes
+import ctypes.util
 import os
 import shutil
 import uuid
 
 from pyspark.sql import Column, SparkSession
+
+_AT_FDCWD = -100
+_RENAME_EXCHANGE = 2
+
+
+def _renameat2_exchange(a: str, b: str) -> bool:
+    """Atomically EXCHANGE two directory entries via Linux renameat2(2).
+    Returns False when the syscall is unavailable (non-Linux libc, old
+    kernel, or a filesystem that rejects RENAME_EXCHANGE)."""
+    try:
+        libc = ctypes.CDLL(ctypes.util.find_library("c"), use_errno=True)
+        ret = libc.renameat2(
+            _AT_FDCWD,
+            os.fsencode(a),
+            _AT_FDCWD,
+            os.fsencode(b),
+            _RENAME_EXCHANGE,
+        )
+    except (OSError, AttributeError):
+        return False
+    return ret == 0
+
+
+def _swap_into_place(path: str, staging: str) -> None:
+    """Make ``staging`` become the table at ``path``; old data is
+    removed.
+
+    Preferred path (Linux): one ``renameat2(RENAME_EXCHANGE)`` syscall
+    swaps the two directory entries atomically — a concurrent reader
+    resolves ``path`` to either the old table or the new one, never to
+    an absent directory.
+
+    Fallback (no renameat2): two renames with a sub-millisecond window
+    where ``path`` does not exist. Crash-recovery contract for that
+    window: if ``path`` is missing and a ``<path>__old_*`` sibling
+    exists, the interrupted swap is recovered by renaming the old
+    sibling back to ``path`` (the staging dir, if present, holds the
+    already-complete new table and may be re-swapped instead). A
+    table-format lakehouse (Delta/Iceberg) replaces all of this with a
+    metadata commit."""
+    if _renameat2_exchange(staging, path):
+        shutil.rmtree(staging)  # now holds the OLD table
+        return
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
 
 
 def delete_partitions(path: str, partition_col: str, values: list) -> int:
@@ -47,10 +96,7 @@ def delete_where(spark: SparkSession, path: str, predicate: Column) -> int:
     staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
     survivors.write.mode("overwrite").parquet(staging)
     after = spark.read.parquet(staging).count()
-    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old)
+    _swap_into_place(path, staging)
     return before - after
 
 
@@ -61,10 +107,7 @@ def truncate(spark: SparkSession, path: str) -> None:
     empty = spark.createDataFrame([], schema)
     staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
     empty.write.mode("overwrite").parquet(staging)
-    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old)
+    _swap_into_place(path, staging)
 
 
 def compact_files(
@@ -85,11 +128,10 @@ def compact_files(
     efficiency. On Delta/Iceberg this is ``OPTIMIZE``; here it is the
     same copy-on-write rewrite + swap used by ``delete_where``.
 
-    Like ``delete_where``/``truncate``, the two-rename swap has a brief
-    window where ``path`` is absent; a concurrent reader can observe a
-    missing table. A table-format lakehouse (Delta/Iceberg) removes the
-    window via metadata commits — on a plain parquet lake, schedule
-    maintenance when readers are quiesced.
+    Like ``delete_where``/``truncate``, the staged rewrite becomes
+    visible via ``_swap_into_place`` — atomic on Linux
+    (renameat2 RENAME_EXCHANGE), two-rename fallback elsewhere with the
+    crash-recovery contract documented on the helper.
     """
 
     def _n_parquet_files(p: str) -> int:
@@ -132,8 +174,5 @@ def compact_files(
     else:
         writer = df.repartition(int(n_out)).write.mode("overwrite")
     writer.parquet(staging)
-    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old)
+    _swap_into_place(path, staging)
     return before, _n_parquet_files(path)

