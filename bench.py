@@ -114,6 +114,19 @@ EXTENDED += [
     "sample_length_batches",
 ]
 
+# Added round 4 (first driver-recorded in BENCH_r04): the remaining
+# heavy r3-close ops — semantic dedup, the two-arm ANN recall eval, the
+# MAD gate, the (post-integer-ppm-fix) histogram drift, a second real
+# streaming run (session windows), and the thumbnail image dedup.
+EXTENDED += [
+    "dedup_semantic",
+    "sim_ann_recall",
+    "v13_mad_outliers",
+    "v14_histogram_drift",
+    "s11_session_window_stream",
+    "mm_image_dedup",
+]
+
 
 def _sf_from_dir(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))

@@ -1126,7 +1126,13 @@ def length_bucketed_batches(
     from a bounded (n_buckets*subs_per_bucket)-row count table whose
     prefix sums are computed as array folds — no corpus-sized
     single-partition exchange anywhere. Raise ``subs_per_bucket`` with
-    corpus size to keep window partitions executor-sized."""
+    corpus size to keep window partitions executor-sized.
+
+    Cost note: the corpus is scanned twice (once for the sub counts,
+    once for the ranked output) — both scans are map-only against
+    broadcast boundaries with partial aggregation, so at scale this is
+    two cheap passes instead of one serialized global sort; persist the
+    assigned frame between passes if the scan itself dominates."""
     n_fine = n_buckets * subs_per_bucket
     ps = [j / n_fine for j in range(1, n_fine)]
     bnd = df.agg(
