@@ -374,6 +374,7 @@ def semdedup(
     threshold: float = SEMDEDUP_THRESHOLD,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster embeddings
@@ -404,9 +405,16 @@ def semdedup(
     )
 
     spark = corpus.sparkSession
-    cent = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(KMEANS_CENTROIDS)],
-        "cluster int, centroid array<double>",
+    # `centroids` (cluster int, centroid array<double>) overrides the
+    # frozen demo artifact — the production path, where k scales with
+    # the corpus (k ≈ n/10³-10⁴) to keep ball sizes bounded
+    cent = (
+        centroids
+        if centroids is not None
+        else spark.createDataFrame(
+            [(i, c) for i, c in enumerate(KMEANS_CENTROIDS)],
+            "cluster int, centroid array<double>",
+        )
     )
     v = corpus.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("__v"))
     assigned = (

@@ -645,6 +645,8 @@ def rag_index_topk(
         )
     )
     top = scored.orderBy(F.desc("cos"), "doc_id", "chunk_idx").limit(k)
+    # benign global window: ranks only the k post-limit survivors (the
+    # no-partition WindowExec warning refers to this k-row relation)
     w = Window.orderBy(F.desc("cos"), "doc_id", "chunk_idx")
     out = top.select(
         F.row_number().over(w).alias("rank"),

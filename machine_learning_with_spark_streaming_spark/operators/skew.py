@@ -187,6 +187,9 @@ def key_skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc_nulls_last("key"))
         .limit(top_n)
     )
+    # benign global window: ranks only the post-limit() top_n rows (the
+    # WindowExec no-partition warning it fires is about THIS k-row
+    # relation, not the fact scan — plan audit verifies the bound)
     w = Window.orderBy(F.desc("cnt"), F.asc_nulls_last("key"))
     return (
         top.withColumn("rank", F.row_number().over(w))

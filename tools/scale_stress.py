@@ -88,7 +88,12 @@ QUERIES = [
 ]
 
 
-def build(src: str = SRC, dst: str = DST) -> None:
+def build(
+    src: str = SRC,
+    dst: str = DST,
+    facts_mult: int = 8,
+    docs_mult: int = 16,
+) -> None:
     import duckdb
 
     os.makedirs(dst, exist_ok=True)
@@ -111,14 +116,14 @@ COPY (
   FROM read_parquet('{src}/{table}.parquet'), (SELECT unnest(range({n})) AS k) k
 ) TO '{dst}/{table}.parquet' (FORMAT PARQUET)""")
 
-    shifted_copy("lineitem", "l_orderkey", 8)
-    shifted_copy("orders", "o_orderkey", 8)
-    shifted_copy("events", "event_id", 8)
+    shifted_copy("lineitem", "l_orderkey", facts_mult)
+    shifted_copy("orders", "o_orderkey", facts_mult)
+    shifted_copy("events", "event_id", facts_mult)
     # vectors replicate id-shifted with their float arrays unchanged —
     # right for map-only vector ops (quantization); keep pairwise-cosine
     # queries OUT of the stress list, since identical replicas would
     # inflate near-dup pair counts (a data artifact, not engine cost)
-    shifted_copy("embeddings", "vec_id", 8)
+    shifted_copy("embeddings", "vec_id", facts_mult)
     # introspect documents columns too: doc_id/text/n_chars get the
     # replica treatment, every other column passes through unchanged
     doc_cols = [
@@ -146,17 +151,27 @@ COPY (
 COPY (
   SELECT {outer} FROM (
     SELECT {inner}
-    FROM read_parquet('{src}/documents.parquet'), (SELECT unnest(range(16)) AS k) k
+    FROM read_parquet('{src}/documents.parquet'), (SELECT unnest(range({docs_mult})) AS k) k
   )
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 6000)""")
 
 
 def main() -> None:
-    if not os.path.isdir(DST) or "--rebuild" in sys.argv:
-        shutil.rmtree(DST, ignore_errors=True)
-        build()
+    # --docs=64 builds/uses a sibling dir with N-times documents (facts
+    # stay 8x) — the r4 64x sublinearity check for the dedup chain
+    docs_mult, dst, runs = 16, DST, 2
+    for a in sys.argv[1:]:
+        if a.startswith("--docs="):
+            docs_mult = int(a.split("=", 1)[1])
+            if docs_mult != 16:
+                dst = f"{DST}{docs_mult}"
+        if a.startswith("--runs="):
+            runs = int(a.split("=", 1)[1])
+    if not os.path.isdir(dst) or "--rebuild" in sys.argv:
+        shutil.rmtree(dst, ignore_errors=True)
+        build(dst=dst, docs_mult=docs_mult)
     if "--build" in sys.argv:
-        print(json.dumps({"built": DST}))
+        print(json.dumps({"built": dst}))
         return
 
     import __spark_entry__ as entry_mod
@@ -173,12 +188,12 @@ def main() -> None:
     out: dict[str, object] = {}
     for n in names:
         try:
-            queries[n](spark, DST).write.format("noop").mode("overwrite").save()
+            queries[n](spark, dst).write.format("noop").mode("overwrite").save()
             best = None
-            for _ in range(2):  # min-of-2, like bench.py: damps JIT/GC noise
+            for _ in range(runs):  # min-of-N, like bench.py: damps JIT/GC noise
                 spark.catalog.clearCache()  # self-contained timing
                 t0 = time.time()
-                queries[n](spark, DST).write.format("noop").mode("overwrite").save()
+                queries[n](spark, dst).write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             out[n] = round(best, 2)
@@ -186,7 +201,7 @@ def main() -> None:
             out[n] = f"ERR {type(exc).__name__}: {exc}"[:120]
         finally:
             spark.catalog.clearCache()
-    print(json.dumps({"metric": "scale_stress_sec", "dir": DST, "queries": out}))
+    print(json.dumps({"metric": "scale_stress_sec", "dir": dst, "queries": out}))
 
 
 if __name__ == "__main__":
