@@ -114,11 +114,14 @@ EXTENDED += [
     "sample_length_batches",
 ]
 
-# Added round 4 (first driver-recorded in BENCH_r04): the remaining
-# heavy r3-close ops — semantic dedup, the two-arm ANN recall eval, the
-# MAD gate, the (post-integer-ppm-fix) histogram drift, a second real
-# streaming run (session windows), and the thumbnail image dedup.
+# Added round 4 (first driver-recorded in BENCH_r04): the new PQ-ADC
+# ANN pair, plus the remaining heavy r3-close ops — semantic dedup, the
+# two-arm ANN recall eval, the MAD gate, the (post-integer-ppm-fix)
+# histogram drift, a second real streaming run (session windows), and
+# the thumbnail image dedup.
 EXTENDED += [
+    "sim_pq_codes",
+    "sim_pq_adc_topk",
     "dedup_semantic",
     "sim_ann_recall",
     "v13_mad_outliers",

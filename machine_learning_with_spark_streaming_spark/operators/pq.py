@@ -1,0 +1,258 @@
+"""Product-quantization ANN (PQ with asymmetric distance computation).
+
+Jégou/Douze/Schmid 2011 ("Product Quantization for Nearest Neighbor
+Search"): split each D-dim embedding into M contiguous subvectors,
+vector-quantize every subspace against a K-entry codebook, and store
+only the M small integer codes per vector. Serving computes the
+query's M×K lookup table (exact distance from each query subvector to
+every codebook cell) once, then scores any stored vector by summing M
+table lookups — never touching the original floats.
+
+This is the third leg of the engine's ANN scale story, next to the
+sign-LSH bucket cut (`similarity.py`) and the IVF cell probe
+(`ivf.py`), and the one that changes the STORAGE equation: at 100 TB
+the float embeddings (64 dims × 4 B) compress to M = 8 one-byte codes
+— a 32× smaller artifact that fits executor memory where the raw
+vectors cannot, which is why every billion-scale ANN system (FAISS
+IVFPQ et al.) serves from PQ codes.
+
+Engine shape:
+
+- ``pq_encode``: explode M subspaces (map-only ×M fanout), broadcast
+  join the 128-row codebook, per-(vector, subspace) argmin via a
+  keyed window — one shuffle of (id, m) rows, no corpus pairwise work.
+  The codes table is the stored artifact, appended per ingest batch.
+- ``pq_adc_topk``: the M×K LUT is computed from the query row and
+  broadcast; scoring joins codes to the LUT on (m, code) and sums —
+  map-side-combinable aggregation, then ``orderBy().limit(k)`` plans
+  as TakeOrderedAndProject. Nothing corpus-sized is ever globally
+  sorted or crossed.
+
+Cross-engine determinism (the house recipe): the frozen codebook
+(functions/pq_artifacts.py, 6 dp literals) makes every distance a pure
+function of committed constants and exactly-widened floats, computed
+as an explicitly ordered 8-term sum on both engines; LUT entries are
+then floored to integer NANO-units **before** the cross-row ADC sum,
+so the final score is an order-independent BIGINT sum — no float
+accumulation across shuffle boundaries anywhere, no doubles in the
+hashed output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from machine_learning_with_spark_streaming_spark.functions.pq_artifacts import (
+    PQ_CODEBOOK,
+    PQ_K,
+    PQ_M,
+    PQ_SUBDIM,
+)
+from machine_learning_with_spark_streaming_spark.functions.vectors import as_double_array
+from machine_learning_with_spark_streaming_spark.registry import register
+from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+PQ_TOP_K = 10
+PQ_QUERY_ID = 0
+NANO = 1_000_000_000
+
+
+def pq_codebook_df(spark: SparkSession) -> DataFrame:
+    """The frozen codebook as a (m, code, centroid) relation — 128 rows,
+    always broadcast."""
+    rows = [
+        (m, k, PQ_CODEBOOK[m][k]) for m in range(PQ_M) for k in range(PQ_K)
+    ]
+    return spark.createDataFrame(rows, "m int, code int, centroid array<double>")
+
+
+def _sq_dist(sub: str, cent: str) -> Column:
+    """Explicitly ordered squared L2 distance between two SUBDIM-element
+    double arrays: term-by-term left-associated sum, mirrored verbatim
+    in the oracle SQL so both engines produce bit-identical doubles."""
+    def term(j: int) -> Column:
+        d = F.element_at(F.col(sub), j) - F.element_at(F.col(cent), j)
+        return d * d
+
+    e = term(1)
+    for j in range(2, PQ_SUBDIM + 1):
+        e = e + term(j)
+    return e
+
+
+def pq_encode(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, m, code): the stored PQ code table. Ties in the argmin go to
+    the lower code id — deterministic on any engine."""
+    spark = vectors.sparkSession
+    v = vectors.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("__v")
+    )
+    sub = v.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        F.expr(f"slice(__v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("__s"),
+    )
+    dists = sub.join(F.broadcast(pq_codebook_df(spark)), "m").select(
+        "id", "m", "code", _sq_dist("__s", "centroid").alias("__d")
+    )
+    w = Window.partitionBy("id", "m").orderBy("__d", "code")
+    return (
+        dists.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "m", "code")
+    )
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    query_id: int = PQ_QUERY_ID,
+    k: int = PQ_TOP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: query LUT in exact integer nano-units,
+    ADC score = BIGINT sum of M lookups. Returns
+    (rank, neighbor_id, adc_nano) ascending by approximate distance."""
+    spark = vectors.sparkSession
+    codes = pq_encode(vectors, id_col, vec_col)
+    q = vectors.filter(F.col(id_col) == query_id).select(
+        as_double_array(vec_col).alias("__q")
+    )
+    lut = (
+        pq_codebook_df(spark)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "m",
+            "code",
+            F.expr(f"slice(__q, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("__qs"),
+            "centroid",
+        )
+        .select(
+            "m",
+            "code",
+            # floor to integer nano-units BEFORE the cross-row sum: the
+            # ADC total becomes an order-independent exact BIGINT
+            F.floor(_sq_dist("__qs", "centroid") * NANO)
+            .cast("long")
+            .alias("qd_nano"),
+        )
+    )
+    scored = (
+        codes.filter(F.col("id") != query_id)
+        .join(F.broadcast(lut), ["m", "code"])
+        .groupBy("id")
+        .agg(F.sum("qd_nano").cast("long").alias("adc_nano"))
+        .orderBy("adc_nano", "id")
+        .limit(k)
+    )
+    # benign global window: ranks only the k post-limit survivors
+    w = Window.orderBy("adc_nano", "id")
+    return scored.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        F.col("id").alias("neighbor_id"),
+        "adc_nano",
+    )
+
+
+def _codebook_values() -> str:
+    rows = []
+    for m in range(PQ_M):
+        for kk in range(PQ_K):
+            lit = "[" + ", ".join(repr(x) for x in PQ_CODEBOOK[m][kk]) + "]"
+            rows.append(f"({m}, {kk}, CAST({lit} AS DOUBLE[]))")
+    return ",\n  ".join(rows)
+
+
+def _sq_dist_sql(sub: str, cent: str) -> str:
+    terms = [
+        f"({sub}[{j}] - {cent}[{j}]) * ({sub}[{j}] - {cent}[{j}])"
+        for j in range(1, PQ_SUBDIM + 1)
+    ]
+    return " + ".join(terms)
+
+
+_PQ_COMMON = f"""
+cb(m, code, centroid) AS (VALUES
+  {_codebook_values()}
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+sub AS (
+  SELECT v.vec_id, g.m,
+         v.emb[g.m * {PQ_SUBDIM} + 1 : g.m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS s
+  FROM v, (SELECT unnest(range({PQ_M})) AS m) g
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT sub.vec_id, sub.m, cb.code,
+           row_number() OVER (
+             PARTITION BY sub.vec_id, sub.m
+             ORDER BY {_sq_dist_sql('sub.s', 'cb.centroid')}, cb.code
+           ) AS rn
+    FROM sub JOIN cb ON cb.m = sub.m
+  ) WHERE rn = 1
+)"""
+
+
+_PQ_CODES_ORACLE = f"""
+WITH {_PQ_COMMON}
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(m AS INT) AS m,
+       CAST(code AS INT) AS code
+FROM codes ORDER BY vec_id, m
+"""
+
+
+_PQ_ADC_ORACLE = f"""
+WITH {_PQ_COMMON},
+q AS (SELECT emb AS qemb FROM v WHERE vec_id = {PQ_QUERY_ID}),
+qsub AS (
+  SELECT g.m, q.qemb[g.m * {PQ_SUBDIM} + 1 : g.m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS qs
+  FROM q, (SELECT unnest(range({PQ_M})) AS m) g
+),
+lut AS (
+  SELECT cb.m, cb.code,
+         CAST(floor(({_sq_dist_sql('qsub.qs', 'cb.centroid')}) * {NANO})
+              AS BIGINT) AS qd_nano
+  FROM cb JOIN qsub ON qsub.m = cb.m
+),
+scored AS (
+  SELECT c.vec_id, SUM(l.qd_nano) AS adc_nano
+  FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+  WHERE c.vec_id <> {PQ_QUERY_ID}
+  GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY adc_nano, vec_id) AS INT) AS rank,
+       CAST(vec_id AS BIGINT) AS neighbor_id,
+       CAST(adc_nano AS BIGINT) AS adc_nano
+FROM scored ORDER BY adc_nano, vec_id LIMIT {PQ_TOP_K}
+"""
+
+
+@register("sim_pq_codes", oracle=_PQ_CODES_ORACLE)
+def q_pq_codes(spark, sf_dir):
+    """The full PQ code table — every (vector, subspace) argmin against
+    the frozen codebook, certifying the encoder itself (not a summary:
+    a swapped code anywhere changes a row)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return (
+        pq_encode(emb)
+        .select(
+            F.col("id").cast("long").alias("vec_id"),
+            F.col("m").cast("int").alias("m"),
+            F.col("code").cast("int").alias("code"),
+        )
+        .orderBy("vec_id", "m")
+    )
+
+
+@register("sim_pq_adc_topk", oracle=_PQ_ADC_ORACLE)
+def q_pq_adc_topk(spark, sf_dir):
+    """PQ-ADC serving: top-10 approximate neighbors of vec_id 0 by
+    summed integer-nano LUT distances — the 32×-compressed ANN path."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return pq_adc_topk(emb).orderBy("rank")

@@ -46,6 +46,9 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.plans.examples",
     "machine_learning_with_spark_streaming_spark.streaming.examples",
     "machine_learning_with_spark_streaming_spark.sources.examples",
+    # keep last: r4 additions register behind the queries awaiting
+    # driver certification, preserving the rotation's priority order
+    "machine_learning_with_spark_streaming_spark.operators.pq",
 ]
 
 

@@ -765,3 +765,61 @@ def test_datasheet_null_text_counts_like_oracle(spark, oracle_con):
     ).fetchone()
     con.close()
     assert oracle_rate == 0.5
+
+
+def test_pq_encode_exact_on_centroid_vectors(spark):
+    """A vector assembled from one codebook centroid per subspace must
+    encode to exactly those codes (distance 0 each), and ADC must rank
+    an exact-centroid twin of the query at the top with adc_nano 0."""
+    from machine_learning_with_spark_streaming_spark.functions.pq_artifacts import (
+        PQ_CODEBOOK,
+        PQ_K,
+        PQ_M,
+    )
+    from machine_learning_with_spark_streaming_spark.operators.pq import pq_adc_topk, pq_encode
+
+    def assemble(codes):
+        v = []
+        for m, c in enumerate(codes):
+            v.extend(PQ_CODEBOOK[m][c])
+        return v
+
+    rows = [
+        (0, assemble([2] * PQ_M)),       # query
+        (1, assemble([2] * PQ_M)),       # exact twin -> adc 0
+        (2, assemble([5] * PQ_M)),       # different cell everywhere
+        (3, assemble(list(range(PQ_M)))),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codes = {
+        (r.id, r.m): r.code for r in pq_encode(df).collect()
+    }
+    assert all(codes[(1, m)] == 2 for m in range(PQ_M))
+    assert all(codes[(2, m)] == 5 for m in range(PQ_M))
+    assert all(codes[(3, m)] == m for m in range(PQ_M))
+    assert all(0 <= c < PQ_K for c in codes.values())
+    top = pq_adc_topk(df, query_id=0, k=3).collect()
+    assert top[0].neighbor_id == 1 and top[0].adc_nano == 0
+    assert [r.rank for r in top] == [1, 2, 3]
+
+
+def test_pq_codes_complete_and_in_range(spark, sf_dir):
+    """Every corpus vector gets exactly M codes, all in [0, K)."""
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.functions.pq_artifacts import PQ_K, PQ_M
+    from machine_learning_with_spark_streaming_spark.operators.pq import pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    codes = pq_encode(emb)
+    stats = codes.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("id").alias("ids"),
+        F.min("code").alias("lo"),
+        F.max("code").alias("hi"),
+    ).collect()[0]
+    assert stats.rows == n * PQ_M and stats.ids == n
+    assert 0 <= stats.lo and stats.hi < PQ_K
