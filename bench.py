@@ -120,6 +120,7 @@ EXTENDED += [
 # histogram drift, a second real streaming run (session windows), and
 # the thumbnail image dedup.
 EXTENDED += [
+    "text_cms_heavy_hitters",
     "sim_pq_codes",
     "sim_pq_adc_topk",
     "dedup_semantic",

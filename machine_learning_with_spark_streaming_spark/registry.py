@@ -49,6 +49,7 @@ _QUERY_MODULES = [
     # keep last: r4 additions register behind the queries awaiting
     # driver certification, preserving the rotation's priority order
     "machine_learning_with_spark_streaming_spark.operators.pq",
+    "machine_learning_with_spark_streaming_spark.operators.sketch",
 ]
 
 

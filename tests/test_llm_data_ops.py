@@ -823,3 +823,39 @@ def test_pq_codes_complete_and_in_range(spark, sf_dir):
     ).collect()[0]
     assert stats.rows == n * PQ_M and stats.ids == n
     assert 0 <= stats.lo and stats.hi < PQ_K
+
+
+def test_cms_merge_equals_full_and_always_overestimates(spark):
+    """CMS contract: (1) cell-wise sum of two part-sketches equals the
+    full-corpus sketch; (2) estimates never undercount (only
+    collisions inflate); (3) a token with no collisions estimates
+    exactly."""
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.sketch import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    rows = [("alpha", 100), ("beta", 40), ("gamma", 7), ("delta", 1)]
+    counts = spark.createDataFrame(rows, "token string, cnt long")
+    a = counts.filter(F.col("cnt") >= 10)
+    b = counts.filter(F.col("cnt") < 10)
+    merged = (
+        cms_sketch(a)
+        .unionByName(cms_sketch(b))
+        .groupBy("r", "bucket")
+        .agg(F.sum("value").cast("long").alias("value"))
+    )
+    full = cms_sketch(counts)
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in full.collect()
+    }
+    est = {
+        r.token: r.est
+        for r in cms_estimate(full, counts.select("token")).collect()
+    }
+    exact = dict(rows)
+    assert all(est[t] >= exact[t] for t in exact)
+    # 4 tokens in a 4x64 grid: expect at least one collision-free token
+    assert any(est[t] == exact[t] for t in exact)
