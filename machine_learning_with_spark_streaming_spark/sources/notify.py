@@ -80,3 +80,57 @@ def foreach_batch_notify(
         append_notifications(notes, sink_dir)
 
     return hook
+
+
+def send_notifications_smtp(
+    records: DataFrame,
+    host: str,
+    port: int,
+    sender: str,
+    to: list[str],
+    cc: list[str] | None = None,
+    subject: str | None = None,
+    max_records: int = 1000,
+) -> int:
+    """K7 transport: the reference's SMTP send
+    (``packages/myNotifyClass.py:40-99`` — MIME subject/from/to/cc over
+    plain ``smtplib.SMTP``), as a bounded driver-side adapter over the
+    engine's notification records.
+
+    The engine half stays distributed (records are data in the durable
+    sink); this adapter collects one ALERT-sized batch — alerts are
+    report-sized by construction, and the explicit ``max_records`` cap
+    raises rather than silently truncating (the ``write_excel``
+    bounded-collect contract) — and sends ONE summary message: subject
+    from the first record (or override), one ``[severity] subject:
+    body`` line per record. Returns the number of records sent; 0 rows
+    sends nothing."""
+    import smtplib
+    from email.mime.multipart import MIMEMultipart
+    from email.mime.text import MIMEText
+
+    rows = records.limit(max_records + 1).collect()
+    if len(rows) > max_records:
+        raise ValueError(
+            f"notification batch exceeds max_records={max_records}; "
+            "an unbounded alert storm should page from the sink, not "
+            "one email"
+        )
+    if not rows:
+        return 0
+    cc = cc or []
+    msg = MIMEMultipart()
+    msg["Subject"] = subject or (
+        f"{rows[0]['severity']}: {rows[0]['subject']} ({len(rows)} records)"
+    )
+    msg["From"] = sender
+    msg["To"] = ", ".join(to)
+    if cc:
+        msg["Cc"] = ", ".join(cc)
+    body = "\n".join(
+        f"[{r['severity']}] {r['subject']}: {r['body']}" for r in rows
+    )
+    msg.attach(MIMEText(body, "plain"))
+    with smtplib.SMTP(host, port) as server:
+        server.sendmail(sender, list(to) + list(cc), msg.as_string())
+    return len(rows)

@@ -524,3 +524,97 @@ def test_swap_into_place_is_atomic_exchange(tmp_path):
     )
     if (a / "f").read_text() == "b":
         assert (b / "f").read_text() == "a"
+
+
+def test_smtp_transport_sends_one_summary_message(spark):
+    """K7 transport against a REAL (in-process) SMTP conversation: the
+    adapter must deliver one MIME message whose envelope covers to+cc
+    and whose body carries one line per notification record; an empty
+    batch sends nothing; an alert storm past the cap refuses."""
+    import socket
+    import socketserver
+    import threading
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.sources.notify import (
+        notification_rows,
+        send_notifications_smtp,
+    )
+
+    mailbox = {}
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            def send(line):
+                self.wfile.write((line + "\r\n").encode())
+
+            send("220 test ESMTP")
+            data_mode, data, envelope = False, [], []
+            while True:
+                raw = self.rfile.readline()
+                if not raw:
+                    break
+                line = raw.decode("utf-8", "replace").rstrip("\r\n")
+                if data_mode:
+                    if line == ".":
+                        data_mode = False
+                        mailbox["data"] = "\n".join(data)
+                        mailbox["envelope"] = list(envelope)
+                        send("250 OK")
+                    else:
+                        data.append(line[1:] if line.startswith("..") else line)
+                    continue
+                verb = line.split(":")[0].split(" ")[0].upper()
+                if verb in ("EHLO", "HELO"):
+                    send("250 test")
+                elif verb in ("MAIL", "RCPT"):
+                    envelope.append(line)
+                    send("250 OK")
+                elif verb == "DATA":
+                    data_mode = True
+                    send("354 go")
+                elif verb == "QUIT":
+                    send("221 bye")
+                    break
+                else:
+                    send("250 OK")
+
+    with socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler) as srv:
+        port = srv.server_address[1]
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            df = spark.createDataFrame(
+                [(1, 120.0), (2, None), (3, 20.0)],
+                "id int, value double",
+            )
+            recs = notification_rows(
+                df,
+                F.col("value").isNull() | (F.col("value") > 100),
+                "qc gate failed",
+                ["id", "value"],
+            )
+            n = send_notifications_smtp(
+                recs, "127.0.0.1", port, "engine@local",
+                to=["oncall@local"], cc=["lead@local"],
+            )
+            assert n == 2
+            body = mailbox["data"]
+            assert "id=1 value=120.0" in body
+            assert "id=2 value=null" in body  # NULL-safe k=v assembly
+            assert "Subject: ERROR: qc gate failed (2 records)" in body
+            env = " ".join(mailbox["envelope"])
+            assert "oncall@local" in env and "lead@local" in env
+
+            empty = recs.filter(F.lit(False))
+            assert send_notifications_smtp(
+                empty, "127.0.0.1", port, "a@b", to=["c@d"]
+            ) == 0
+            with pytest.raises(ValueError, match="max_records"):
+                send_notifications_smtp(
+                    recs, "127.0.0.1", port, "a@b", to=["c@d"], max_records=1
+                )
+        finally:
+            srv.shutdown()
