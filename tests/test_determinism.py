@@ -29,6 +29,11 @@ SWEEP = [
     "sim_topk_multiprobe",
     "emb_centroid_drift",
     "v11_incremental_datasheet",
+    # r4: the integer-nano ADC sum and the md5-bucket grid must be
+    # partition-count-independent by construction — pin it
+    "sim_pq_adc_topk",
+    "text_cms_heavy_hitters",
+    "v14_histogram_drift",
 ]
 
 

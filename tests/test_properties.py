@@ -316,3 +316,92 @@ def test_shard_and_split_partition_the_keyspace(spark, keys, n_shards):
     sp = assign_split(df).collect()
     assert len(sp) == len(keys)
     assert all(r["split"] in ("train", "val", "test") for r in sp)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefg", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=1000),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_cms_never_undercounts_property(spark, raw):
+    """CMS invariant on arbitrary token frequency tables: the grid
+    estimate is >= the exact count for EVERY token (collisions only
+    inflate), and the merge of any 2-way split equals the full grid."""
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.sketch import cms_estimate, cms_sketch
+
+    counts = {}
+    for t, c in raw:
+        counts[t] = counts.get(t, 0) + c
+    rows = sorted(counts.items())
+    df = spark.createDataFrame(rows, "token string, cnt long")
+    sketch = cms_sketch(df)
+    est = {
+        r.token: r.est
+        for r in cms_estimate(sketch, df.select("token")).collect()
+    }
+    assert set(est) == set(counts)
+    assert all(est[t] >= counts[t] for t in counts)
+    a = df.filter(F.length("token") <= 2)
+    b = df.filter(F.length("token") > 2)
+    merged = (
+        cms_sketch(a)
+        .unionByName(cms_sketch(b))
+        .groupBy("r", "bucket")
+        .agg(F.sum("value").cast("long").alias("value"))
+    )
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in sketch.collect()
+    }
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1.0,
+                max_value=1.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_pq_encode_matches_brute_force_property(spark, vecs):
+    """The distributed PQ encoder must agree with a literal Python
+    replay of argmin-per-subspace over the frozen codebook (ties to the
+    lower code) for arbitrary float vectors."""
+    from machine_learning_with_spark_streaming_spark.functions.pq_artifacts import (
+        PQ_CODEBOOK,
+        PQ_M,
+        PQ_SUBDIM,
+    )
+    from machine_learning_with_spark_streaming_spark.operators.pq import pq_encode
+
+    import numpy as np
+
+    rows = [(i, [float(np.float32(x)) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.id, r.m): r.code for r in pq_encode(df).collect()}
+    for i, v in rows:
+        for m in range(PQ_M):
+            s = v[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+            dists = [
+                sum((a - b) * (a - b) for a, b in zip(s, c))
+                for c in PQ_CODEBOOK[m]
+            ]
+            best = min(range(len(dists)), key=lambda k: (dists[k], k))
+            assert got[(i, m)] == best, (i, m)
