@@ -1032,3 +1032,41 @@ def q_mad_outliers(spark, sf_dir):
         mad_outlier_report(events, "value", "event_type")
         .orderBy("event_type")
     )
+
+
+def observe_qc(
+    df: DataFrame,
+    name: str,
+    value_col: str,
+    violation: Column | None = None,
+):
+    """Zero-extra-pass pipeline QC counters via Spark's observation API.
+
+    The reference instruments every load with driver-side row counts and
+    wall-clock prints (``packages/mySQLClass.py:73-89``) — which on
+    Spark would mean a second full scan per metric (`df.count()` +
+    `df.filter(bad).count()` before the real write). ``observe``
+    attaches accumulator-backed aggregates to the SAME job: counters
+    materialize as a side effect of whatever action the pipeline runs
+    anyway (the write), costing zero additional passes — the only
+    affordable metrics shape when the scan is 100 TB.
+
+    Returns ``(instrumented_df, observation)``; after the action,
+    ``observation.get`` yields ``n_rows``, ``n_nulls`` (NULLs in
+    ``value_col``), ``value_sum``, and — when ``violation`` is given —
+    ``n_violations``. Works on batch actions; for streams, attach per
+    query name and read ``StreamingQueryListener``/progress events.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(value_col).isNull().cast("long")).alias("n_nulls"),
+        F.sum(F.col(value_col)).alias("value_sum"),
+    ]
+    if violation is not None:
+        metrics.append(
+            F.sum(violation.cast("long")).alias("n_violations")
+        )
+    return df.observe(obs, *metrics), obs

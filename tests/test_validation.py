@@ -214,3 +214,30 @@ def test_mad_outlier_report_flags_known_outlier(spark):
     assert out["a"].n_outliers == 1          # only the 100.0
     assert out["a"].median == 10.25
     assert out["b"].n_outliers == 0 and out["b"].mad == 0.0
+
+
+def test_observe_qc_counts_in_one_pass(spark, sf_dir):
+    """The observation must report rows/nulls/sum/violations as a side
+    effect of the pipeline's own action — verified against explicitly
+    recomputed values, with the metrics available right after ONE
+    noop-write action (no second scan issued by the helper)."""
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.validation import observe_qc
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    instrumented, obs = observe_qc(
+        li, "qc", "l_quantity", violation=F.col("l_quantity") > 45
+    )
+    instrumented.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["n_rows"] == li.count()
+    assert got["n_nulls"] == li.filter(F.col("l_quantity").isNull()).count()
+    assert got["n_violations"] == li.filter(F.col("l_quantity") > 45).count()
+    assert abs(
+        got["value_sum"]
+        - li.agg(F.sum("l_quantity")).collect()[0][0]
+    ) < 1e-6
