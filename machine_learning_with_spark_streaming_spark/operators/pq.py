@@ -87,9 +87,28 @@ def pq_encode(
     """(id, m, code): the stored PQ code table. Ties in the argmin go to
     the lower code id — deterministic on any engine."""
     spark = vectors.sparkSession
-    v = vectors.select(
-        F.col(id_col).alias("id"), as_double_array(vec_col).alias("__v")
+    dim = PQ_M * PQ_SUBDIM
+    # a NULL or wrong-dimension embedding would otherwise silently
+    # encode to fabricated codes (NULL distances all tie -> code 0);
+    # fail the job loudly instead — malformed vectors are an upstream
+    # bug, not data to quantize. The assertion is threaded THROUGH the
+    # kept column (assert_true returns NULL on success) so column
+    # pruning cannot optimize it away.
+    guard = F.assert_true(
+        F.col("__raw").isNotNull() & (F.size("__raw") == dim),
+        F.concat(
+            F.lit(
+                f"pq_encode: embedding must be a non-null {dim}-dim"
+                " array; got size "
+            ),
+            F.coalesce(F.size("__raw").cast("string"), F.lit("NULL")),
+            F.lit(" for id "),
+            F.col("id").cast("string"),
+        ),
     )
+    v = vectors.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("__raw")
+    ).select("id", F.when(guard.isNull(), F.col("__raw")).alias("__v"))
     sub = v.select(
         "id",
         F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),

@@ -859,3 +859,19 @@ def test_cms_merge_equals_full_and_always_overestimates(spark):
     assert all(est[t] >= exact[t] for t in exact)
     # 4 tokens in a 4x64 grid: expect at least one collision-free token
     assert any(est[t] == exact[t] for t in exact)
+
+
+def test_pq_encode_refuses_malformed_vectors(spark):
+    """NULL and wrong-dimension embeddings must fail the job with a
+    clear message (NULL distances would otherwise all tie and silently
+    fabricate code 0 everywhere)."""
+    import pytest
+
+    from machine_learning_with_spark_streaming_spark.operators.pq import pq_encode
+
+    for bad in [None, [0.1] * 8]:
+        df = spark.createDataFrame(
+            [(1, bad), (2, [0.1] * 64)], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(Exception, match="pq_encode: embedding"):
+            pq_encode(df).collect()
