@@ -353,3 +353,18 @@ def test_length_batches_has_no_global_window(spark, sf_dir):
             # a global window starts the spec with the order columns
             # only — ours must partition by the fine sub-bucket
             assert spec.startswith("__sub"), node.label[:200]
+
+
+def test_pq_adc_plan_broadcasts_lut_and_codebook(spark, sf_dir):
+    """PQ serving must never shuffle on the lookup side: the 128-row
+    codebook join (encode) and the M×K LUT join (scoring) both plan as
+    BroadcastHashJoin; the only SortMergeJoin-free corpus-sized work is
+    the per-(id, m) argmin exchange and the map-side-combinable ADC
+    sum."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["sim_pq_adc_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
