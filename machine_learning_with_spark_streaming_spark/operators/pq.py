@@ -275,3 +275,60 @@ def q_pq_adc_topk(spark, sf_dir):
     summed integer-nano LUT distances — the 32×-compressed ANN path."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return pq_adc_topk(emb).orderBy("rank")
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    query_id: int = PQ_QUERY_ID,
+    k: int = PQ_TOP_K,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the FAISS IVFPQ serving composition — IVF cell pruning
+    *then* PQ-ADC scoring, the shape a billion-vector deployment
+    actually runs. The inverted index bounds how many code rows the
+    query touches (read only ``nprobe`` cells' postings); PQ bounds the
+    bytes per touched row (M codes, not D floats). Both component
+    artifacts are the engine's certified frozen quantizers (IVF
+    centroids in ``functions/artifacts.py``, the PQ codebook in
+    ``functions/pq_artifacts.py``).
+
+    Plan shape: the cell assignment and the code table are both
+    write-time artifacts at scale (corpus stored partitioned by cell,
+    codes alongside); serving is a broadcast of the probed cell ids +
+    the M×K integer-nano LUT, a semi-join-shaped cell filter, and the
+    map-side-combinable BIGINT ADC sum from :func:`pq_adc_topk`.
+
+    Returns (rank, neighbor_id, adc_nano) like ``pq_adc_topk`` —
+    identical up to candidates lost to cell pruning (recall follows
+    nprobe/k_cells; measure with the same two-arm report as
+    ``sim_ann_recall``)."""
+    from machine_learning_with_spark_streaming_spark.functions.vectors import (
+        cosine_similarity as _cos,
+    )
+    from machine_learning_with_spark_streaming_spark.operators.ivf import (
+        assign_cells,
+        pretrained_centroids,
+    )
+
+    spark = vectors.sparkSession
+    assigned = assign_cells(vectors, id_col, vec_col).select("id", "cell")
+    # probe the query's nprobe nearest IVF cells (same rule as
+    # ivf_topk_pretrained, reusing its frozen centroids)
+    q = vectors.filter(F.col(id_col) == query_id).select(
+        as_double_array(vec_col).alias("__q")
+    )
+    probed = (
+        pretrained_centroids(spark)
+        .crossJoin(F.broadcast(q))
+        .withColumn("sim", _cos(F.col("__q"), F.col("centroid")))
+        .orderBy(F.desc("sim"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    candidates = assigned.join(F.broadcast(probed), "cell").select("id")
+    pruned = vectors.join(
+        F.broadcast(candidates.withColumnRenamed("id", id_col)), id_col
+    )
+    return pq_adc_topk(pruned, query_id, k, id_col, vec_col)

@@ -875,3 +875,34 @@ def test_pq_encode_refuses_malformed_vectors(spark):
         )
         with pytest.raises(Exception, match="pq_encode: embedding"):
             pq_encode(df).collect()
+
+
+def test_ivfpq_equals_adc_on_probed_cells(spark, sf_dir):
+    """IVF-PQ must equal brute PQ-ADC restricted to the probed cells'
+    members (pruning changes the candidate set, nothing else), and at
+    nprobe = all cells it must equal full PQ-ADC exactly."""
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.functions.artifacts import IVF_CENTROIDS
+    from machine_learning_with_spark_streaming_spark.operators.ivf import assign_cells
+    from machine_learning_with_spark_streaming_spark.operators.pq import ivfpq_topk, pq_adc_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n_cells = len(IVF_CENTROIDS)
+    full = [tuple(r) for r in pq_adc_topk(emb).collect()]
+    allprobe = [tuple(r) for r in ivfpq_topk(emb, nprobe=n_cells).collect()]
+    assert allprobe == full
+
+    pruned = ivfpq_topk(emb, nprobe=1).collect()
+    # every pruned-path neighbor must be a member of the query's own
+    # cell (nprobe=1 -> only that cell is probed)
+    cells = {r.id: r.cell for r in assign_cells(emb).select("id", "cell").collect()}
+    qcell = cells[0]
+    assert pruned and all(cells[r.neighbor_id] == qcell for r in pruned)
+    # and scores must agree with the full ADC scores for shared ids
+    full_scores = {r[1]: r[2] for r in full}
+    for r in pruned:
+        if r.neighbor_id in full_scores:
+            assert r.adc_nano == full_scores[r.neighbor_id]
