@@ -405,3 +405,58 @@ def test_pq_encode_matches_brute_force_property(spark, vecs):
             ]
             best = min(range(len(dists)), key=lambda k: (dists[k], k))
             assert got[(i, m)] == best, (i, m)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-10**9, max_value=10**9),
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+            st.text(alphabet="abc XYZ", max_size=8),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.permutations(["K", "AMOUNT", "NOTE"]),
+)
+@settings(**_SETTINGS)
+def test_coerce_to_schema_roundtrip_property(spark, rows, order):
+    """Any column order / name case of a stringly-typed extract must
+    coerce to the target schema with values preserved exactly (ints and
+    strings) or to double parsing of the emitted repr (floats)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from machine_learning_with_spark_streaming_spark.sources.jdbc import coerce_to_schema
+
+    df = spark.createDataFrame(rows, "k long, amount double, note string")
+    drifted = df.select(
+        F.col("k").cast("string").alias("K"),
+        F.col("amount").cast("string").alias("AMOUNT"),
+        F.col("note").alias("NOTE"),
+        F.lit("x").alias("extra"),
+    ).select(*order, "extra")
+    target = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("amount", DoubleType()),
+            StructField("note", StringType()),
+        ]
+    )
+    out = coerce_to_schema(drifted, target)
+    assert out.columns == ["k", "amount", "note"]
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(tuple(r) for r in df.collect())
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert [g[2] for g in got] == [w[2] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 1e-9 * max(1.0, abs(w[1]))
