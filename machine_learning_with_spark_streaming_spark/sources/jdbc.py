@@ -116,8 +116,11 @@ def coerce_to_schema(df: DataFrame, target, strict: bool = True) -> DataFrame:
     errors='coerce'→NaN path is exactly the silent type drift this
     guards against.
 
-    Matching is case-insensitive (the reference lowercases both sides).
-    Extra ``df`` columns are dropped (DryRun keeps only EXPECTED_COLS);
+    Matching is case-insensitive (the reference lowercases both sides);
+    if two ``df`` columns differ only by case, the FIRST in column
+    order wins — deterministic, and a schema that pathological should
+    be fixed upstream. Extra ``df`` columns are dropped (DryRun keeps
+    only EXPECTED_COLS);
     a target column missing from ``df`` raises when ``strict`` else is
     filled with typed NULLs. Structurally uncastable pairs (array →
     int, ...) raise at analysis time via Spark's cast resolution."""
