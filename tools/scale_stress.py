@@ -85,6 +85,11 @@ QUERIES = [
     "v11_incremental_datasheet",
     "mm_image_dedup",
     "mm_speech_segments",
+    # round-4 additions
+    "text_cms_heavy_hitters",
+    "sim_pq_codes",
+    "sim_pq_adc_topk",
+    "sample_length_batches",
 ]
 
 
