@@ -332,3 +332,63 @@ def ivfpq_topk(
         F.broadcast(candidates.withColumnRenamed("id", id_col)), id_col
     )
     return pq_adc_topk(pruned, query_id, k, id_col, vec_col)
+
+
+def pq_adc_topk_many(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = PQ_TOP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-query ADC serving: one LUT per query (|queries|·M·K rows,
+    broadcast — queries arrive in request-sized batches), one join
+    against the stored code table, per-query BIGINT top-k. This is the
+    per-micro-batch body of online PQ retrieval: the code table is the
+    static index, every query is answered within its batch, no state.
+
+    Returns (query_id, rank, neighbor_id, adc_nano); self-matches are
+    excluded."""
+    spark = vectors.sparkSession
+    codes = pq_encode(vectors, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("__q")
+    )
+    lut = (
+        pq_codebook_df(spark)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "m",
+            "code",
+            F.expr(f"slice(__q, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias(
+                "__qs"
+            ),
+            "centroid",
+        )
+        .select(
+            "query_id",
+            "m",
+            "code",
+            F.floor(_sq_dist("__qs", "centroid") * NANO)
+            .cast("long")
+            .alias("qd_nano"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("qd_nano").cast("long").alias("adc_nano"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_nano", "id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("id").alias("neighbor_id"),
+            "adc_nano",
+        )
+    )

@@ -906,3 +906,71 @@ def test_ivfpq_equals_adc_on_probed_cells(spark, sf_dir):
     for r in pruned:
         if r.neighbor_id in full_scores:
             assert r.adc_nano == full_scores[r.neighbor_id]
+
+
+def test_pq_adc_many_matches_single_and_streams(spark, sf_dir, tmp_path):
+    """Multi-query ADC serving: (1) per-query results equal the
+    single-query path; (2) a REAL 4-micro-batch stream of query
+    vectors scored per batch against the static code table unions to
+    exactly the all-at-once batch answer (stateless serving)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.pq import (
+        pq_adc_topk,
+        pq_adc_topk_many,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    many = pq_adc_topk_many(emb, queries, k=5)
+    single0 = [
+        (r.rank, r.neighbor_id, r.adc_nano)
+        for r in pq_adc_topk(emb, query_id=0, k=5).collect()
+    ]
+    got0 = sorted(
+        (r.rank, r.neighbor_id, r.adc_nano)
+        for r in many.filter(F.col("query_id") == 0).collect()
+    )
+    assert got0 == sorted(single0)
+
+    expected = {tuple(r) for r in many.collect()}
+    stage = tmp_path / "qstage"
+    stage.mkdir()
+    for i in range(4):
+        part = queries.filter(
+            (F.col("vec_id") >= i * 2) & (F.col("vec_id") < (i + 1) * 2)
+        )
+        tmp = str(tmp_path / f"t{i}")
+        part.coalesce(1).write.parquet(tmp)
+        shutil.copyfile(
+            glob.glob(f"{tmp}/part-*.parquet")[0], str(stage / f"{i:02d}.parquet")
+        )
+    out_dir = str(tmp_path / "results")
+    spark.createDataFrame(
+        [], "query_id bigint, rank int, neighbor_id bigint, adc_nano bigint"
+    ).write.parquet(out_dir)
+
+    def sink(batch_df, _id):
+        if batch_df.isEmpty():
+            return
+        pq_adc_topk_many(emb, batch_df, k=5).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    assert streamed == expected
