@@ -368,3 +368,57 @@ def test_pq_adc_plan_broadcasts_lut_and_codebook(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cbo_join_reorder_from_analyzed_stats(spark, sf_dir, tmp_path):
+    """Stats-driven planning (the cluster companion to AQE's runtime
+    re-plan): ANALYZE TABLE + CBO must reorder a deliberately bad join
+    order — without stats Catalyst keeps the written fact-first order;
+    with per-column stats the optimizer joins the two small relations
+    first and brings the fact in last, and cardinalities propagate
+    (the root aggregate's rowCount equals the dim's group count)."""
+    import uuid
+
+    sfx = uuid.uuid4().hex[:6]
+    fact, mid, dim = (f"cbo_{n}_{sfx}" for n in ("fact", "mid", "dim"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    li.write.saveAsTable(fact)
+    spark.range(1000).select(
+        F.col("id").alias("l_partkey"), (F.col("id") % 7).alias("grp")
+    ).write.saveAsTable(mid)
+    spark.range(7).select(
+        F.col("id").alias("grp"), F.concat(F.lit("g"), F.col("id")).alias("name")
+    ).write.saveAsTable(dim)
+    q = (
+        f"SELECT d.name, sum(f.l_quantity) q FROM {fact} f "
+        f"JOIN {mid} m ON f.l_partkey = m.l_partkey "
+        f"JOIN {dim} d ON m.grp = d.grp GROUP BY d.name"
+    )
+
+    def first_join_keys(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        joins = [ln for ln in plan.splitlines() if "Join Inner" in ln]
+        return joins[-1]  # innermost (deepest) join = executed first
+
+    try:
+        assert "l_partkey" in first_join_keys(spark.sql(q))  # written order
+        for t in (fact, mid, dim):
+            spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
+        orig_cbo = spark.conf.get("spark.sql.cbo.enabled")
+        orig_reorder = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        try:
+            df = spark.sql(q)
+            # reordered: the innermost join is now the small mid x dim
+            assert "grp" in first_join_keys(df)
+            stats = df._jdf.queryExecution().optimizedPlan().stats()
+            assert stats.rowCount().get() == 7  # |dim| groups propagate
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", orig_cbo)
+            spark.conf.set("spark.sql.cbo.joinReorder.enabled", orig_reorder)
+    finally:
+        for t in (fact, mid, dim):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -163,3 +163,59 @@ def test_streaming_packer_survives_multi_chunk_arrow_delivery(spark, tmp_path):
         for r in pack_token_budget_exact(df, 512, "n_tokens").collect()
     }
     assert got == expect
+
+
+def test_streaming_packer_runs_on_rocksdb_state_store(spark, tmp_path):
+    """Large-state streaming at scale runs on the RocksDB state store
+    (state spills to local disk instead of living on the JVM heap).
+    The packer must produce the identical assignment under
+    RocksDBStateStoreProvider — pinning that our state schema and
+    update pattern don't depend on the default HDFS-backed provider."""
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.sampling import pack_token_budget_exact
+    from machine_learning_with_spark_streaming_spark.streaming.examples import stage_ordered_files
+    from machine_learning_with_spark_streaming_spark.streaming.stateful import streaming_packer
+
+    rows = [(i, "A", 100 + (i * 31) % 150) for i in range(1, 25)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    stage = stage_ordered_files(
+        [df.filter(F.col("doc_id") <= 12), df.filter(F.col("doc_id") > 12)],
+        str(tmp_path / "stage"),
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, source string, n_tokens bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    orig = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        sink = "pack_rocksdb_test"
+        q = (
+            streaming_packer(stream, budget=512)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {r.doc_id: r.chunk_id for r in spark.table(sink).collect()}
+        spark.catalog.dropTempView(sink)
+    finally:
+        if orig is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, orig)
+    expect = {
+        r.doc_id: r.chunk_id
+        for r in pack_token_budget_exact(df, 512, "n_tokens").collect()
+    }
+    assert got == expect
