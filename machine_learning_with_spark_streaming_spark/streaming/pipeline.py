@@ -231,3 +231,36 @@ def stream_stream_interval_join(
         & (r[right_time] <= l[left_time] + hi)
     )
     return l.join(r, cond, how).drop(r[key])
+
+
+def foreach_batch_append_idempotent(path: str):
+    """foreachBatch sink with EXACTLY-ONCE append semantics on plain
+    parquet: each micro-batch writes into its own ``batch_id=N``
+    partition via dynamic partition overwrite, so a batch that is
+    RETRIED after a crash-between-write-and-commit overwrites its own
+    partition instead of double-appending (the failure mode of the
+    plain ``foreach_batch_append`` — at-least-once by design).
+
+    This is the portable-parquet form of the transactional-sink txn
+    check (``if batch_id already committed: skip``); readers see the
+    union of partitions, and the ``batch_id`` column doubles as write
+    provenance. On Delta/Iceberg the same guarantee comes from
+    ``txnAppId``/snapshot commits."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+    return _sink

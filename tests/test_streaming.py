@@ -335,3 +335,33 @@ def test_left_outer_stream_join_emits_null_rows(spark, sf_dir):
     n_null = sum(1 for r in got if r.error_id is None)
     assert n_null > 0  # unmatched clicks DID get their null verdict
     assert all(r.user_id >= 0 for r in got)  # sentinels filtered out
+
+
+def test_idempotent_append_survives_batch_retry(spark, tmp_path):
+    """Exactly-once append: replaying the SAME batch_id (the
+    crash-between-write-and-commit retry) must overwrite that batch's
+    partition, not double-append; a new batch_id appends. The plain
+    append sink double-appends by design — pinned here as the contrast
+    that motivates the idempotent variant."""
+    from machine_learning_with_spark_streaming_spark.streaming.pipeline import (
+        foreach_batch_append,
+        foreach_batch_append_idempotent,
+    )
+
+    target = str(tmp_path / "idem")
+    sink = foreach_batch_append_idempotent(target)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    sink(b0, 0)
+    sink(b0, 0)  # retry of batch 0: must be a no-op overall
+    assert spark.read.parquet(target).count() == 2
+    b1 = spark.createDataFrame([(3, "c")], "id long, v string")
+    sink(b1, 1)
+    df = spark.read.parquet(target)
+    assert df.count() == 3
+    assert set(r.batch_id for r in df.select("batch_id").collect()) == {0, 1}
+
+    plain_target = str(tmp_path / "plain")
+    plain = foreach_batch_append(plain_target)
+    plain(b0, 0)
+    plain(b0, 0)
+    assert spark.read.parquet(plain_target).count() == 4  # at-least-once
