@@ -101,10 +101,17 @@ def foreach_batch_upsert(path: str, pk: list[str], compare_cols: list[str]):
     from machine_learning_with_spark_streaming_spark.operators.validation import delta_rows
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         try:
             existing = spark.read.parquet(path)
-        except Exception:
+        except AnalysisException:
+            # ONLY missing-target means "first batch"; a broad except
+            # would turn any transient read error into appending the
+            # whole batch unfiltered (duplicate rows on retry) — the
+            # same hazard class fixed in foreach_batch_upsert_latest.
+            # Other errors propagate and fail the batch (retryable).
             existing = None
         out = batch_df if existing is None else delta_rows(batch_df, existing, pk, compare_cols)
         out.write.mode("append").parquet(path)
