@@ -1051,15 +1051,17 @@ def observe_qc(
     anyway (the write), costing zero additional passes — the only
     affordable metrics shape when the scan is 100 TB.
 
-    Returns ``(instrumented_df, observation)``; after the action,
-    ``observation.get`` yields ``n_rows``, ``n_nulls`` (NULLs in
-    ``value_col``), ``value_sum``, and — when ``violation`` is given —
-    ``n_violations``. Works on batch actions; for streams, attach per
-    query name and read ``StreamingQueryListener``/progress events.
+    Returns ``(instrumented_df, observation)``. Batch: after the
+    action, ``observation.get`` yields ``n_rows``, ``n_nulls`` (NULLs
+    in ``value_col``), ``value_sum``, and — when ``violation`` is given
+    — ``n_violations``. Streaming: ``Observation`` objects are
+    batch-only, so the metrics attach under the string ``name`` and
+    ``observation`` is None — read each micro-batch's counters from the
+    progress events (``query.recentProgress[i]["observedMetrics"]
+    [name]``) or a ``StreamingQueryListener``.
     """
     from pyspark.sql import Observation
 
-    obs = Observation(name)
     metrics = [
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col(value_col).isNull().cast("long")).alias("n_nulls"),
@@ -1069,4 +1071,7 @@ def observe_qc(
         metrics.append(
             F.sum(violation.cast("long")).alias("n_violations")
         )
+    if df.isStreaming:
+        return df.observe(name, *metrics), None
+    obs = Observation(name)
     return df.observe(obs, *metrics), obs

@@ -241,3 +241,50 @@ def test_observe_qc_counts_in_one_pass(spark, sf_dir):
         got["value_sum"]
         - li.agg(F.sum("l_quantity")).collect()[0][0]
     ) < 1e-6
+
+
+def test_observe_qc_streaming_metrics_per_batch(spark, tmp_path):
+    """The same observation rides a STREAMING query: per-micro-batch
+    counters surface in the progress events' observedMetrics — live QC
+    without a second pass over the stream."""
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.validation import observe_qc
+    from machine_learning_with_spark_streaming_spark.streaming.examples import stage_ordered_files
+
+    rows_a = [(1, 10.0), (2, None)]
+    rows_b = [(3, 250.0), (4, 20.0), (5, 30.0)]
+    schema = "id long, value double"
+    stage = stage_ordered_files(
+        [
+            spark.createDataFrame(rows_a, schema),
+            spark.createDataFrame(rows_b, schema),
+        ],
+        str(tmp_path / "stage"),
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    instrumented, _obs = observe_qc(
+        stream, "qc_stream", "value", violation=F.col("value") > 100
+    )
+    seen = []
+
+    def sink(batch_df, batch_id):
+        batch_df.write.format("noop").mode("overwrite").save()
+
+    q = (
+        instrumented.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    for p in q.recentProgress:
+        om = p["observedMetrics"].get("qc_stream") if p["observedMetrics"] else None
+        if om is not None:
+            seen.append((om["n_rows"], om["n_nulls"], om["n_violations"]))
+    assert (2, 1, 0) in seen  # batch A: 2 rows, one NULL, no violation
+    assert (3, 0, 1) in seen  # batch B: 3 rows, the 250.0 violation
