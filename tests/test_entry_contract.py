@@ -32,3 +32,56 @@ def test_query_runs(spark, sf_dir, name):
 def test_query_matches_oracle(spark, sf_dir, oracle_con, name):
     df = QUERIES[name](spark, sf_dir)
     assert_matches_oracle(df, oracle_con, ORACLES[name])
+
+
+def test_rotation_orders_queries_by_certification_age(monkeypatch, tmp_path):
+    """The driver certifies only the first ~50 queries()' entries per
+    round, so the rotation ordering IS the certification strategy:
+    never-certified first (registration order), then ascending by
+    last-certified round. Pinned against synthetic CORRECTNESS files —
+    a regression here silently starves the uncertified tail."""
+    import json
+
+    import __spark_entry__ as entry
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "q_green_r1": {"hash_match": True, "spark_rows": 1},
+                "q_green_then_stale": {"hash_match": True, "spark_rows": 1},
+                "q_failed": {"hash_match": False, "spark_rows": 1},
+                "q_rows_only": {
+                    "hash_match": False,
+                    "err": "no_oracle",
+                    "spark_rows": 3,
+                },
+            }
+        )
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q_green_then_stale": {"hash_match": True, "spark_rows": 1}})
+    )
+    monkeypatch.setattr(entry, "_REPO_DIR", str(tmp_path))
+    last = entry._last_certified_round()
+    assert last["q_green_r1"] == 1
+    assert last["q_green_then_stale"] == 2
+    assert "q_failed" not in last  # a hash fail never certifies
+    # rows-only counts ONLY while the query has no oracle
+    assert last.get("rows_only:q_rows_only") == 1
+
+    # and the real repo's ordering is monotone by certification age:
+    # never-certified (0) first, then non-decreasing rounds
+    monkeypatch.undo()
+    real_last = entry._last_certified_round()
+    with_oracle = set(entry.oracle_sql())
+    names = list(entry.queries())
+
+    def rnd(n):
+        r = real_last.get(n, 0)
+        if n not in with_oracle:
+            r = max(r, real_last.get("rows_only:" + n, 0))
+        return r
+
+    rounds = [rnd(n) for n in names]
+    assert rounds == sorted(rounds)
+    assert rounds[0] == 0 or min(rounds) > 0  # uncertified lead when any exist
