@@ -974,3 +974,74 @@ def test_pq_adc_many_matches_single_and_streams(spark, sf_dir, tmp_path):
     q.awaitTermination()
     streamed = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
     assert streamed == expected
+
+
+def test_cms_maintained_by_ingest_stream(spark, tmp_path):
+    """The CMS grid maintained BY INGEST: each micro-batch sketches its
+    token counts and cell-wise-merges into a stored grid; after a REAL
+    4-batch run the stored grid equals the batch build over the whole
+    corpus — the mergeable-summary contract that lets a 100 TB ingest
+    keep frequency estimates without a vocabulary join."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.sketch import cms_sketch
+    from machine_learning_with_spark_streaming_spark.operators.text import words
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} common word{i % 11}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    for i in range(4):
+        part = docs.filter(
+            (F.col("doc_id") >= i * 10) & (F.col("doc_id") < (i + 1) * 10)
+        )
+        tmp = str(tmp_path / f"t{i}")
+        part.coalesce(1).write.parquet(tmp)
+        shutil.copyfile(
+            glob.glob(f"{tmp}/part-*.parquet")[0],
+            str(stage / f"{i:02d}.parquet"),
+        )
+    grid_dir = str(tmp_path / "grid")
+    spark.createDataFrame([], "r int, bucket bigint, value bigint").write.parquet(
+        grid_dir
+    )
+
+    def sink(batch_df, _id):
+        ss = batch_df.sparkSession
+        counts = (
+            batch_df.select(F.explode(words("text")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        merged = (
+            ss.read.parquet(grid_dir)
+            .unionByName(cms_sketch(counts))
+            .groupBy("r", "bucket")
+            .agg(F.sum("value").cast("long").alias("value"))
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(grid_dir)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    full_counts = (
+        docs.select(F.explode(words("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    expected = {tuple(r) for r in cms_sketch(full_counts).collect()}
+    got = {tuple(r) for r in spark.read.parquet(grid_dir).collect()}
+    assert got == expected
