@@ -121,6 +121,7 @@ EXTENDED += [
 # the thumbnail image dedup.
 EXTENDED += [
     "text_cms_heavy_hitters",
+    "sim_ivfpq_topk",
     "sim_pq_codes",
     "sim_pq_adc_topk",
     "dedup_semantic",

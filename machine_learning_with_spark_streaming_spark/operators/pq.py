@@ -392,3 +392,84 @@ def pq_adc_topk_many(
             "adc_nano",
         )
     )
+
+
+def _ivf_centroid_values() -> str:
+    from machine_learning_with_spark_streaming_spark.functions.artifacts import IVF_CENTROIDS
+
+    rows = []
+    for i, c in enumerate(IVF_CENTROIDS):
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        rows.append(f"({i}, CAST({lit} AS DOUBLE[]))")
+    return ",\n  ".join(rows)
+
+
+_DOT64 = " + ".join(f"({{a}}[{j}] * {{b}}[{j}])" for j in range(1, 65))
+
+
+def _cos64(a: str, b: str) -> str:
+    return (
+        f"({_DOT64.format(a=a, b=b)}) / "
+        f"(sqrt({_DOT64.format(a=a, b=a)}) * sqrt({_DOT64.format(a=b, b=b)}))"
+    )
+
+
+_IVFPQ_NPROBE = 2
+
+_IVFPQ_ORACLE = f"""
+WITH {_PQ_COMMON},
+ivf(cell, centroid) AS (VALUES
+  {_ivf_centroid_values()}
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, i.cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_cos64('v.emb', 'i.centroid')} DESC, i.cell
+           ) AS rn
+    FROM v CROSS JOIN ivf i
+  ) WHERE rn = 1
+),
+q AS (SELECT emb AS qemb FROM v WHERE vec_id = {PQ_QUERY_ID}),
+probed AS (
+  SELECT i.cell FROM ivf i CROSS JOIN q
+  ORDER BY {_cos64('q.qemb', 'i.centroid')} DESC, i.cell
+  LIMIT {_IVFPQ_NPROBE}
+),
+qsub AS (
+  SELECT g.m, q.qemb[g.m * {PQ_SUBDIM} + 1 : g.m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS qs
+  FROM q, (SELECT unnest(range({PQ_M})) AS m) g
+),
+lut AS (
+  SELECT cb.m, cb.code,
+         CAST(floor(({_sq_dist_sql('qsub.qs', 'cb.centroid')}) * {NANO})
+              AS BIGINT) AS qd_nano
+  FROM cb JOIN qsub ON qsub.m = cb.m
+),
+cand AS (
+  SELECT a.vec_id FROM assigned a JOIN probed p ON p.cell = a.cell
+  WHERE a.vec_id <> {PQ_QUERY_ID}
+),
+scored AS (
+  SELECT c.vec_id, SUM(l.qd_nano) AS adc_nano
+  FROM codes c
+  JOIN cand ON cand.vec_id = c.vec_id
+  JOIN lut l ON l.m = c.m AND l.code = c.code
+  GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY adc_nano, vec_id) AS INT) AS rank,
+       CAST(vec_id AS BIGINT) AS neighbor_id,
+       CAST(adc_nano AS BIGINT) AS adc_nano
+FROM scored ORDER BY adc_nano, vec_id LIMIT {PQ_TOP_K}
+"""
+
+
+@register("sim_ivfpq_topk", oracle=_IVFPQ_ORACLE)
+def q_ivfpq_topk(spark, sf_dir):
+    """The full IVF-PQ serving composition under the driver's hash
+    gate: probe the query's {nprobe} frozen-IVF cells, prune candidates
+    to their members, score with the integer-nano PQ LUT — both
+    quantizer artifacts replayed verbatim by the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ivfpq_topk(emb, nprobe=_IVFPQ_NPROBE).orderBy("rank")
