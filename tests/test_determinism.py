@@ -32,6 +32,7 @@ SWEEP = [
     # r4: the integer-nano ADC sum and the md5-bucket grid must be
     # partition-count-independent by construction — pin it
     "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
     "text_cms_heavy_hitters",
     "v14_histogram_drift",
 ]
