@@ -2124,3 +2124,98 @@ def q_histogram_drift(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),
     ).orderBy("bin")
+
+
+# ------------- content-defined segment dedup (rolling-hash boundaries)
+
+CDC_GRAM = 4  # rolling window width (words)
+CDC_MOD = 16  # cut probability 1/MOD -> expected segment ~MOD words
+
+
+def cdc_segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram: int = CDC_GRAM,
+    mod: int = CDC_MOD,
+) -> DataFrame:
+    """Content-defined chunking segment dedup: cut a segment boundary
+    wherever the ``gram``-word rolling hash ≡ 0 (mod ``mod``) — the
+    rsync/LBFS cut rule — so boundaries track CONTENT, not positions.
+    A one-word insertion perturbs only the segments touching the edit;
+    fixed-width segmentation (:func:`segment_dedup`) shifts every
+    downstream segment and loses all dedup against the unedited twin
+    (pinned in tests). Same keeper/rewrite contract as
+    ``segment_dedup``: keep the corpus-wide first occurrence (min
+    ``(doc, seg_idx)``) of every distinct segment, rebuild documents
+    from survivors.
+
+    Plan shape: one ``posexplode`` (linear in corpus tokens); the
+    rolling gram and the cumulative boundary count share a single
+    per-document ``(id, pos)`` sort (two Window nodes, one exchange,
+    partitioned by id — nothing corpus-global); then the identical
+    hash-keyed keeper election and per-doc rebuild groupBys."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words(text_col)).alias("pos", "w"),
+    )
+    wspec = Window.partitionBy("id").orderBy("pos")
+    gram_expr = F.concat_ws(
+        " ", F.col("w"), *[F.lead("w", j).over(wspec) for j in range(1, gram)]
+    )
+    complete = F.lead("w", gram - 1).over(wspec).isNotNull()
+    flagged = toks.withColumn(
+        "boundary",
+        F.when(
+            (F.pmod(F.xxhash64(gram_expr), F.lit(mod)) == 0)
+            & complete
+            & (F.col("pos") != 0),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    cum = Window.partitionBy("id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    seg = (
+        flagged.withColumn("seg_idx", F.sum("boundary").over(cum))
+        .groupBy("id", "seg_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("seg_text")
+        )
+        .withColumn("h", F.md5("seg_text"))
+    )
+    keeper = seg.groupBy("h").agg(
+        F.min(F.struct(F.col("id"), F.col("seg_idx"))).alias("k")
+    )
+    kept = seg.join(keeper, "h").filter(
+        (F.col("id") == F.col("k.id")) & (F.col("seg_idx") == F.col("k.seg_idx"))
+    )
+    totals = seg.groupBy("id").agg(F.count(F.lit(1)).alias("n_seg"))
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg_text"))),
+                lambda x: x["seg_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            F.col("id"),
+            F.col("n_seg"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            (F.col("n_seg") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_dropped"
+            ),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -1045,3 +1045,44 @@ def test_cms_maintained_by_ingest_stream(spark, tmp_path):
     expected = {tuple(r) for r in cms_sketch(full_counts).collect()}
     got = {tuple(r) for r in spark.read.parquet(grid_dir).collect()}
     assert got == expected
+
+
+def test_cdc_segments_survive_a_prefix_insertion(spark):
+    """The point of content-defined chunking: duplicate content behind
+    a small edit still dedups. doc 2 = three inserted words + doc 1's
+    exact text; rolling-hash boundaries re-align after the edit so most
+    of doc 2 drops, while fixed-width segmentation (segment_dedup)
+    shifts every segment and keeps nearly everything. Also pins the
+    rewrite invariants: survivors reassemble in order from original
+    words, and a clean corpus is untouched."""
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.text import (
+        cdc_segment_dedup,
+        segment_dedup,
+    )
+
+    base = " ".join(f"w{(i * 13) % 97}x{i % 7}" for i in range(160))
+    rows = [(1, base), (2, "alpha beta gamma " + base)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cdc = {r.id: r for r in cdc_segment_dedup(df).collect()}
+    fixed = {r.id: r for r in segment_dedup(df).collect()}
+    # doc 1 is the keeper: everything survives in both schemes
+    assert cdc[1].n_dropped == 0 and fixed[1].n_dropped == 0
+    # CDC: the shared suffix re-aligns -> most of doc 2 drops
+    assert cdc[2].n_dropped >= cdc[2].n_seg // 2, (
+        cdc[2].n_seg, cdc[2].n_dropped
+    )
+    # fixed-width: the 3-word shift breaks every segment alignment
+    assert fixed[2].n_dropped == 0
+    # rewrite invariant: doc 2's survivors are a subsequence of its words
+    doc2_words = ("alpha beta gamma " + base).split()
+    kept_words = cdc[2].clean_text.split()
+    it = iter(doc2_words)
+    assert all(w in it for w in kept_words)  # subsequence check
+    # determinism
+    again = {r.id: r for r in cdc_segment_dedup(df).collect()}
+    assert {(-r.n_seg, r.n_kept, r.clean_text) for r in cdc.values()} == {
+        (-r.n_seg, r.n_kept, r.clean_text) for r in again.values()
+    }
