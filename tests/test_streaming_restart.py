@@ -103,3 +103,72 @@ def test_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
     ).collect()
     assert len(row) == 1
     assert row[0]["ts"].timestamp() == _TS0  # offset 0, not the replay's 21
+
+
+def test_packer_cursor_survives_query_restart(spark, tmp_path):
+    """The packer's (chunk, used) cursor must come back from the
+    CHECKPOINTED state store when the query itself dies and restarts:
+    the first doc of the second life must join the chunk the first
+    life left open, and the full assignment must equal the batch walk
+    — state recovery, not state rebuild."""
+    import glob
+    import shutil
+
+    from machine_learning_with_spark_streaming_spark.operators.sampling import pack_token_budget_exact
+    from machine_learning_with_spark_streaming_spark.streaming.stateful import streaming_packer
+
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    schema = "doc_id long, source string, n_tokens long"
+    all_rows = [
+        (1, "A", 300), (2, "A", 150),       # life 1: open chunk 0 at 450
+        (10, "A", 50), (11, "A", 400),      # life 2: 50 joins chunk 0
+    ]
+
+    def stage_file(idx, rows):
+        part = spark.createDataFrame(rows, schema)
+        tmp = str(tmp_path / f"t{idx}")
+        part.coalesce(1).write.parquet(tmp)
+        shutil.copyfile(
+            glob.glob(f"{tmp}/part-*.parquet")[0],
+            str(stage / f"{idx:02d}.parquet"),
+        )
+
+    def run_life():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stage))
+        )
+        def sink(batch_df, _id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            streaming_packer(stream, budget=512)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stage_file(0, all_rows[:2])
+    run_life()                      # life 1 consumes file 0, then dies
+    stage_file(1, all_rows[2:])
+    run_life()                      # life 2: fresh query, same checkpoint
+
+    got = {
+        r.doc_id: r.chunk_id for r in spark.read.parquet(out).collect()
+    }
+    batch = spark.createDataFrame(all_rows, schema)
+    expect = {
+        r.doc_id: r.chunk_id
+        for r in pack_token_budget_exact(batch, 512, "n_tokens").collect()
+    }
+    assert got == expect
+    assert got[10] == 0   # joined the chunk life 1 left open (450 + 50)
+    assert got[11] == 1   # 400 would overflow 512 -> new chunk
