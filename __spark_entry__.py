@@ -69,6 +69,17 @@ def _last_certified_round() -> dict[str, int]:
     return last
 
 
+# Certifications that predate a semantics change are stale: the green row
+# was recorded for output the code no longer produces. A name listed here
+# sorts as never-certified until a round AFTER the listed one re-certifies
+# it (self-healing — the entry becomes a no-op once that row lands).
+_STALE_CERTS: dict[str, int] = {
+    # r4 rewrote length_bucketed_batches (global-sort ntile -> broadcast
+    # percentile boundaries; impl AND oracle); newest green row is r3.
+    "sample_length_batches": 4,
+}
+
+
 def queries() -> dict[str, QueryFn]:
     q: dict[str, QueryFn] = {
         "flagship_demand_rollup": flagship.demand_rollup,
@@ -82,6 +93,8 @@ def queries() -> dict[str, QueryFn]:
         rnd = last.get(name, 0)
         if name not in with_oracle:
             rnd = max(rnd, last.get("rows_only:" + name, 0))
+        if rnd <= _STALE_CERTS.get(name, 0):
+            rnd = 0
         return rnd
 
     # Never-certified first (stable registration order within a group),

@@ -394,6 +394,67 @@ def pq_adc_topk_many(
     )
 
 
+PQ_MANY_N_QUERIES = 4
+
+
+_PQ_ADC_MANY_ORACLE = f"""
+WITH {_PQ_COMMON},
+q AS (
+  SELECT vec_id AS query_id, emb AS qemb FROM v
+  WHERE vec_id < {PQ_MANY_N_QUERIES}
+),
+qsub AS (
+  SELECT q.query_id, g.m,
+         q.qemb[g.m * {PQ_SUBDIM} + 1 : g.m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS qs
+  FROM q, (SELECT unnest(range({PQ_M})) AS m) g
+),
+lut AS (
+  SELECT qsub.query_id, cb.m, cb.code,
+         CAST(floor(({_sq_dist_sql('qsub.qs', 'cb.centroid')}) * {NANO})
+              AS BIGINT) AS qd_nano
+  FROM cb JOIN qsub ON qsub.m = cb.m
+),
+scored AS (
+  SELECT l.query_id, c.vec_id, SUM(l.qd_nano) AS adc_nano
+  FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, vec_id, adc_nano,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY adc_nano, vec_id
+         ) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+       CAST(vec_id AS BIGINT) AS neighbor_id, CAST(adc_nano AS BIGINT) AS adc_nano
+FROM ranked WHERE rank <= {PQ_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("sim_pq_adc_topk_many", oracle=_PQ_ADC_MANY_ORACLE)
+def q_pq_adc_topk_many(spark, sf_dir):
+    """Batched PQ-ADC serving: vec_ids 0..3 as one request batch, each
+    answered top-10 from the shared code table — the per-micro-batch
+    body of online PQ retrieval (one broadcast LUT per batch, single
+    code-table join, per-query BIGINT top-k). Oracle replays the
+    certified single-query ADC math per query."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = emb.filter(F.col("vec_id") < PQ_MANY_N_QUERIES)
+    return (
+        pq_adc_topk_many(emb, qs)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "rank",
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+            "adc_nano",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def _ivf_centroid_values() -> str:
     from machine_learning_with_spark_streaming_spark.functions.artifacts import IVF_CENTROIDS
 

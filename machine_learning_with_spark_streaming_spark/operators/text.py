@@ -29,6 +29,7 @@ from machine_learning_with_spark_streaming_spark.operators.dedup import (
     SHINGLE_N,
     _grams_from_words,
     corpus_with_duplicates,
+    md5_hash60,
     normalize_text,
 )
 from machine_learning_with_spark_streaming_spark.registry import register
@@ -1398,7 +1399,12 @@ def segment_dedup(
     kept = seg.join(keeper, "h").filter(
         (F.col("id") == F.col("k.id")) & (F.col("seg_idx") == F.col("k.seg_idx"))
     )
-    totals = seg.groupBy("id").agg(F.count(F.lit(1)).alias("n_seg"))
+    # totals from the INPUT ids, not from seg: a NULL-text doc produces
+    # zero token rows, and deriving totals from seg would silently drop
+    # it from the output instead of surfacing (n_seg=0, clean_text='').
+    totals = df.select(F.col(id_col).alias("id")).distinct().join(
+        seg.groupBy("id").agg(F.count(F.lit(1)).alias("n_seg")), "id", "left"
+    ).select("id", F.coalesce(F.col("n_seg"), F.lit(0)).alias("n_seg"))
     rebuilt = kept.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(
@@ -1443,7 +1449,10 @@ ranked AS (
   FROM seg
 ),
 totals AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seg FROM seg GROUP BY doc_id
+  SELECT c.doc_id, CAST(coalesce(sc.n_seg, 0) AS BIGINT) AS n_seg
+  FROM (SELECT DISTINCT doc_id FROM corpus) c
+  LEFT JOIN (SELECT doc_id, count(*) AS n_seg FROM seg GROUP BY doc_id) sc
+    USING (doc_id)
 ),
 rebuilt AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
@@ -2108,7 +2117,7 @@ per_bin AS (
 )
 SELECT * FROM per_bin
 UNION ALL
-SELECT -1, sum(n_old), sum(n_new),
+SELECT -1, CAST(sum(n_old) AS BIGINT), CAST(sum(n_new) AS BIGINT),
        CAST(sum(share_delta_ppm) AS BIGINT)
 FROM per_bin
 ORDER BY bin
@@ -2164,10 +2173,13 @@ def cdc_segment_dedup(
         " ", F.col("w"), *[F.lead("w", j).over(wspec) for j in range(1, gram)]
     )
     complete = F.lead("w", gram - 1).over(wspec).isNotNull()
+    # md5-derived 60-bit cut hash (not xxhash64) so the DuckDB oracle
+    # computes the identical boundaries — the md5-gate discipline of
+    # every cross-engine-hashed operator here (operators/dedup.py:315).
     flagged = toks.withColumn(
         "boundary",
         F.when(
-            (F.pmod(F.xxhash64(gram_expr), F.lit(mod)) == 0)
+            (F.pmod(md5_hash60(gram_expr), F.lit(mod)) == 0)
             & complete
             & (F.col("pos") != 0),
             F.lit(1),
@@ -2196,7 +2208,11 @@ def cdc_segment_dedup(
     kept = seg.join(keeper, "h").filter(
         (F.col("id") == F.col("k.id")) & (F.col("seg_idx") == F.col("k.seg_idx"))
     )
-    totals = seg.groupBy("id").agg(F.count(F.lit(1)).alias("n_seg"))
+    # same input-derived totals rule as segment_dedup: a NULL-text doc
+    # has zero token rows and must still surface as (n_seg=0, '').
+    totals = df.select(F.col(id_col).alias("id")).distinct().join(
+        seg.groupBy("id").agg(F.count(F.lit(1)).alias("n_seg")), "id", "left"
+    ).select("id", F.coalesce(F.col("n_seg"), F.lit(0)).alias("n_seg"))
     rebuilt = kept.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(
@@ -2219,3 +2235,81 @@ def cdc_segment_dedup(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+_CDC_SEGMENT_DEDUP_ORACLE = f"""
+WITH {_CORPUS_SQL},
+nw AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM corpus),
+tok AS (
+  SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos, ws[g.i] AS w
+  FROM nw, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+),
+grams AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN pos <> 0
+               AND lead(w, {CDC_GRAM - 1}) OVER win IS NOT NULL
+               AND ('0x' || substr(md5(
+                     w || ' ' || lead(w, 1) OVER win
+                       || ' ' || lead(w, 2) OVER win
+                       || ' ' || lead(w, 3) OVER win), 1, 15))::BIGINT
+                   % {CDC_MOD} = 0
+              THEN 1 ELSE 0 END AS boundary
+  FROM tok
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+seg AS (
+  SELECT doc_id, seg_idx, string_agg(w, ' ' ORDER BY pos) AS seg_text
+  FROM (
+    SELECT doc_id, pos, w,
+           sum(boundary) OVER (
+             PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING
+           ) AS seg_idx
+    FROM grams
+  ) GROUP BY doc_id, seg_idx
+),
+ranked AS (
+  SELECT doc_id, seg_idx, seg_text,
+         row_number() OVER (
+           PARTITION BY md5(seg_text) ORDER BY doc_id, seg_idx
+         ) AS rn
+  FROM seg
+),
+totals AS (
+  SELECT c.doc_id, CAST(coalesce(sc.n_seg, 0) AS BIGINT) AS n_seg
+  FROM (SELECT DISTINCT doc_id FROM corpus) c
+  LEFT JOIN (SELECT doc_id, count(*) AS n_seg FROM seg GROUP BY doc_id) sc
+    USING (doc_id)
+),
+rebuilt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         md5(string_agg(seg_text, ' ' ORDER BY seg_idx)) AS clean_md5
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       t.n_seg,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_seg - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped,
+       coalesce(r.clean_md5, md5('')) AS clean_md5
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY 1
+"""
+
+
+@register("dedup_segments_cdc", oracle=_CDC_SEGMENT_DEDUP_ORACLE)
+def q_cdc_segment_dedup(spark, sf_dir):
+    """CDC segment dedup over the injected-duplicate corpus: the
+    ' zzz extra' suffix edit on the near-copies perturbs only the final
+    segment — rolling-hash boundaries re-align over the shared prefix,
+    so near-copies lose everything but their tail (fixed-width
+    :func:`q_segment_dedup` already dedups prefix-aligned edits; CDC is
+    the shift-resistant completion pinned in tests with a PREFIX
+    insertion). Rebuilt text is md5-compared cross-engine."""
+    corpus = corpus_with_duplicates(spark, sf_dir)
+    out = cdc_segment_dedup(corpus)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_seg",
+        "n_kept",
+        "n_dropped",
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")

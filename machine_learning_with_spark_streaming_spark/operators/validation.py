@@ -1075,3 +1075,71 @@ def observe_qc(
         return df.observe(name, *metrics), None
     obs = Observation(name)
     return df.observe(obs, *metrics), obs
+
+
+# ------------------------------------- V7 record set / A12 scalar (§2 rows)
+
+def conformance_records(df: DataFrame, required: list[str]) -> DataFrame:
+    """V7 as a RECORD SET instead of an exception: one row per required
+    column with a present flag — the reportable form of
+    :func:`conformance_gate` (pipeline/SqlUpload.py:76-79 logs the same
+    skip-with-warning before dropping a non-conformant file). Pure
+    schema metadata — no data scan; the plan is a LocalRelation."""
+    spark = df.sparkSession
+    have = set(df.columns)
+    rows = [(c, 1 if c in have else 0) for c in sorted(required)]
+    return spark.createDataFrame(rows, "required_col string, present int")
+
+
+_V7_RECORDS_ORACLE = """
+WITH req(required_col) AS (
+  VALUES ('l_orderkey'), ('l_partkey'), ('l_quantity'), ('l_shipdate'),
+         ('l_shipmode'), ('l_loadfactor')
+),
+cols AS (SELECT name AS col FROM pragma_table_info('lineitem'))
+SELECT r.required_col,
+       CAST(CASE WHEN c.col IS NULL THEN 0 ELSE 1 END AS INT) AS present
+FROM req r LEFT JOIN cols c ON c.col = r.required_col
+ORDER BY 1
+"""
+
+
+@register("v7_schema_conformance_records", oracle=_V7_RECORDS_ORACLE)
+def q_schema_conformance_records(spark, sf_dir):
+    """V7 gate over lineitem against a required list that includes two
+    columns the table does not have (l_shipmode, l_loadfactor) — the
+    violation record set the reference logs before skipping the file.
+    The oracle introspects the same view's actual columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return conformance_records(
+        li,
+        ["l_orderkey", "l_partkey", "l_quantity", "l_shipdate",
+         "l_shipmode", "l_loadfactor"],
+    ).orderBy("required_col")
+
+
+_A12_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS BIGINT) AS qty_total,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6)) * 100) AS BIGINT)
+         AS price_cents_total
+FROM lineitem
+"""
+
+
+@register("a12_grand_total_scalar", oracle=_A12_ORACLE)
+def q_grand_total_scalar(spark, sf_dir):
+    """A12: the bare grand-total scalar aggregate (no grouping) — one
+    map-side-combinable pass, 1-row output. Sums run in decimal(27,6)
+    (exact, order-independent) and land as BIGINT (quantities are
+    integral; prices carried in cents) so the hash is engine-proof."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(27,6)"))
+        .cast("long")
+        .alias("qty_total"),
+        (F.sum(F.col("l_extendedprice").cast("decimal(27,6)")) * 100)
+        .cast("long")
+        .alias("price_cents_total"),
+    )

@@ -34,6 +34,39 @@ def test_query_matches_oracle(spark, sf_dir, oracle_con, name):
     assert_matches_oracle(df, oracle_con, ORACLES[name])
 
 
+def test_oracle_type_sweep_rejects_uncast_sum(oracle_con):
+    """The v14_histogram_drift bug class: DuckDB's sum(BIGINT) returns
+    HUGEINT, fetchall materializes it as exact Python int (local gate
+    green) but the driver's Arrow/pandas path renders float64 (hash
+    red). The sweep must flag it without scanning any data."""
+    from machine_learning_with_spark_streaming_spark.testing import oracle_type_violations
+
+    bad = oracle_type_violations(
+        oracle_con, "SELECT sum(l_orderkey) AS s FROM lineitem"
+    )
+    assert bad == [("s", "HUGEINT")]
+    # the cast form — what every oracle must do — is clean
+    assert not oracle_type_violations(
+        oracle_con,
+        "SELECT CAST(sum(l_orderkey) AS BIGINT) AS s FROM lineitem",
+    )
+    # a UNION ALL with one uncast branch promotes the whole column
+    assert oracle_type_violations(
+        oracle_con,
+        "SELECT CAST(1 AS BIGINT) AS s UNION ALL "
+        "SELECT sum(l_orderkey) FROM lineitem",
+    )
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_output_types_materialize_identically(oracle_con, name):
+    """No registered oracle may emit HUGEINT/UHUGEINT/DECIMAL output
+    columns — DESCRIBE-only, so this sweeps all oracles for free."""
+    from machine_learning_with_spark_streaming_spark.testing import oracle_type_violations
+
+    assert oracle_type_violations(oracle_con, ORACLES[name]) == []
+
+
 def test_rotation_orders_queries_by_certification_age(monkeypatch, tmp_path):
     """The driver certifies only the first ~50 queries()' entries per
     round, so the rotation ordering IS the certification strategy:
@@ -80,6 +113,8 @@ def test_rotation_orders_queries_by_certification_age(monkeypatch, tmp_path):
         r = real_last.get(n, 0)
         if n not in with_oracle:
             r = max(r, real_last.get("rows_only:" + n, 0))
+        if r <= entry._STALE_CERTS.get(n, 0):
+            r = 0  # semantics changed after the newest green row
         return r
 
     rounds = [rnd(n) for n in names]

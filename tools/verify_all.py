@@ -22,7 +22,10 @@ import duckdb  # noqa: E402
 
 from machine_learning_with_spark_streaming_spark.schemas import TESTDATA_TABLES  # noqa: E402
 from machine_learning_with_spark_streaming_spark.session import get_session  # noqa: E402
-from machine_learning_with_spark_streaming_spark.testing import rowset as _rowset  # noqa: E402
+from machine_learning_with_spark_streaming_spark.testing import (  # noqa: E402
+    oracle_type_violations,
+    rowset as _rowset,
+)
 
 
 def main() -> int:
@@ -76,6 +79,7 @@ def main() -> int:
             print(f"ROWS  {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
+            bad_types = oracle_type_violations(con, sql)
             res = con.execute(sql)
             o_cols = [d[0] for d in res.description]
             o_rows = res.fetchall()
@@ -85,6 +89,10 @@ def main() -> int:
             print(f"FAIL  {name}: oracle error\n{traceback.format_exc()}")
             continue
         msgs = []
+        if bad_types:
+            # fetchall is blind to this divergence; the driver is not
+            msgs.append(f"oracle output types {bad_types} (HUGEINT/DECIMAL "
+                        "materialize as float64 on the driver path — cast)")
         if len(s_rows) != len(o_rows):
             msgs.append(f"rows spark={len(s_rows)} oracle={len(o_rows)}")
         if sorted(s_cols) != sorted(o_cols):
