@@ -109,7 +109,14 @@ def send_notifications_smtp(
     from email.mime.multipart import MIMEMultipart
     from email.mime.text import MIMEText
 
-    rows = records.limit(max_records + 1).collect()
+    # stable order BEFORE limit/collect: which rows survive the cap, the
+    # body line order, and the subject (rows[0]) must not depend on
+    # partition arrival order
+    rows = (
+        records.orderBy("severity", "subject", "body")
+        .limit(max_records + 1)
+        .collect()
+    )
     if len(rows) > max_records:
         raise ValueError(
             f"notification batch exceeds max_records={max_records}; "

@@ -605,6 +605,9 @@ def test_smtp_transport_sends_one_summary_message(spark):
             assert "id=1 value=120.0" in body
             assert "id=2 value=null" in body  # NULL-safe k=v assembly
             assert "Subject: ERROR: qc gate failed (2 records)" in body
+            # stable orderBy before the capped collect: body line order is
+            # deterministic, not partition-arrival order
+            assert body.index("id=1 value=120.0") < body.index("id=2 value=null")
             env = " ".join(mailbox["envelope"])
             assert "oncall@local" in env and "lead@local" in env
 

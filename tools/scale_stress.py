@@ -161,6 +161,91 @@ COPY (
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 6000)""")
 
 
+def stream_stress(spark, dst: str, files_per_trigger: list[int]) -> dict:
+    """The r4 state-store packer cursor under scale: run the streaming
+    packer over the stress-dir documents staged as 8 doc_id-range files,
+    sweeping maxFilesPerTrigger (8 -> 1 micro-batches). The cursor's
+    invariant — chunk assignment equal to the one-pass batch walk — must
+    hold at every trigger granularity, and the per-batch state overhead
+    is the thing this times (the one r4 mechanism without a stress row).
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.text import words
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+    from machine_learning_with_spark_streaming_spark.streaming.examples import (
+        stage_ordered_files,
+    )
+    from machine_learning_with_spark_streaming_spark.streaming.stateful import (
+        streaming_packer,
+    )
+
+    docs = load_table(spark, dst, "documents").select(
+        "doc_id", "source", F.size(words("text")).cast("long").alias("n_tokens")
+    )
+    hi = docs.agg(F.max("doc_id")).first()[0] or 0
+    n_files = 8
+    step = hi // n_files + 1
+    work = tempfile.mkdtemp(prefix="mlwss_packstress_")
+    stage = f"{work}/stage"
+    stage_ordered_files(
+        [
+            docs.filter(
+                (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+            )
+            for i in range(n_files)
+        ],
+        stage,
+    )
+    results: dict[str, object] = {}
+    last_chunks = None
+    for fpt in files_per_trigger:
+        ckpt = f"{work}/ckpt_{fpt}"
+        sink = f"pack_stress_{fpt}"
+        t0 = time.time()
+        stream = (
+            spark.readStream.schema("doc_id bigint, source string, n_tokens bigint")
+            .option("maxFilesPerTrigger", fpt)
+            .parquet(stage)
+        )
+        q = (
+            streaming_packer(stream, budget=512)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = time.time() - t0
+        out = spark.table(sink)
+        chunks = {
+            tuple(r)
+            for r in out.groupBy("source", "chunk_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            )
+            .collect()
+        }
+        n_batches = -(-n_files // fpt)
+        results[f"fpt={fpt}"] = {
+            "sec": round(dt, 2),
+            "micro_batches": n_batches,
+            "chunk_rows": out.count(),
+        }
+        # trigger-granularity invariance: identical chunk assignment
+        if last_chunks is not None and chunks != last_chunks:
+            results[f"fpt={fpt}"]["MISMATCH"] = True
+        last_chunks = chunks
+        spark.catalog.dropTempView(sink)
+    shutil.rmtree(work, ignore_errors=True)
+    return results
+
+
 def main() -> None:
     # --docs=64 builds/uses a sibling dir with N-times documents (facts
     # stay 8x) — the r4 64x sublinearity check for the dedup chain
@@ -185,6 +270,11 @@ def main() -> None:
     spark = get_session(
         "scale-stress", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
+    if "--stream" in sys.argv:
+        res = stream_stress(spark, dst, files_per_trigger=[8, 2, 1])
+        print(json.dumps({"metric": "stream_stress", "dir": dst, "packer": res}))
+        return
+
     queries = entry_mod.queries()
     names = QUERIES
     for a in sys.argv[1:]:  # --only=q1,q2 to re-time a subset
