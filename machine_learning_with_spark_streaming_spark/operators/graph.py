@@ -204,3 +204,90 @@ def q_connected_components(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def canonical_keeper_report(
+    corpus: DataFrame,
+    components: DataFrame,
+    score,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware canonical selection: one row per duplicate cluster
+    naming the keeper — the member with the max ``score`` (tie: min
+    id) — plus cluster size and the keeper's score. This upgrades
+    :func:`canonical_docs`' min-id rule to the policy real curation
+    uses (keep the longest / highest-quality duplicate, per CCNet and
+    the Lee et al. dedup paper in PAPERS.md).
+
+    Plan shape: one equi-join of the label table to the per-doc score
+    (8-byte keys), then a per-component window — partitions are
+    duplicate clusters, whose size is bounded by the LSH candidate caps
+    upstream, so no window ever sees corpus-scale data."""
+    scored = corpus.select(F.col(id_col).alias("node"), score.alias("score"))
+    j = components.join(scored, "node")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("score"), F.col("node")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("component"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("node").alias("keeper_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.col("score").cast("bigint").alias("keeper_score"),
+        )
+    )
+
+
+_CANONICAL_KEEPER_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lab FROM corpus
+  UNION
+  SELECT e.v AS node, r.lab FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (
+  SELECT node, min(lab) AS component FROM reach GROUP BY node
+),
+scored AS (SELECT doc_id, length(text) AS score FROM corpus),
+sized AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1),
+ranked AS (
+  SELECT c.component, c.node, s.score,
+         row_number() OVER (
+           PARTITION BY c.component ORDER BY s.score DESC, c.node
+         ) AS rn
+  FROM comp c JOIN scored s ON s.doc_id = c.node
+)
+SELECT CAST(r.component AS BIGINT) AS component,
+       CAST(r.node AS BIGINT) AS keeper_id,
+       CAST(z.cluster_size AS BIGINT) AS cluster_size,
+       CAST(r.score AS BIGINT) AS keeper_score
+FROM ranked r JOIN sized z USING (component)
+WHERE r.rn = 1
+ORDER BY 1
+"""
+
+
+@register("dedup_canonical_keeper", oracle=_CANONICAL_KEEPER_ORACLE)
+def q_canonical_keeper(spark, sf_dir):
+    """Cluster → keeper decision table over the duplicate-injected
+    corpus, longest-member policy: the ' zzz extra' near-copies are 10
+    chars LONGER than their originals, so their clusters elect the
+    near-copy — visibly different output from the min-id rule, which a
+    wrong implementation would collapse back to. Exact-copy clusters
+    tie on length and fall to min id (the original)."""
+    corpus = corpus_with_duplicates(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus, max_band_bucket=50)
+    cc = connected_components(pairs, nodes=corpus)
+    return canonical_keeper_report(
+        corpus, cc, F.length("text")
+    ).orderBy("component")

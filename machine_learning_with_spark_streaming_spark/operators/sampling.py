@@ -1255,3 +1255,84 @@ def q_length_batches(spark, sf_dir):
         "doc_id", F.size(words("text")).cast("long").alias("n")
     )
     return length_bucketed_batches(docs, "n").orderBy("bucket", "batch")
+
+
+# ------------------------------------------------ deterministic epoch shuffle
+
+EPOCH_SHARDS = 8
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int = EPOCH_SHARDS,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle order for training readers:
+    every epoch is a different reproducible permutation of the corpus,
+    with NO global sort. ``shard = md5(key#epN) % n_shards`` places each
+    row (map-only); ``pos`` ranks rows WITHIN a shard by the same hash —
+    readers stream shards in index order, so the concatenation
+    (shard, pos) is a total order that reshuffles completely when
+    ``epoch`` changes and is byte-stable across runs, engines, cluster
+    sizes, and partition counts (the md5-gate discipline of every
+    sampler here; a random()-based shuffle is none of those things).
+
+    At 100 TB pick ``n_shards`` ∝ corpus/executor-memory (e.g. one
+    shard ≈ 1M docs): the only non-map stage is a per-shard sort, each
+    bounded by shard size — corpus-size-independent per-task memory.
+    """
+    h = md5_hash60(
+        F.concat(F.col(key_col).cast("string"), F.lit(f"#ep{epoch}"))
+    )
+    w = Window.partitionBy("shard").orderBy("h", key_col)
+    return (
+        df.select(F.col(key_col), h.alias("h"))
+        .withColumn("shard", (F.col("h") % n_shards).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select(
+            F.lit(epoch).cast("int").alias("epoch"),
+            F.col(key_col),
+            "shard",
+            "pos",
+        )
+    )
+
+
+def _epoch_hash_sql(epoch: int) -> str:
+    return (
+        f"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ep{epoch}'), 1, 15))"
+        "::BIGINT"
+    )
+
+
+_EPOCH_SHUFFLE_ORACLE = f"""
+WITH both_epochs AS (
+  SELECT 0 AS epoch, doc_id, {_epoch_hash_sql(0)} AS h FROM documents
+  UNION ALL
+  SELECT 1 AS epoch, doc_id, {_epoch_hash_sql(1)} AS h FROM documents
+)
+SELECT CAST(epoch AS INT) AS epoch,
+       doc_id,
+       CAST(h % {EPOCH_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY epoch, h % {EPOCH_SHARDS} ORDER BY h, doc_id
+       ) - 1 AS BIGINT) AS pos
+FROM both_epochs
+ORDER BY epoch, shard, pos
+"""
+
+
+@register("sample_epoch_shuffle", oracle=_EPOCH_SHUFFLE_ORACLE)
+def q_epoch_shuffle(spark, sf_dir):
+    """Two epochs of the deterministic training shuffle over documents:
+    the full (epoch, doc, shard, pos) order table. Epoch 0 and epoch 1
+    assign every doc independently, so matching BOTH permutations
+    certifies the order is a pure function of (key, epoch) — not of
+    scan order, partitioning, or engine."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        epoch_shuffle(docs, epoch=0)
+        .unionByName(epoch_shuffle(docs, epoch=1))
+        .orderBy("epoch", "shard", "pos")
+    )

@@ -21,6 +21,7 @@ from machine_learning_with_spark_streaming_spark.sources.files import (
     read_auto,
     read_csv,
     write_csv,
+    write_orc,
 )
 
 _FIXTURE = os.path.join(
@@ -524,4 +525,43 @@ def q_sink_schema_coercion(spark, sf_dir):
             F.max("o_orderdate").cast("string").alias("last_date"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+_S16_ORC_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)) * 100) AS BIGINT)
+         AS price_cents,
+       CAST(max(o_orderdate) AS VARCHAR) AS last_date
+FROM orders
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("s16_orc_roundtrip", oracle=_S16_ORC_ORACLE)
+def q_s16_orc_roundtrip(spark, sf_dir):
+    """S3/K1 family, ORC leg: write ``orders`` through the ORC sink,
+    scan it back via the auto-format dispatcher (extension -> .orc
+    branch), aggregate. The oracle aggregates the parquet source, so
+    the check certifies the typed round trip — counts, decimal-exact
+    money, and timestamp values all survive the format hop (ORC is
+    natively typed, unlike the stringly CSV leg)."""
+    import tempfile
+
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    out = os.path.join(tempfile.mkdtemp(prefix="mlwss_s16_"), "orders_orc")
+    write_orc(load_table(spark, sf_dir, "orders"), out)
+    back = read_auto(spark, os.path.join(out, "*.orc"))
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(F.col("o_totalprice").cast("decimal(27,6)")) * 100)
+            .cast("long")
+            .alias("price_cents"),
+            F.max("o_orderdate").cast("string").alias("last_date"),
+        )
+        .orderBy("o_orderpriority")
     )

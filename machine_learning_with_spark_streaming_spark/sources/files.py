@@ -287,6 +287,15 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False, mode: str = "
     out.write.mode(mode).option("header", "true").csv(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the second columnar interchange format next to
+    parquet (Hive/Trino-side consumers). Spark's native ORC writer:
+    typed, splittable, predicate-pushdown-capable on read (the
+    ``read_auto`` ``.orc`` branch scans it back with PushedFilters
+    exactly like parquet)."""
+    df.write.mode(mode).orc(path)
+
+
 def write_with_error_side_output(
     df: DataFrame, error_predicate, path: str, error_path: str, mode: str = "overwrite"
 ) -> None:

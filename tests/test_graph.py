@@ -77,3 +77,27 @@ def test_canonical_docs_keeps_min_per_cluster(spark):
     )
     kept = sorted(r["doc_id"] for r in canonical_docs(corpus, cc).collect())
     assert kept == [1, 3, 9]
+
+
+def test_canonical_keeper_elects_longest_then_min_id(spark):
+    from machine_learning_with_spark_streaming_spark.operators.graph import canonical_keeper_report
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "short"),
+            (2, "short plus extra"),   # same cluster as 1, longer -> keeper
+            (3, "tie"),
+            (4, "tie"),                # same cluster as 3, equal -> min id 3
+            (9, "lonely"),             # singleton keeps itself
+        ],
+        "doc_id long, text string",
+    )
+    cc = connected_components(
+        spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long"),
+        nodes=corpus,
+    )
+    got = {
+        r["component"]: (r["keeper_id"], r["cluster_size"], r["keeper_score"])
+        for r in canonical_keeper_report(corpus, cc, F.length("text")).collect()
+    }
+    assert got == {1: (2, 2, 16), 3: (3, 2, 3), 9: (9, 1, 6)}

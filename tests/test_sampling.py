@@ -381,3 +381,29 @@ def test_sample_negatives_contract(spark):
     again = sample_negatives(anchors.repartition(7), df.repartition(5), k=3)
     assert sorted((r.anchor_id, r.rank, r.neg_id) for r in again.collect()) == \
         sorted((r.anchor_id, r.rank, r.neg_id) for r in out)
+
+
+def test_epoch_shuffle_is_deterministic_and_epoch_distinct(spark, sf_dir):
+    from machine_learning_with_spark_streaming_spark.operators.sampling import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(200)
+    e0 = epoch_shuffle(docs, epoch=0)
+    # a total order: every doc exactly once, pos dense from 0 per shard
+    rows = e0.collect()
+    assert len(rows) == 200
+    assert len({r.doc_id for r in rows}) == 200
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+    # determinism: identical under a different partitioning
+    again = {
+        (r.doc_id): (r.shard, r.pos)
+        for r in epoch_shuffle(docs.repartition(7), epoch=0).collect()
+    }
+    assert {r.doc_id: (r.shard, r.pos) for r in rows} == again
+    # a different epoch is a genuinely different permutation
+    e1 = {r.doc_id: (r.shard, r.pos) for r in epoch_shuffle(docs, epoch=1).collect()}
+    moved = sum(1 for d, sp in again.items() if e1[d] != sp)
+    assert moved > 100  # ~all docs move; a seed leak would keep them put
