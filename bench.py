@@ -132,6 +132,18 @@ EXTENDED += [
     "mm_image_dedup",
 ]
 
+# Added round 5: the CDC segmenter (two per-doc windows + keeper
+# election), the batched multi-query ADC serving path, the full
+# cluster->keeper decision pipeline (LSH + connected components +
+# per-cluster argmax), and the deterministic epoch shuffle (the
+# training-reader order table; map + bounded per-shard sort).
+EXTENDED += [
+    "dedup_segments_cdc",
+    "sim_pq_adc_topk_many",
+    "dedup_canonical_keeper",
+    "sample_epoch_shuffle",
+]
+
 
 def _sf_from_dir(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
