@@ -565,3 +565,57 @@ def q_s16_orc_roundtrip(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+_S17_EVOLUTION_ORACLE = """
+SELECT CAST(s_nationkey AS INT) AS nation,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(CASE WHEN s_suppkey >= 50
+                     THEN CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS new_bal_cents,
+       CAST(sum(CASE WHEN s_suppkey < 50 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_legacy
+FROM supplier
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("s17_schema_evolution_read", oracle=_S17_EVOLUTION_ORACLE)
+def q_s17_schema_evolution_read(spark, sf_dir):
+    """Schema-evolution scan: a table directory whose early files were
+    written BEFORE a column existed (suppliers < 50 without
+    ``s_acctbal``) and whose later files carry it. ``mergeSchema``
+    reconciles the footers at planning time; legacy rows surface the
+    new column as NULL — the lake-evolution contract every long-lived
+    100 TB table eventually needs. The oracle replays the split from
+    the source, so a reader that dropped legacy rows, nulled the wrong
+    side, or failed the footer merge all hash-mismatch."""
+    import tempfile
+
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    sup = load_table(spark, sf_dir, "supplier")
+    root = os.path.join(tempfile.mkdtemp(prefix="mlwss_s17_"), "supplier_evo")
+    sup.filter(F.col("s_suppkey") < 50).drop("s_acctbal").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/batch=old")
+    sup.filter(F.col("s_suppkey") >= 50).write.mode("overwrite").parquet(
+        f"{root}/batch=new"
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(root)
+    return (
+        back.groupBy(F.col("s_nationkey").cast("int").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(
+                F.coalesce(
+                    (F.col("s_acctbal").cast("decimal(18,2)") * 100).cast("long"),
+                    F.lit(0),
+                )
+            )
+            .cast("long")
+            .alias("new_bal_cents"),
+            F.sum(F.col("s_acctbal").isNull().cast("long")).alias("n_legacy"),
+        )
+        .orderBy("nation")
+    )
