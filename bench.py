@@ -142,6 +142,7 @@ EXTENDED += [
     "sim_pq_adc_topk_many",
     "dedup_canonical_keeper",
     "sample_epoch_shuffle",
+    "mm_image_near_dup",
 ]
 
 

@@ -676,3 +676,156 @@ def q_speech_segments(spark, sf_dir):
     return speech_segments(_audio_docs(spark, sf_dir)).orderBy(
         "asset_id", "seg_start"
     )
+
+
+# -------------------------------------------- perceptual near-dup (dHash)
+
+DHASH_ROW_BITS = IMG_W - 1          # 7 adjacent comparisons per row
+DHASH_BITS = IMG_H * DHASH_ROW_BITS  # 56 — fits a signed BIGINT
+DHASH_BANDS = 4
+DHASH_BAND_BITS = 14                # 4 x 14-bit bands; 16k values/band
+DHASH_MAX_HAMMING = 2
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def bmp_dhash_signatures(docs: DataFrame) -> DataFrame:
+    """Real decode -> 56-bit row-wise difference hash (bit k set iff
+    pixel (r,c) > pixel (r,c+1), k = r*7+c): the mean-free perceptual
+    signature, so a single edited pixel flips at most its two adjacent
+    comparison bits — unlike the exact thumbnail md5
+    (:func:`bmp_thumb_signatures`), which any one-pixel edit escapes
+    entirely. Arrow-batched ``mapInPandas``; shuffle carries 8-byte
+    signatures, never pixels."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                gray = bytes(payload)[:_N_PIX].ljust(_N_PIX, b"\x00")
+                _, _, px = decode_bmp_gray(encode_bmp_gray(gray, IMG_W, IMG_H))
+                dh = 0
+                for r in range(IMG_H):
+                    for c in range(DHASH_ROW_BITS):
+                        if px[r * IMG_W + c] > px[r * IMG_W + c + 1]:
+                            dh |= 1 << (r * DHASH_ROW_BITS + c)
+                rows.append((aid, dh))
+            yield pd.DataFrame(rows, columns=[f.name for f in DHASH_SCHEMA.fields])
+
+    return docs.mapInPandas(batches, DHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    sigs: DataFrame, max_hamming: int = DHASH_MAX_HAMMING
+) -> DataFrame:
+    """Banded-signature near-dup join over dHashes: split the 56 bits
+    into 4 x 14-bit bands, equi-join assets sharing any band value
+    (Hamming <= 2 guarantees >= 2 intact bands, so every true pair IS a
+    candidate — this band/threshold pair makes the LSH exact, not
+    probabilistic), then verify candidates with one
+    ``bit_count(a ^ b)``. Never all-pairs: candidates are bounded by
+    band-bucket occupancy (16k values per band; widen bands to hold
+    occupancy O(1) as the corpus grows)."""
+    mask = (1 << DHASH_BAND_BITS) - 1
+    bands = sigs.select(
+        "asset_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"shiftright(dhash, {DHASH_BAND_BITS * b}) & {mask}"
+                        ).alias("val"),
+                    )
+                    for b in range(DHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select(
+        "asset_id", "dhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            F.col("a.dhash").alias("dh_a"),
+            F.col("b.dhash").alias("dh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.expr("bit_count(dh_a ^ dh_b)").cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("asset_a", "asset_b", "hamming")
+    )
+
+
+_DHASH_LIST = (
+    "CAST(list_sum(list_transform(range(0, 56), k -> "
+    "CASE WHEN coalesce(head[CAST((k // 7) * 8 + (k % 7) + 1 AS INT)], 0) "
+    "        > coalesce(head[CAST((k // 7) * 8 + (k % 7) + 2 AS INT)], 0) "
+    "THEN 1::BIGINT << k ELSE 0 END)) AS BIGINT)"
+)
+
+_IMAGE_NEAR_DUP_ORACLE = f"""
+{_head_cte('doc_id % 3 = 0', _N_PIX)},
+allb AS (
+  SELECT doc_id, head FROM b
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, list_concat([126], head[2:]) AS head
+  FROM b WHERE doc_id < 60
+),
+dh AS (SELECT doc_id AS asset_id, {_DHASH_LIST} AS dhash FROM allb),
+bands AS (
+  SELECT asset_id, dhash, g.b AS band,
+         (dhash >> CAST(14 * g.b AS INT)) & 16383 AS val
+  FROM dh, (SELECT unnest(range(4)) AS b) g
+),
+cand AS (
+  SELECT DISTINCT a.asset_id AS asset_a, c.asset_id AS asset_b,
+         a.dhash AS dh_a, c.dhash AS dh_b
+  FROM bands a JOIN bands c
+    ON a.band = c.band AND a.val = c.val AND a.asset_id < c.asset_id
+)
+SELECT CAST(asset_a AS BIGINT) AS asset_a,
+       CAST(asset_b AS BIGINT) AS asset_b,
+       CAST(bit_count(xor(dh_a, dh_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(dh_a, dh_b)) <= 2
+ORDER BY 1, 2
+"""
+
+
+@register("mm_image_near_dup", oracle=_IMAGE_NEAR_DUP_ORACLE)
+def q_image_near_dup(spark, sf_dir):
+    """Perceptual image near-dup over the image assets plus injected
+    one-pixel edits (asset_id + 500000, first payload byte replaced by
+    0x7E): every injected edit lands within Hamming 1 of its original
+    through the banded join, which exact thumbnail dedup
+    (mm_image_dedup) cannot see. Organic sub-threshold pairs surface
+    too — deterministically on both engines."""
+    base = _image_docs(spark, sf_dir)
+    copies = base.filter(F.col("asset_id") < 60).select(
+        (F.col("asset_id") + 500000).alias("asset_id"),
+        F.concat(
+            F.lit(bytes([126])), F.expr("substring(payload, 2)")
+        ).alias("payload"),
+    )
+    sigs = bmp_dhash_signatures(base.unionByName(copies))
+    return image_near_dup_pairs(sigs).orderBy("asset_a", "asset_b")
