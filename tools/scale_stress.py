@@ -90,6 +90,12 @@ QUERIES = [
     "sim_pq_codes",
     "sim_pq_adc_topk",
     "sample_length_batches",
+    # round-5 additions
+    "dedup_segments_cdc",
+    "dedup_canonical_keeper",
+    "sim_pq_adc_topk_many",
+    "sample_epoch_shuffle",
+    "mm_image_near_dup",
 ]
 
 
