@@ -275,3 +275,131 @@ def q_gap_fill_locf(spark, sf_dir):
         "observed",
         (F.round("filled_value", 2) + 0.0).alias("filled_value"),
     ).orderBy("user_id", "day")
+
+
+def gap_fill_interpolate(
+    df,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+):
+    """Densify a per-key daily series and LINEARLY interpolate the gaps
+    — the companion to :func:`gap_fill_locf` for quantities that move
+    between observations (sensor readings, balances) rather than hold.
+
+    Same spine/shuffle shape as LOCF (per-key ``sequence`` explode, one
+    key shuffle shared by join and windows). Values are carried in
+    integer CENTS and the interpolation is
+    ``prev + floor((next - prev) * gap_pos / gap_len)`` — all-integer
+    inputs, one floor(double) division whose operands are exact in IEEE
+    doubles, so both engines compute bit-identical fills (the
+    cross-engine float discipline). Boundary rows fall back to the
+    available side (leading gap -> next, trailing gap -> prev)."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    obs = (
+        df.select(
+            F.col(key_col).alias("k"),
+            day.alias("d"),
+            F.col(value_col).cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("k", "d")
+        .agg((F.sum("v") * 100).cast("long").alias("c"))
+    )
+    spine = (
+        obs.groupBy("k")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "k",
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+            ).alias("d"),
+        )
+    )
+    joined = spine.join(obs, ["k", "d"], "left")
+    w_prev = (
+        Window.partitionBy("k").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("k").orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("c").isNotNull(), F.col("d"))
+    prev_c = F.last("c", ignorenulls=True).over(w_prev)
+    next_c = F.first("c", ignorenulls=True).over(w_next)
+    prev_d = F.last(obs_d, ignorenulls=True).over(w_prev)
+    next_d = F.first(obs_d, ignorenulls=True).over(w_next)
+    gap_len = F.datediff(next_d, prev_d)
+    gap_pos = F.datediff(F.col("d"), prev_d)
+    interp = (
+        F.when(prev_c.isNull(), next_c)
+        .when(next_c.isNull(), prev_c)
+        .when(gap_len == 0, prev_c)
+        .otherwise(
+            prev_c
+            + F.floor(
+                ((next_c - prev_c) * gap_pos).cast("double") / gap_len
+            ).cast("long")
+        )
+    )
+    return joined.select(
+        F.col("k").alias(key_col),
+        F.col("d").alias("day"),
+        F.col("c").isNotNull().cast("int").alias("observed"),
+        interp.cast("long").alias("interp_cents"),
+    )
+
+
+_INTERP_ORACLE = """
+WITH obs AS (
+  SELECT user_id AS k, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT k, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM (SELECT k, min(d) AS d0, max(d) AS d1 FROM obs GROUP BY 1)
+),
+joined AS (
+  SELECT s.k, s.d, o.c FROM spine s LEFT JOIN obs o ON s.k = o.k AND s.d = o.d
+),
+ctx AS (
+  SELECT k, d, c,
+         last_value(c IGNORE NULLS) OVER w_prev AS prev_c,
+         first_value(c IGNORE NULLS) OVER w_next AS next_c,
+         last_value(CASE WHEN c IS NOT NULL THEN d END IGNORE NULLS)
+           OVER w_prev AS prev_d,
+         first_value(CASE WHEN c IS NOT NULL THEN d END IGNORE NULLS)
+           OVER w_next AS next_d
+  FROM joined
+  WINDOW
+    w_prev AS (PARTITION BY k ORDER BY d ROWS UNBOUNDED PRECEDING),
+    w_next AS (PARTITION BY k ORDER BY d
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT CAST(k AS BIGINT) AS user_id, d AS day,
+       CAST(c IS NOT NULL AS INT) AS observed,
+       CAST(CASE
+         WHEN prev_c IS NULL THEN next_c
+         WHEN next_c IS NULL THEN prev_c
+         WHEN next_d = prev_d THEN prev_c
+         ELSE prev_c + CAST(floor(
+           CAST((next_c - prev_c) * (d - prev_d) AS DOUBLE)
+           / (next_d - prev_d)) AS BIGINT)
+       END AS BIGINT) AS interp_cents
+FROM ctx
+ORDER BY 1, 2
+"""
+
+
+@register("r6_linear_interpolate", oracle=_INTERP_ORACLE)
+def q_gap_fill_interpolate(spark, sf_dir):
+    """Daily per-user series with gaps LINEARLY interpolated in exact
+    integer cents — the moving-quantity companion to r5's
+    carry-forward fill, certified bit-identical across engines."""
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return gap_fill_interpolate(ev, "user_id", "ts", "value").orderBy(
+        "user_id", "day"
+    )
