@@ -720,18 +720,21 @@ def bmp_dhash_signatures(docs: DataFrame) -> DataFrame:
     return docs.mapInPandas(batches, DHASH_SCHEMA)
 
 
-def image_near_dup_pairs(
-    sigs: DataFrame, max_hamming: int = DHASH_MAX_HAMMING
+def banded_hamming_pairs(
+    sigs: DataFrame,
+    n_bands: int,
+    band_bits: int,
+    max_hamming: int,
 ) -> DataFrame:
-    """Banded-signature near-dup join over dHashes: split the 56 bits
-    into 4 x 14-bit bands, equi-join assets sharing any band value
-    (Hamming <= 2 guarantees >= 2 intact bands, so every true pair IS a
-    candidate — this band/threshold pair makes the LSH exact, not
-    probabilistic), then verify candidates with one
-    ``bit_count(a ^ b)``. Never all-pairs: candidates are bounded by
-    band-bucket occupancy (16k values per band; widen bands to hold
-    occupancy O(1) as the corpus grows)."""
-    mask = (1 << DHASH_BAND_BITS) - 1
+    """Banded-signature near-dup join over integer signatures: split
+    the signature into ``n_bands`` x ``band_bits`` bands, equi-join
+    assets sharing any band value, verify candidates with one
+    ``bit_count(a ^ b)``. With ``max_hamming < n_bands`` at least one
+    band survives every qualifying flip set, so the LSH is EXACT (every
+    true pair is a candidate), not probabilistic. Never all-pairs:
+    candidates are bounded by band-bucket occupancy (2^band_bits values
+    per band; widen bands to hold occupancy O(1) as the corpus grows)."""
+    mask = (1 << band_bits) - 1
     bands = sigs.select(
         "asset_id",
         "dhash",
@@ -741,10 +744,10 @@ def image_near_dup_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.expr(
-                            f"shiftright(dhash, {DHASH_BAND_BITS * b}) & {mask}"
+                            f"shiftright(dhash, {band_bits * b}) & {mask}"
                         ).alias("val"),
                     )
-                    for b in range(DHASH_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bv"),
@@ -773,6 +776,16 @@ def image_near_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("asset_a", "asset_b", "hamming")
+    )
+
+
+def image_near_dup_pairs(
+    sigs: DataFrame, max_hamming: int = DHASH_MAX_HAMMING
+) -> DataFrame:
+    """Image instance of :func:`banded_hamming_pairs`: 56-bit dHash as
+    4 x 14-bit bands (Hamming <= 2 keeps >= 2 bands intact)."""
+    return banded_hamming_pairs(
+        sigs, DHASH_BANDS, DHASH_BAND_BITS, max_hamming
     )
 
 
@@ -829,3 +842,93 @@ def q_image_near_dup(spark, sf_dir):
     )
     sigs = bmp_dhash_signatures(base.unionByName(copies))
     return image_near_dup_pairs(sigs).orderBy("asset_a", "asset_b")
+
+
+# -------------------------------------------- audio near-dup (sample dHash)
+
+WAV_DHASH_BITS = WAV_SAMPLES - 1  # 63 adjacent-sample comparisons
+WAV_DHASH_BANDS = 3
+WAV_DHASH_BAND_BITS = 21          # 3 x 21-bit bands; Hamming<=2 exact
+
+
+def wav_dhash_signatures(docs: DataFrame) -> DataFrame:
+    """Acoustic difference hash through the REAL WAV codec: encode the
+    fixture samples as 16-bit PCM, decode them back, set bit k iff
+    sample k > sample k+1 (63 bits over the 64-sample clip). Like the
+    image dHash this is level-free — re-gained (amplitude-scaled) or
+    lightly edited audio keeps most comparison bits, which an exact
+    checksum loses entirely."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload)[:WAV_SAMPLES].ljust(WAV_SAMPLES, b"\x80")
+                samples = [(b - 128) * 256 for b in raw]
+                dec = decode_wav_samples(encode_wav_pcm16(samples, WAV_RATE))
+                dh = 0
+                for k in range(WAV_DHASH_BITS):
+                    if dec[k] > dec[k + 1]:
+                        dh |= 1 << k
+                rows.append((aid, dh))
+            yield pd.DataFrame(rows, columns=[f.name for f in DHASH_SCHEMA.fields])
+
+    return docs.mapInPandas(batches, DHASH_SCHEMA)
+
+
+# (b-128)*256 is strictly monotone in the byte value, so sample_k >
+# sample_{k+1} iff byte_k > byte_{k+1} — the oracle replays the
+# comparisons on head bytes directly (padding byte = 0x80 -> sample 0).
+_WAV_DHASH_LIST = (
+    "CAST(list_sum(list_transform(range(0, 63), k -> "
+    "CASE WHEN coalesce(head[CAST(k + 1 AS INT)], 128) "
+    "        > coalesce(head[CAST(k + 2 AS INT)], 128) "
+    "THEN 1::BIGINT << k ELSE 0 END)) AS BIGINT)"
+)
+
+_AUDIO_NEAR_DUP_ORACLE = f"""
+{_head_cte('doc_id % 3 = 1', WAV_SAMPLES)},
+allb AS (
+  SELECT doc_id, head FROM b
+  UNION ALL
+  SELECT doc_id + 600000 AS doc_id, list_concat([126], head[2:]) AS head
+  FROM b WHERE doc_id < 60
+),
+dh AS (SELECT doc_id AS asset_id, {_WAV_DHASH_LIST} AS dhash FROM allb),
+bands AS (
+  SELECT asset_id, dhash, g.b AS band,
+         (dhash >> CAST(21 * g.b AS INT)) & 2097151 AS val
+  FROM dh, (SELECT unnest(range(3)) AS b) g
+),
+cand AS (
+  SELECT DISTINCT a.asset_id AS asset_a, c.asset_id AS asset_b,
+         a.dhash AS dh_a, c.dhash AS dh_b
+  FROM bands a JOIN bands c
+    ON a.band = c.band AND a.val = c.val AND a.asset_id < c.asset_id
+)
+SELECT CAST(asset_a AS BIGINT) AS asset_a,
+       CAST(asset_b AS BIGINT) AS asset_b,
+       CAST(bit_count(xor(dh_a, dh_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(dh_a, dh_b)) <= 2
+ORDER BY 1, 2
+"""
+
+
+@register("mm_audio_near_dup", oracle=_AUDIO_NEAR_DUP_ORACLE)
+def q_audio_near_dup(spark, sf_dir):
+    """Acoustic near-dup over the audio assets plus injected one-sample
+    edits (asset_id + 600000, first byte -> 0x7E): each edit flips at
+    most one comparison bit, so the 3 x 21-bit banded join must pair it
+    with its original — the audio leg of the perceptual-dedup family."""
+    base = _audio_docs(spark, sf_dir)
+    copies = base.filter(F.col("asset_id") < 60).select(
+        (F.col("asset_id") + 600000).alias("asset_id"),
+        F.concat(
+            F.lit(bytes([126])), F.expr("substring(payload, 2)")
+        ).alias("payload"),
+    )
+    sigs = wav_dhash_signatures(base.unionByName(copies))
+    return banded_hamming_pairs(
+        sigs, WAV_DHASH_BANDS, WAV_DHASH_BAND_BITS, DHASH_MAX_HAMMING
+    ).orderBy("asset_a", "asset_b")
