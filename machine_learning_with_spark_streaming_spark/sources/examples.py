@@ -619,3 +619,44 @@ def q_s17_schema_evolution_read(spark, sf_dir):
         )
         .orderBy("nation")
     )
+
+
+_S18_GZIP_ORACLE = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+       CAST(min(doc_id) AS BIGINT) AS min_doc
+FROM documents
+GROUP BY lang ORDER BY lang
+"""
+
+
+@register("s18_gzip_jsonl_roundtrip", oracle=_S18_GZIP_ORACLE)
+def q_s18_gzip_jsonl_roundtrip(spark, sf_dir):
+    """Compressed-corpus ingest: export ``documents`` as gzip JSONL (the
+    wire format most crawled-text dumps arrive in), scan it back,
+    aggregate. Spark decompresses .gz transparently BUT a gzip member
+    is one unsplittable stream — one task per file regardless of size —
+    so the export writes MANY gzip parts (per-partition files), which
+    is exactly how a 100 TB crawl should be laid out (or zstd/bzip2
+    for in-file splittability). The oracle reads the source table, so
+    the check certifies bytes survive compression + JSON escaping."""
+    import tempfile
+
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.mkdtemp(prefix="mlwss_s18_"), "docs_gz")
+    docs.repartition(8).write.mode("overwrite").option(
+        "compression", "gzip"
+    ).json(out)
+    back = spark.read.json(f"{out}/*.json.gz")
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("sum_text_len"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+        )
+        .orderBy("lang")
+    )
