@@ -720,22 +720,12 @@ def bmp_dhash_signatures(docs: DataFrame) -> DataFrame:
     return docs.mapInPandas(batches, DHASH_SCHEMA)
 
 
-def banded_hamming_pairs(
-    sigs: DataFrame,
-    n_bands: int,
-    band_bits: int,
-    max_hamming: int,
-) -> DataFrame:
-    """Banded-signature near-dup join over integer signatures: split
-    the signature into ``n_bands`` x ``band_bits`` bands, equi-join
-    assets sharing any band value, verify candidates with one
-    ``bit_count(a ^ b)``. With ``max_hamming < n_bands`` at least one
-    band survives every qualifying flip set, so the LSH is EXACT (every
-    true pair is a candidate), not probabilistic. Never all-pairs:
-    candidates are bounded by band-bucket occupancy (2^band_bits values
-    per band; widen bands to hold occupancy O(1) as the corpus grows)."""
+def dhash_bands(sigs: DataFrame, n_bands: int, band_bits: int) -> DataFrame:
+    """Explode ``(asset_id, dhash)`` into ``(asset_id, dhash, band,
+    val)`` band rows — the LSH index layout shared by the batch join
+    (:func:`banded_hamming_pairs`) and the streaming ingest probe."""
     mask = (1 << band_bits) - 1
-    bands = sigs.select(
+    return sigs.select(
         "asset_id",
         "dhash",
         F.explode(
@@ -752,8 +742,28 @@ def banded_hamming_pairs(
             )
         ).alias("bv"),
     ).select(
-        "asset_id", "dhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+        "asset_id",
+        "dhash",
+        F.col("bv.band").alias("band"),
+        F.col("bv.val").alias("val"),
     )
+
+
+def banded_hamming_pairs(
+    sigs: DataFrame,
+    n_bands: int,
+    band_bits: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Banded-signature near-dup join over integer signatures: split
+    the signature into ``n_bands`` x ``band_bits`` bands, equi-join
+    assets sharing any band value, verify candidates with one
+    ``bit_count(a ^ b)``. With ``max_hamming < n_bands`` at least one
+    band survives every qualifying flip set, so the LSH is EXACT (every
+    true pair is a candidate), not probabilistic. Never all-pairs:
+    candidates are bounded by band-bucket occupancy (2^band_bits values
+    per band; widen bands to hold occupancy O(1) as the corpus grows)."""
+    bands = dhash_bands(sigs, n_bands, band_bits)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -932,3 +942,167 @@ def q_audio_near_dup(spark, sf_dir):
     return banded_hamming_pairs(
         sigs, WAV_DHASH_BANDS, WAV_DHASH_BAND_BITS, DHASH_MAX_HAMMING
     ).orderBy("asset_a", "asset_b")
+
+
+# -------------------------------- streaming perceptual dedup at ingest
+
+_NEAR_DUP_STREAM_ORACLE = f"""
+{_head_cte('doc_id % 3 = 0', _N_PIX)},
+allb AS (
+  SELECT doc_id, head FROM b
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, list_concat([126], head[2:]) AS head
+  FROM b WHERE doc_id < 60
+),
+dh AS (SELECT doc_id AS asset_id, {_DHASH_LIST} AS dhash FROM allb),
+bands AS (
+  SELECT asset_id, dhash, g.b AS band,
+         (dhash >> CAST(14 * g.b AS INT)) & 16383 AS val
+  FROM dh, (SELECT unnest(range(4)) AS b) g
+),
+cand AS (
+  SELECT DISTINCT a.asset_id AS asset_a, c.asset_id AS asset_b,
+         a.dhash AS dh_a, c.dhash AS dh_b
+  FROM bands a JOIN bands c
+    ON a.band = c.band AND a.val = c.val AND a.asset_id < c.asset_id
+),
+hits AS (
+  SELECT asset_b AS asset_id, min(asset_a) AS match_id
+  FROM cand WHERE bit_count(xor(dh_a, dh_b)) <= 2
+  GROUP BY 1
+)
+SELECT CAST(h.asset_id AS BIGINT) AS asset_id,
+       CAST(h.match_id AS BIGINT) AS match_id,
+       CAST(bit_count(xor(d1.dhash, d2.dhash)) AS INT) AS hamming
+FROM hits h
+JOIN dh d1 ON d1.asset_id = h.asset_id
+JOIN dh d2 ON d2.asset_id = h.match_id
+ORDER BY 1
+"""
+
+
+@register("s11_image_near_dup_stream", oracle=_NEAR_DUP_STREAM_ORACLE)
+def q_image_near_dup_stream(spark, sf_dir):
+    """Perceptual dedup AT INGEST as a REAL 4-micro-batch foreachBatch
+    loop: each batch real-decodes its images to dHashes, probes the
+    band index accumulated by all previous batches (plus its own
+    in-batch pairs), emits one detection per near-duplicate new asset
+    (its min earlier match), and appends its own bands. Because the
+    band arithmetic is exact for Hamming <= 2, batching is invisible:
+    the streamed detections must equal the whole-corpus batch pairs —
+    which is what the oracle computes. The index stores 8-byte
+    signatures; pixels never leave their ingest batch."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from machine_learning_with_spark_streaming_spark.streaming.examples import (
+        stage_ordered_files,
+    )
+
+    base = _image_docs(spark, sf_dir)
+    copies = base.filter(F.col("asset_id") < 60).select(
+        (F.col("asset_id") + 500000).alias("asset_id"),
+        F.concat(
+            F.lit(bytes([126])), F.expr("substring(payload, 2)")
+        ).alias("payload"),
+    )
+    mid = base.agg((F.max("asset_id") / 2).cast("long")).first()[0] or 0
+    parts = [
+        base.filter(F.col("asset_id") <= mid),
+        base.filter(F.col("asset_id") > mid),
+        copies.filter(F.col("asset_id") <= 500000 + 30),
+        copies.filter(F.col("asset_id") > 500000 + 30),
+    ]
+    work = tempfile.mkdtemp(prefix="mlwss_neardupstream_")
+    stage = f"{work}/stage"
+    stage_ordered_files(parts, stage)
+    idx_dir, out_dir = f"{work}/band_index", f"{work}/detections"
+    spark.createDataFrame(
+        [], "asset_id long, dhash long, band int, val long"
+    ).write.parquet(idx_dir)
+    spark.createDataFrame(
+        [], "asset_id long, match_id long, hamming int"
+    ).write.parquet(out_dir)
+
+    def sink(batch_df, _batch_id):
+        ss = batch_df.sparkSession
+        sigs = bmp_dhash_signatures(batch_df).localCheckpoint(eager=True)
+        bands = dhash_bands(sigs, DHASH_BANDS, DHASH_BAND_BITS)
+        index = ss.read.parquet(idx_dir)
+        cross = (
+            bands.alias("n")
+            .join(
+                index.alias("o"),
+                (F.col("n.band") == F.col("o.band"))
+                & (F.col("n.val") == F.col("o.val")),
+            )
+            .select(
+                F.col("o.asset_id").alias("asset_a"),
+                F.col("n.asset_id").alias("asset_b"),
+                F.col("o.dhash").alias("dh_a"),
+                F.col("n.dhash").alias("dh_b"),
+            )
+            .distinct()
+        )
+        within = (
+            bands.alias("a")
+            .join(
+                bands.alias("c"),
+                (F.col("a.band") == F.col("c.band"))
+                & (F.col("a.val") == F.col("c.val"))
+                & (F.col("a.asset_id") < F.col("c.asset_id")),
+            )
+            .select(
+                F.col("a.asset_id").alias("asset_a"),
+                F.col("c.asset_id").alias("asset_b"),
+                F.col("a.dhash").alias("dh_a"),
+                F.col("c.dhash").alias("dh_b"),
+            )
+            .distinct()
+        )
+        pairs = (
+            cross.unionByName(within)
+            .withColumn("hamming", F.expr("bit_count(dh_a ^ dh_b)").cast("int"))
+            .filter(F.col("hamming") <= DHASH_MAX_HAMMING)
+        )
+        hits = pairs.groupBy(F.col("asset_b").alias("asset_id")).agg(
+            F.min("asset_a").alias("match_id")
+        )
+        det = (
+            hits.join(sigs.alias("s1"), hits.asset_id == F.col("s1.asset_id"))
+            .join(
+                sigs.unionByName(
+                    ss.read.parquet(idx_dir)
+                    .select("asset_id", "dhash")
+                    .distinct()
+                ).alias("s2"),
+                hits.match_id == F.col("s2.asset_id"),
+            )
+            .select(
+                hits.asset_id,
+                hits.match_id,
+                F.expr("bit_count(s1.dhash ^ s2.dhash)").cast("int").alias(
+                    "hamming"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        det.write.mode("append").parquet(out_dir)
+        bands.write.mode("append").parquet(idx_dir)
+
+    stream = (
+        spark.readStream.schema("asset_id bigint, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{work}/ckpt_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    det = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return det.orderBy("asset_id")
