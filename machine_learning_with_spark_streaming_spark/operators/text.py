@@ -2237,8 +2237,9 @@ def cdc_segment_dedup(
     )
 
 
-_CDC_SEGMENT_DEDUP_ORACLE = f"""
-WITH {_CORPUS_SQL},
+#: shared CDC chunking CTEs (corpus -> boundary-cut segments -> keeper
+#: ranking); consumed by the dedup oracle and the v3 pipeline oracle.
+_CDC_CORE_CTES = f"""{_CORPUS_SQL},
 nw AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM corpus),
 tok AS (
   SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos, ws[g.i] AS w
@@ -2273,7 +2274,11 @@ ranked AS (
            PARTITION BY md5(seg_text) ORDER BY doc_id, seg_idx
          ) AS rn
   FROM seg
-),
+)"""
+
+
+_CDC_SEGMENT_DEDUP_ORACLE = f"""
+WITH {_CDC_CORE_CTES},
 totals AS (
   SELECT c.doc_id, CAST(coalesce(sc.n_seg, 0) AS BIGINT) AS n_seg
   FROM (SELECT DISTINCT doc_id FROM corpus) c
@@ -2313,3 +2318,82 @@ def q_cdc_segment_dedup(spark, sf_dir):
         "n_dropped",
         F.md5("clean_text").alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+# ------------------------- composed v3 prep: CDC dedup -> epoch layout
+
+PREP_V3_SHARDS = 8
+
+
+_PREP_V3_ORACLE = f"""
+WITH {_CDC_CORE_CTES},
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         sum(len(string_split(seg_text, ' '))) AS toks
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+),
+survivors AS (
+  SELECT doc_id, toks,
+         'src' || CAST(doc_id % 20 AS VARCHAR) AS source
+  FROM rebuilt WHERE n_kept > 0
+),
+shuf AS (
+  SELECT doc_id, source, toks,
+         CAST(h % {PREP_V3_SHARDS} AS INT) AS shard,
+         row_number() OVER (
+           PARTITION BY h % {PREP_V3_SHARDS} ORDER BY h, doc_id
+         ) - 1 AS pos
+  FROM (
+    SELECT *,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ep0'), 1, 15))
+             ::BIGINT AS h
+    FROM survivors
+  )
+)
+SELECT source, shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS sum_tokens,
+       CAST(min(pos) AS BIGINT) AS first_pos
+FROM shuf
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("pipeline_llm_data_prep_v3", oracle=_PREP_V3_ORACLE)
+def q_llm_data_prep_v3(spark, sf_dir):
+    """Composed v3 corpus prep — the round-5 chain end to end:
+    content-defined segment dedup REWRITES the duplicate-injected
+    corpus (shift-resistant: the near-copies collapse onto their
+    originals' segments), fully-deduplicated docs drop out, and the
+    survivors get the deterministic epoch-0 training layout
+    (md5 shard + within-shard rank). Output is the per-(source, shard)
+    manifest a training reader would consume: doc count, token mass,
+    and the shard position where the source first appears."""
+    from machine_learning_with_spark_streaming_spark.operators.sampling import epoch_shuffle
+
+    corpus = corpus_with_duplicates(spark, sf_dir)
+    cdc = cdc_segment_dedup(corpus)
+    survivors = (
+        cdc.filter(F.col("n_kept") > 0)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.size(F.split("clean_text", " ")).cast("long").alias("toks"),
+            F.concat(F.lit("src"), (F.col("id") % 20).cast("string")).alias(
+                "source"
+            ),
+        )
+    )
+    shuf = epoch_shuffle(
+        survivors, epoch=0, n_shards=PREP_V3_SHARDS
+    ).select("doc_id", "shard", "pos")
+    return (
+        survivors.join(shuf, "doc_id")
+        .groupBy("source", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("long").alias("sum_tokens"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+        .orderBy("source", "shard")
+    )
