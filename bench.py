@@ -143,6 +143,9 @@ EXTENDED += [
     "dedup_canonical_keeper",
     "sample_epoch_shuffle",
     "mm_image_near_dup",
+    "mm_audio_near_dup",
+    "r6_linear_interpolate",
+    "pipeline_llm_data_prep_v3",
 ]
 
 

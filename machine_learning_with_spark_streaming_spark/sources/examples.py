@@ -660,3 +660,41 @@ def q_s18_gzip_jsonl_roundtrip(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+_K9_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                ::BIGINT) AS VARCHAR) AS key_checksum,
+       TRUE AS manifest_ok
+FROM orders
+"""
+
+
+@register("k9_manifest_sink", oracle=_K9_ORACLE)
+def q_k9_manifest_sink(spark, sf_dir):
+    """K9: write ``orders`` with an integrity manifest (row count + an
+    order-independent md5-sum key checksum), then VALIDATE the written
+    table against its own manifest. The oracle recomputes both numbers
+    from the source, so the row certifies the whole loop: nothing lost
+    or duplicated in the write, and the validator agrees. The checksum
+    sum exceeds BIGINT range by design (600k x 60-bit terms), so both
+    engines carry it exact — decimal(38,0) / HUGEINT — and emit it as a
+    string."""
+    import tempfile
+
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+    from machine_learning_with_spark_streaming_spark.sources.maintenance import (
+        validate_manifest,
+        write_with_manifest,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(tempfile.mkdtemp(prefix="mlwss_k9_"), "orders")
+    write_with_manifest(orders, path, "o_orderkey")
+    n, c, mn, mc, ok = validate_manifest(spark, path, "o_orderkey")
+    assert (n, c) == (mn, mc), "manifest validation must agree with itself"
+    return spark.createDataFrame(
+        [(mn, mc, bool(ok))],
+        "n_rows long, key_checksum string, manifest_ok boolean",
+    )

@@ -176,3 +176,46 @@ def compact_files(
     writer.parquet(staging)
     _swap_into_place(path, staging)
     return before, _n_parquet_files(path)
+
+
+def write_with_manifest(df, path: str, key_col: str) -> None:
+    """K9: data + integrity manifest in one job. Writes ``df`` as
+    parquet and, next to it, a ``_manifest`` parquet holding the row
+    count and an order-independent content checksum (sum of a 60-bit
+    md5 of the key column — associative, so partition/batch order can
+    never change it). A downstream consumer (or a later re-write)
+    validates the table by recomputing the same two numbers; any lost,
+    duplicated, or corrupted row moves the checksum. This is the
+    engine-side analog of Delta/Iceberg snapshot manifests, sized to
+    one row — at 100 TB the manifest job is the same single aggregate
+    the write already shuffles for."""
+    from pyspark.sql import functions as F
+
+    df.write.mode("overwrite").parquet(path)
+    spark = df.sparkSession
+    back = spark.read.parquet(path)
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+    manifest = back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(h.cast("decimal(38,0)")).cast("decimal(38,0)")
+        .cast("string")
+        .alias("key_checksum"),
+    )
+    manifest.write.mode("overwrite").parquet(f"{path}_manifest")
+
+
+def validate_manifest(spark: SparkSession, path: str, key_col: str):
+    """Recompute the manifest pair from the data and return
+    ``(n_rows, key_checksum, manifest_rows, manifest_checksum, ok)``."""
+    from pyspark.sql import functions as F
+
+    back = spark.read.parquet(path)
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+    got = back.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(h.cast("decimal(38,0)")).cast("decimal(38,0)").cast("string").alias("c"),
+    ).first()
+    want = spark.read.parquet(f"{path}_manifest").first()
+    return got["n"], got["c"], want["n_rows"], want["key_checksum"], (
+        got["n"] == want["n_rows"] and got["c"] == want["key_checksum"]
+    )
