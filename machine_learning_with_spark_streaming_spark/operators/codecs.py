@@ -1019,17 +1019,25 @@ def q_image_near_dup_stream(spark, sf_dir):
     stage_ordered_files(parts, stage)
     idx_dir, out_dir = f"{work}/band_index", f"{work}/detections"
     spark.createDataFrame(
-        [], "asset_id long, dhash long, band int, val long"
-    ).write.parquet(idx_dir)
+        [], "asset_id long, dhash long, band int, val long, batch_id long"
+    ).write.partitionBy("batch_id").parquet(idx_dir)
     spark.createDataFrame(
-        [], "asset_id long, match_id long, hamming int"
-    ).write.parquet(out_dir)
+        [], "asset_id long, match_id long, hamming int, batch_id long"
+    ).write.partitionBy("batch_id").parquet(out_dir)
 
-    def sink(batch_df, _batch_id):
+    def sink(batch_df, batch_id):
+        # exactly-once: both sinks write into their own batch_id=N
+        # partition via dynamic overwrite (the
+        # foreach_batch_append_idempotent pattern), so a crash-retried
+        # batch replaces its own output instead of double-appending
+        # duplicate detections/index rows
         ss = batch_df.sparkSession
         sigs = bmp_dhash_signatures(batch_df).localCheckpoint(eager=True)
         bands = dhash_bands(sigs, DHASH_BANDS, DHASH_BAND_BITS)
-        index = ss.read.parquet(idx_dir)
+        # explicit schema: before the first batch the partitioned dir
+        # holds no files, so inference would fail
+        idx_schema = "asset_id long, dhash long, band int, val long, batch_id long"
+        index = ss.read.schema(idx_schema).parquet(idx_dir)
         cross = (
             bands.alias("n")
             .join(
@@ -1073,7 +1081,7 @@ def q_image_near_dup_stream(spark, sf_dir):
             hits.join(sigs.alias("s1"), hits.asset_id == F.col("s1.asset_id"))
             .join(
                 sigs.unionByName(
-                    ss.read.parquet(idx_dir)
+                    ss.read.schema(idx_schema).parquet(idx_dir)
                     .select("asset_id", "dhash")
                     .distinct()
                 ).alias("s2"),
@@ -1088,8 +1096,17 @@ def q_image_near_dup_stream(spark, sf_dir):
             )
             .localCheckpoint(eager=True)
         )
-        det.write.mode("append").parquet(out_dir)
-        bands.write.mode("append").parquet(idx_dir)
+        prev = ss.conf.get("spark.sql.sources.partitionOverwriteMode")
+        ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            det.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).partitionBy("batch_id").parquet(out_dir)
+            bands.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).partitionBy("batch_id").parquet(idx_dir)
+        finally:
+            ss.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     stream = (
         spark.readStream.schema("asset_id bigint, payload binary")
@@ -1103,6 +1120,13 @@ def q_image_near_dup_stream(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    det = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    det = (
+        spark.read.schema(
+            "asset_id long, match_id long, hamming int, batch_id long"
+        )
+        .parquet(out_dir)
+        .select("asset_id", "match_id", "hamming")
+        .localCheckpoint(eager=True)
+    )
     shutil.rmtree(work, ignore_errors=True)
     return det.orderBy("asset_id")
