@@ -841,22 +841,36 @@ def q_incremental_dedup_stream(spark, sf_dir):
         stage,
     )
     fp_dir, out_dir = f"{work}/fingerprints", f"{work}/kept"
-    empty = spark.createDataFrame([], "h long")
-    empty.write.parquet(fp_dir)
-    empty.select(F.lit(0).cast("long").alias("doc_id")).limit(0).write.parquet(
-        out_dir
-    )
+    spark.createDataFrame([], "h long, batch_id long").write.partitionBy(
+        "batch_id"
+    ).parquet(fp_dir)
+    spark.createDataFrame([], "doc_id long, batch_id long").write.partitionBy(
+        "batch_id"
+    ).parquet(out_dir)
 
-    def sink(batch_df, _batch_id):
+    def sink(batch_df, batch_id):
+        ss = batch_df.sparkSession
         hashed = batch_df.select(
             "doc_id", F.xxhash64(normalize_text("text")).alias("h")
         )
         # keep-first within the batch, then against the accumulated base
         firsts = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-        base = batch_df.sparkSession.read.parquet(fp_dir)
+        base = ss.read.schema("h long, batch_id long").parquet(fp_dir)
         new = firsts.join(base, "h", "left_anti").localCheckpoint(eager=True)
-        new.select("doc_id").write.mode("append").parquet(out_dir)
-        new.select("h").write.mode("append").parquet(fp_dir)
+        # exactly-once: per-batch partitions + dynamic overwrite, so a
+        # crash-retried batch replaces its own rows instead of
+        # double-appending (foreach_batch_append_idempotent pattern)
+        prev = ss.conf.get("spark.sql.sources.partitionOverwriteMode")
+        ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            new.select("doc_id").withColumn(
+                "batch_id", F.lit(batch_id)
+            ).write.mode("overwrite").partitionBy("batch_id").parquet(out_dir)
+            new.select("h").withColumn(
+                "batch_id", F.lit(batch_id)
+            ).write.mode("overwrite").partitionBy("batch_id").parquet(fp_dir)
+        finally:
+            ss.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     stream = (
         spark.readStream.schema("doc_id bigint, text string")
@@ -870,7 +884,12 @@ def q_incremental_dedup_stream(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    kept = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    kept = (
+        spark.read.schema("doc_id long, batch_id long")
+        .parquet(out_dir)
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
     shutil.rmtree(work, ignore_errors=True)
     return kept.orderBy("doc_id")
 
