@@ -981,49 +981,21 @@ ORDER BY 1
 """
 
 
-@register("s11_image_near_dup_stream", oracle=_NEAR_DUP_STREAM_ORACLE)
-def q_image_near_dup_stream(spark, sf_dir):
-    """Perceptual dedup AT INGEST as a REAL 4-micro-batch foreachBatch
-    loop: each batch real-decodes its images to dHashes, probes the
-    band index accumulated by all previous batches (plus its own
-    in-batch pairs), emits one detection per near-duplicate new asset
-    (its min earlier match), and appends its own bands. Because the
-    band arithmetic is exact for Hamming <= 2, batching is invisible:
-    the streamed detections must equal the whole-corpus batch pairs —
-    which is what the oracle computes. The index stores 8-byte
-    signatures; pixels never leave their ingest batch."""
-    import shutil
-    import tempfile
-    import uuid
+_NEAR_DUP_IDX_SCHEMA = "asset_id long, dhash long, band int, val long, batch_id long"
+_NEAR_DUP_OUT_SCHEMA = "asset_id long, match_id long, hamming int, batch_id long"
 
-    from machine_learning_with_spark_streaming_spark.streaming.examples import (
-        stage_ordered_files,
-    )
 
-    base = _image_docs(spark, sf_dir)
-    copies = base.filter(F.col("asset_id") < 60).select(
-        (F.col("asset_id") + 500000).alias("asset_id"),
-        F.concat(
-            F.lit(bytes([126])), F.expr("substring(payload, 2)")
-        ).alias("payload"),
-    )
-    mid = base.agg((F.max("asset_id") / 2).cast("long")).first()[0] or 0
-    parts = [
-        base.filter(F.col("asset_id") <= mid),
-        base.filter(F.col("asset_id") > mid),
-        copies.filter(F.col("asset_id") <= 500000 + 30),
-        copies.filter(F.col("asset_id") > 500000 + 30),
-    ]
-    work = tempfile.mkdtemp(prefix="mlwss_neardupstream_")
-    stage = f"{work}/stage"
-    stage_ordered_files(parts, stage)
-    idx_dir, out_dir = f"{work}/band_index", f"{work}/detections"
-    spark.createDataFrame(
-        [], "asset_id long, dhash long, band int, val long, batch_id long"
-    ).write.partitionBy("batch_id").parquet(idx_dir)
-    spark.createDataFrame(
-        [], "asset_id long, match_id long, hamming int, batch_id long"
-    ).write.partitionBy("batch_id").parquet(out_dir)
+def near_dup_ingest_sink(spark, idx_dir: str, out_dir: str):
+    """Build the perceptual-ingest foreachBatch sink: initializes the
+    (empty, partitioned) band-index and detections dirs and returns the
+    per-batch function. Shared by the registered 4-batch run and the
+    checkpoint-restart test."""
+    spark.createDataFrame([], _NEAR_DUP_IDX_SCHEMA).write.partitionBy(
+        "batch_id"
+    ).parquet(idx_dir)
+    spark.createDataFrame([], _NEAR_DUP_OUT_SCHEMA).write.partitionBy(
+        "batch_id"
+    ).parquet(out_dir)
 
     def sink(batch_df, batch_id):
         # exactly-once: both sinks write into their own batch_id=N
@@ -1036,8 +1008,7 @@ def q_image_near_dup_stream(spark, sf_dir):
         bands = dhash_bands(sigs, DHASH_BANDS, DHASH_BAND_BITS)
         # explicit schema: before the first batch the partitioned dir
         # holds no files, so inference would fail
-        idx_schema = "asset_id long, dhash long, band int, val long, batch_id long"
-        index = ss.read.schema(idx_schema).parquet(idx_dir)
+        index = ss.read.schema(_NEAR_DUP_IDX_SCHEMA).parquet(idx_dir)
         cross = (
             bands.alias("n")
             .join(
@@ -1081,7 +1052,7 @@ def q_image_near_dup_stream(spark, sf_dir):
             hits.join(sigs.alias("s1"), hits.asset_id == F.col("s1.asset_id"))
             .join(
                 sigs.unionByName(
-                    ss.read.schema(idx_schema).parquet(idx_dir)
+                    ss.read.schema(_NEAR_DUP_IDX_SCHEMA).parquet(idx_dir)
                     .select("asset_id", "dhash")
                     .distinct()
                 ).alias("s2"),
@@ -1108,6 +1079,47 @@ def q_image_near_dup_stream(spark, sf_dir):
         finally:
             ss.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
+    return sink
+
+
+@register("s11_image_near_dup_stream", oracle=_NEAR_DUP_STREAM_ORACLE)
+def q_image_near_dup_stream(spark, sf_dir):
+    """Perceptual dedup AT INGEST as a REAL 4-micro-batch foreachBatch
+    loop: each batch real-decodes its images to dHashes, probes the
+    band index accumulated by all previous batches (plus its own
+    in-batch pairs), emits one detection per near-duplicate new asset
+    (its min earlier match), and appends its own bands. Because the
+    band arithmetic is exact for Hamming <= 2, batching is invisible:
+    the streamed detections must equal the whole-corpus batch pairs —
+    which is what the oracle computes. The index stores 8-byte
+    signatures; pixels never leave their ingest batch."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from machine_learning_with_spark_streaming_spark.streaming.examples import (
+        stage_ordered_files,
+    )
+
+    base = _image_docs(spark, sf_dir)
+    copies = base.filter(F.col("asset_id") < 60).select(
+        (F.col("asset_id") + 500000).alias("asset_id"),
+        F.concat(
+            F.lit(bytes([126])), F.expr("substring(payload, 2)")
+        ).alias("payload"),
+    )
+    mid = base.agg((F.max("asset_id") / 2).cast("long")).first()[0] or 0
+    parts = [
+        base.filter(F.col("asset_id") <= mid),
+        base.filter(F.col("asset_id") > mid),
+        copies.filter(F.col("asset_id") <= 500000 + 30),
+        copies.filter(F.col("asset_id") > 500000 + 30),
+    ]
+    work = tempfile.mkdtemp(prefix="mlwss_neardupstream_")
+    stage = f"{work}/stage"
+    stage_ordered_files(parts, stage)
+    idx_dir, out_dir = f"{work}/band_index", f"{work}/detections"
+    sink = near_dup_ingest_sink(spark, idx_dir, out_dir)
     stream = (
         spark.readStream.schema("asset_id bigint, payload binary")
         .option("maxFilesPerTrigger", 1)

@@ -172,3 +172,87 @@ def test_packer_cursor_survives_query_restart(spark, tmp_path):
     assert got == expect
     assert got[10] == 0   # joined the chunk life 1 left open (450 + 50)
     assert got[11] == 1   # 400 would overflow 512 -> new chunk
+
+
+def test_near_dup_ingest_index_survives_restart(spark, tmp_path):
+    """The perceptual-ingest band index across a query restart: pass 1
+    indexes the originals, the query dies, pass 2 arrives on the SAME
+    checkpoint with a near-copy of a pass-1 asset. The committed pass-1
+    batches must not reprocess (their batch_id partitions stay as
+    written), and the pass-2 probe must still find the pass-1 original
+    through the durable index."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from machine_learning_with_spark_streaming_spark.operators.codecs import (
+        near_dup_ingest_sink,
+    )
+
+    stage = str(tmp_path / "stage")
+    ckpt = str(tmp_path / "ckpt")
+    idx_dir = str(tmp_path / "band_index")
+    out_dir = str(tmp_path / "detections")
+    os.makedirs(stage)
+
+    base = bytes(range(10, 74))
+
+    def afile(idx, rows):
+        tbl = pa.table(
+            {
+                "asset_id": pa.array([r[0] for r in rows], pa.int64()),
+                "payload": pa.array([r[1] for r in rows], pa.binary()),
+            }
+        )
+        p = os.path.join(stage, f"a{idx:03d}.parquet")
+        pq2.write_table(tbl, p)
+        t = time.time() - 1000 + idx
+        os.utime(p, (t, t))
+
+    sink = near_dup_ingest_sink(spark, idx_dir, out_dir)
+
+    def run():
+        q = (
+            spark.readStream.schema("asset_id bigint, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # pass 1: two unrelated originals
+    afile(0, [(1, base)])
+    afile(1, [(2, bytes(reversed(base)))])
+    run()
+    dets = lambda: {  # noqa: E731
+        (r.asset_id, r.match_id)
+        for r in spark.read.schema(
+            "asset_id long, match_id long, hamming int, batch_id long"
+        ).parquet(out_dir).collect()
+    }
+    assert dets() == set()
+    idx_after_p1 = (
+        spark.read.schema(
+            "asset_id long, dhash long, band int, val long, batch_id long"
+        ).parquet(idx_dir).count()
+    )
+    assert idx_after_p1 == 8  # 2 assets x 4 bands
+
+    # query died; pass 2 arrives: a one-pixel edit of asset 1
+    afile(2, [(3, bytes([126]) + base[1:])])
+    run()
+    # cross-restart detection through the durable index
+    assert dets() == {(3, 1)}
+    # committed pass-1 batches did not reprocess: index grew by exactly
+    # the new asset's bands
+    idx_after_p2 = (
+        spark.read.schema(
+            "asset_id long, dhash long, band int, val long, batch_id long"
+        ).parquet(idx_dir).count()
+    )
+    assert idx_after_p2 == 12
