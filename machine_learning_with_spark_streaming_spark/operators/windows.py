@@ -471,3 +471,90 @@ def q_scd2_ranges(spark, sf_dir):
         "n_snapshots",
         "is_current",
     ).orderBy("custkey", "valid_from")
+
+
+# ------------------------------- W8: exact running distinct per key
+
+def cumulative_distinct(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    dim_col: str,
+) -> DataFrame:
+    """Exact running count of DISTINCT ``dim_col`` values per key over
+    event time — "how many different products has this customer ever
+    ordered, as of each day". ``count(distinct) OVER`` is unsupported
+    (Spark AND most engines), and the naive fix — a set per window — is
+    O(n²) memory. The scalable identity: a dim value contributes 1
+    exactly at its FIRST occurrence per key, so mark firsts with one
+    ``row_number`` over (key, dim), then a cumulative SUM of the marks
+    over (key, time) — two windows sharing key-partitioned sorts,
+    no sets, no rescans. Ties in ``ts`` resolve by ``dim_col`` so both
+    engines mark the same row first.
+
+    Callers must feed DISTINCT ``(key, ts, dim)`` rows: with exact
+    duplicates the (ts, dim) order no longer totally orders the
+    partition, and which duplicate carries the +1 is engine-dependent —
+    the registered query pre-distincts for exactly this reason."""
+    w_first = Window.partitionBy(key_col, dim_col).orderBy(ts_col, dim_col)
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, dim_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = df.withColumn(
+        "is_first", (F.row_number().over(w_first) == 1).cast("long")
+    )
+    return marked.withColumn(
+        "distinct_so_far", F.sum("is_first").over(w_cum).cast("long")
+    )
+
+
+_W8_ORACLE = """
+WITH src AS (
+  SELECT DISTINCT o_custkey, o_orderdate, o_orderpriority
+  FROM orders WHERE o_custkey < 200
+),
+marked AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority,
+         CASE WHEN row_number() OVER (
+             PARTITION BY o_custkey, o_orderpriority
+             ORDER BY o_orderdate, o_orderpriority
+           ) = 1 THEN 1 ELSE 0 END AS is_first
+  FROM src
+)
+SELECT CAST(o_custkey AS BIGINT) AS custkey,
+       CAST(o_orderdate AS VARCHAR) AS order_ts,
+       o_orderpriority AS priority,
+       CAST(sum(is_first) OVER (
+         PARTITION BY o_custkey
+         ORDER BY o_orderdate, o_orderpriority
+         ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS distinct_so_far
+FROM marked
+ORDER BY 1, 2, 3
+"""
+
+
+@register("w8_cumulative_distinct", oracle=_W8_ORACLE)
+def q_cumulative_distinct(spark, sf_dir):
+    """Running distinct order-priority count per customer — the exact
+    windowed-distinct identity (first-occurrence mark + cumulative
+    sum) that replaces the unsupported count(distinct) OVER."""
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .select("o_custkey", "o_orderdate", "o_orderpriority")
+        .distinct()
+    )
+    out = cumulative_distinct(
+        orders, "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    return out.select(
+        F.col("o_custkey").cast("long").alias("custkey"),
+        F.col("o_orderdate").cast("string").alias("order_ts"),
+        F.col("o_orderpriority").alias("priority"),
+        "distinct_so_far",
+    ).orderBy("custkey", "order_ts", "priority")
