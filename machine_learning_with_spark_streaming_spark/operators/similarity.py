@@ -997,3 +997,73 @@ def q_ann_serving_stream(spark, sf_dir):
     res = spark.read.parquet(out_dir).localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return res.orderBy("query_id", "rank")
+
+
+# --------------------------- PCA projection (frozen principal axes)
+
+def pca_project_nano(vec_col: str = "embedding"):
+    """Column list projecting an embedding onto the frozen principal
+    axes (functions/pca_artifacts.py), one BIGINT nano-unit column per
+    component. Mean-center then dot each axis as an explicitly ordered
+    64-term sum of exactly-widened doubles — the PQ-LUT determinism
+    recipe — and floor to integer nano BEFORE anything downstream, so
+    the output hashes identically on any engine. Map-only: the
+    dimensionality-reduction front of an ANN/clustering pipeline (64 ->
+    4 dims ahead of index build) with zero shuffle."""
+    from machine_learning_with_spark_streaming_spark.functions.pca_artifacts import (
+        PCA_COMPONENTS,
+        PCA_MEAN,
+    )
+
+    cols = []
+    for j, comp in enumerate(PCA_COMPONENTS):
+        term = None
+        for i, (m, c) in enumerate(zip(PCA_MEAN, comp)):
+            t = (
+                F.element_at(as_double_array(vec_col), i + 1) - F.lit(m)
+            ) * F.lit(c)
+            term = t if term is None else term + t
+        cols.append(
+            F.floor(term * 1_000_000_000).cast("long").alias(f"pc{j}_nano")
+        )
+    return cols
+
+
+def _pca_proj_sql() -> str:
+    from machine_learning_with_spark_streaming_spark.functions.pca_artifacts import (
+        PCA_COMPONENTS,
+        PCA_MEAN,
+    )
+
+    outs = []
+    for j, comp in enumerate(PCA_COMPONENTS):
+        terms = " + ".join(
+            f"(emb[{i + 1}] - {m!r}) * {c!r}"
+            for i, (m, c) in enumerate(zip(PCA_MEAN, comp))
+        )
+        outs.append(
+            f"CAST(floor(({terms}) * 1000000000) AS BIGINT) AS pc{j}_nano"
+        )
+    return ",\n       ".join(outs)
+
+
+_PCA_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       {_pca_proj_sql()}
+FROM v ORDER BY vec_id
+"""
+
+
+@register("emb_pca_project", oracle=_PCA_ORACLE)
+def q_pca_project(spark, sf_dir):
+    """Every embedding projected onto the frozen top-4 principal axes
+    in exact integer nano-units — the 16x dimensionality cut that rides
+    in front of index builds, certified value-exact cross-engine."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"), *pca_project_nano()
+    ).orderBy("vec_id")
