@@ -1067,3 +1067,69 @@ def q_pca_project(spark, sf_dir):
     return emb.select(
         F.col("vec_id").cast("long").alias("vec_id"), *pca_project_nano()
     ).orderBy("vec_id")
+
+
+_PCA_TOPK_K = 10
+_PCA_QUERY_ID = 0
+
+
+_PCA_TOPK_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+p AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         {_pca_proj_sql()}
+  FROM v
+),
+q AS (SELECT * FROM p WHERE vec_id = {_PCA_QUERY_ID}),
+scored AS (
+  SELECT p.vec_id,
+         (p.pc0_nano - q.pc0_nano) * (p.pc0_nano - q.pc0_nano)
+         + (p.pc1_nano - q.pc1_nano) * (p.pc1_nano - q.pc1_nano)
+         + (p.pc2_nano - q.pc2_nano) * (p.pc2_nano - q.pc2_nano)
+         + (p.pc3_nano - q.pc3_nano) * (p.pc3_nano - q.pc3_nano) AS d2
+  FROM p, q WHERE p.vec_id <> {_PCA_QUERY_ID}
+)
+SELECT CAST(row_number() OVER (ORDER BY d2, vec_id) AS INT) AS rank,
+       CAST(vec_id AS BIGINT) AS neighbor_id,
+       CAST(d2 AS VARCHAR) AS d2_nano2
+FROM scored ORDER BY d2, vec_id LIMIT {_PCA_TOPK_K}
+"""
+
+
+@register("sim_pca_topk", oracle=_PCA_TOPK_ORACLE)
+def q_pca_topk(spark, sf_dir):
+    """Reduced-space ANN serving: top-10 neighbors of vec_id 0 by L2
+    distance in the frozen 4-dim PCA space — candidate generation that
+    scans 4 BIGINTs per vector instead of 64 floats (the 16x cheaper
+    first stage ahead of an exact re-rank). Distances are sums of
+    squared integer nanos (can exceed BIGINT at extreme coordinates, so
+    both engines carry them exact and emit as string — decimal(38,0) /
+    HUGEINT)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    p = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"), *pca_project_nano()
+    )
+    q = p.filter(F.col("vec_id") == _PCA_QUERY_ID).select(
+        *[F.col(f"pc{j}_nano").alias(f"q{j}") for j in range(4)]
+    )
+    d2 = None
+    for j in range(4):
+        t = (F.col(f"pc{j}_nano") - F.col(f"q{j}")).cast("decimal(38,0)")
+        sq = t * t
+        d2 = sq if d2 is None else d2 + sq
+    scored = (
+        p.filter(F.col("vec_id") != _PCA_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", d2.cast("decimal(38,0)").alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(_PCA_TOPK_K)
+    )
+    w = Window.orderBy("d2", "vec_id")
+    return scored.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("d2").cast("string").alias("d2_nano2"),
+    )
