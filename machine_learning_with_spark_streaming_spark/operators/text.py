@@ -2397,3 +2397,119 @@ def q_llm_data_prep_v3(spark, sf_dir):
         )
         .orderBy("source", "shard")
     )
+
+
+# -------------------------------------------------- BM25 lexical retrieval
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ["hash", "join", "vector", "quantize"]
+BM25_TOP_K = 10
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = BM25_TOP_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 lexical retrieval (Robertson/Lucene idf form:
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``) — the sparse leg of the RAG
+    family next to dense cosine (`sim_rag_retrieve`), IVF/PQ, and the
+    PCA cut; hybrid retrieval is this score fused with the dense one.
+
+    Shape at scale: one exploded pass feeds per-doc term counts; the
+    per-TERM df table for the handful of query terms and the 1-row
+    (N, avgdl) aggregate both broadcast — the per-doc work is a few
+    arithmetic ops on (tf, dl), then TakeOrdered(k). Nothing
+    corpus-global but the two tiny broadcast aggregates. Same
+    float discipline as tf-idf/unigram scoring: identical expression
+    trees on identical inputs, score rounded to 6 dp on output."""
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.explode(words(text_col)).alias("w")
+    ).filter(F.col("w") != "")
+    dl = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.array_contains(terms, F.col("w")))
+        .groupBy("__id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(dl, "__id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "part",
+            F.col("idf")
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + BM25_K1
+                * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    scored = contrib.groupBy("__id").agg(F.sum("part").alias("score"))
+    return (
+        scored.orderBy(F.desc("score"), "__id")
+        .limit(k)
+        .select(
+            F.col("__id").alias(id_col),
+            F.round("score", 6).alias("bm25"),
+        )
+    )
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_WS}) AS w FROM documents
+),
+tk AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tk
+  WHERE w IN ({terms}) GROUP BY 1, 2
+),
+dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (tf.tf * ({BM25_K1} + 1))
+         / (tf.tf + {BM25_K1}
+            * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)) AS part
+  FROM tf
+  JOIN dfreq USING (w)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+scored AS (SELECT doc_id, sum(part) AS score FROM contrib GROUP BY 1)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS bm25
+FROM scored ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}
+"""
+
+
+@register("text_bm25_topk", oracle=_bm25_oracle())
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 documents for a fixed 4-term query over the corpus
+    — the sparse-retrieval leg beside the dense/quantized ANN family."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, BM25_QUERY_TERMS).orderBy(
+        F.desc("bm25"), "doc_id"
+    )
