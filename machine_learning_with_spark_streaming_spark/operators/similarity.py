@@ -598,17 +598,11 @@ def hashed_chunk_embeddings(chunks: DataFrame) -> DataFrame:
     )
 
 
-def rag_index_topk(
-    docs: DataFrame, query: str = RAG_QUERY, k: int = RAG_TOP_K
-) -> DataFrame:
-    """End-to-end RAG indexing + retrieval with zero model dependency:
-    chunk documents (certified windowing), embed each chunk with the
-    hashing trick, embed the query text the same way, rank by cosine.
-
-    Scale shape: the chunk index (one groupBy) is the only corpus-sized
-    shuffle; the query embedding is broadcast, the dot product touches
-    only chunks sharing a bucket with the query, and the final top-k is
-    a TakeOrdered, never a global sort."""
+def _rag_chunk_scored(docs: DataFrame, query: str):
+    """Shared chunk-scoring front of the RAG index: returns
+    ``(scored, cemb)`` where ``scored`` is (doc_id, chunk_idx, cos) for
+    EVERY chunk and ``cemb`` is the persisted chunk index the caller
+    must unpersist."""
     from machine_learning_with_spark_streaming_spark.operators.text import chunk_token_table
 
     spark = docs.sparkSession
@@ -644,6 +638,21 @@ def rag_index_topk(
             .alias("cos"),
         )
     )
+    return scored, cemb
+
+
+def rag_index_topk(
+    docs: DataFrame, query: str = RAG_QUERY, k: int = RAG_TOP_K
+) -> DataFrame:
+    """End-to-end RAG indexing + retrieval with zero model dependency:
+    chunk documents (certified windowing), embed each chunk with the
+    hashing trick, embed the query text the same way, rank by cosine.
+
+    Scale shape: the chunk index (one groupBy) is the only corpus-sized
+    shuffle; the query embedding is broadcast, the dot product touches
+    only chunks sharing a bucket with the query, and the final top-k is
+    a TakeOrdered, never a global sort."""
+    scored, cemb = _rag_chunk_scored(docs, query)
     top = scored.orderBy(F.desc("cos"), "doc_id", "chunk_idx").limit(k)
     # benign global window: ranks only the k post-limit survivors (the
     # no-partition WindowExec warning refers to this k-row relation)
@@ -666,8 +675,9 @@ from machine_learning_with_spark_streaming_spark.operators.text import (  # noqa
 _H60 = "('0x' || substr(md5({w}), 1, 15))::BIGINT"
 _RAG_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
-_RAG_INDEX_ORACLE = f"""
-WITH w AS (SELECT doc_id, string_split({_RAG_NORM}, ' ') AS ws FROM documents),
+#: chunk-scoring CTEs shared by the index oracle and the hybrid-fusion
+#: oracle; ends at ``scored`` = (doc_id, chunk_idx, cos).
+_RAG_SCORE_CTES = f"""w AS (SELECT doc_id, string_split({_RAG_NORM}, ' ') AS ws FROM documents),
 st AS (
   SELECT doc_id, ws, g.s AS start
   FROM w, LATERAL (
@@ -710,7 +720,11 @@ scored AS (
          CAST(coalesce(d.dot, 0) AS DOUBLE) / (c.cn * q.qn) AS cos
   FROM cn c LEFT JOIN dotp d USING (doc_id, chunk_idx), qn q
   WHERE c.cn > 0
-),
+)"""
+
+
+_RAG_INDEX_ORACLE = f"""
+WITH {_RAG_SCORE_CTES},
 top AS (
   SELECT * FROM scored ORDER BY cos DESC, doc_id, chunk_idx LIMIT {RAG_TOP_K}
 )
@@ -1132,4 +1146,115 @@ def q_pca_topk(spark, sf_dir):
         F.row_number().over(w).cast("int").alias("rank"),
         F.col("vec_id").alias("neighbor_id"),
         F.col("d2").cast("string").alias("d2_nano2"),
+    )
+
+
+# --------------------- hybrid retrieval: dense + BM25, RRF fusion
+
+HYBRID_POOL = 20
+HYBRID_RRF_C = 60
+HYBRID_TOP_K = 10
+
+
+def _hybrid_bm25_ctes() -> str:
+    terms = ", ".join(f"'{t}'" for t in RAG_QUERY.split())
+    return f"""
+tk AS (
+  SELECT doc_id, u.w FROM (
+    SELECT doc_id, string_split({_RAG_NORM}, ' ') AS ws FROM documents
+  ), LATERAL (SELECT unnest(ws) AS w) u
+  WHERE u.w <> ''
+),
+dlen AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+bstats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dlen),
+btf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tk
+  WHERE w IN ({terms}) GROUP BY 1, 2
+),
+bdf AS (SELECT w, count(*) AS df FROM btf GROUP BY 1),
+bcontrib AS (
+  SELECT btf.doc_id,
+         ln(1.0 + (bstats.n_docs - bdf.df + 0.5) / (bdf.df + 0.5))
+         * (btf.tf * (1.2 + 1))
+         / (btf.tf + 1.2 * (1 - 0.75 + 0.75 * dlen.dl / bstats.avgdl)) AS part
+  FROM btf JOIN bdf USING (w) JOIN dlen USING (doc_id) CROSS JOIN bstats
+),
+bscored AS (SELECT doc_id, round(sum(part), 6) AS bm25 FROM bcontrib GROUP BY 1),
+srank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS sr
+  FROM bscored QUALIFY sr <= {HYBRID_POOL}
+)"""
+
+
+_HYBRID_ORACLE = f"""
+WITH {_RAG_SCORE_CTES},
+ddoc AS (SELECT doc_id, round(max(cos), 6) AS dcos FROM scored GROUP BY 1),
+drank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY dcos DESC, doc_id) AS dr
+  FROM ddoc QUALIFY dr <= {HYBRID_POOL}
+),
+{_hybrid_bm25_ctes().lstrip()},
+fused AS (
+  SELECT coalesce(d.doc_id, s.doc_id) AS doc_id, d.dr, s.sr,
+         coalesce(1.0 / ({HYBRID_RRF_C} + d.dr), 0)
+         + coalesce(1.0 / ({HYBRID_RRF_C} + s.sr), 0) AS rrf
+  FROM drank d FULL JOIN srank s ON d.doc_id = s.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(dr AS INT) AS dense_rank,
+       CAST(sr AS INT) AS sparse_rank,
+       round(rrf, 6) AS rrf
+FROM fused
+ORDER BY rrf DESC, doc_id LIMIT {HYBRID_TOP_K}
+"""
+
+
+@register("pipeline_hybrid_retrieve", oracle=_HYBRID_ORACLE)
+def q_hybrid_retrieve(spark, sf_dir):
+    """Hybrid retrieval for the RAG query: dense leg = best-chunk
+    hashed-embedding cosine per doc, sparse leg = BM25 over the same
+    normalized tokens, fused by reciprocal-rank fusion
+    (``1/(60+rank)``, the parameter-free standard). Each leg
+    contributes its top-20 pool; a doc missing from one pool simply
+    lacks that term (NULL rank). RRF is the production answer to
+    "neither embeddings nor keywords win everywhere" — and it composes
+    two already-certified rankings, so the fusion itself is the only
+    new surface."""
+    from machine_learning_with_spark_streaming_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored, cemb = _rag_chunk_scored(docs, RAG_QUERY)
+    ddoc = scored.groupBy("doc_id").agg(
+        F.round(F.max("cos"), 6).alias("dcos")
+    )
+    wd = Window.orderBy(F.desc("dcos"), "doc_id")
+    drank = (
+        ddoc.withColumn("dr", F.row_number().over(wd))
+        .filter(F.col("dr") <= HYBRID_POOL)
+        .select("doc_id", "dr")
+        .localCheckpoint(eager=True)  # 20 rows; frees the chunk index
+    )
+    cemb.unpersist()
+    sparse = bm25_topk(docs, RAG_QUERY.split(), k=HYBRID_POOL)
+    ws = Window.orderBy(F.desc("bm25"), "doc_id")
+    srank = sparse.withColumn("sr", F.row_number().over(ws)).select(
+        "doc_id", "sr"
+    )
+    fused = (
+        drank.join(srank, "doc_id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.coalesce(1.0 / (HYBRID_RRF_C + F.col("dr")), F.lit(0.0))
+            + F.coalesce(1.0 / (HYBRID_RRF_C + F.col("sr")), F.lit(0.0)),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), "doc_id")
+        .limit(HYBRID_TOP_K)
+        .select(
+            "doc_id",
+            F.col("dr").cast("int").alias("dense_rank"),
+            F.col("sr").cast("int").alias("sparse_rank"),
+            F.round("rrf", 6).alias("rrf"),
+        )
     )
