@@ -1227,10 +1227,14 @@ def q_hybrid_retrieve(spark, sf_dir):
     ddoc = scored.groupBy("doc_id").agg(
         F.round(F.max("cos"), 6).alias("dcos")
     )
+    # TakeOrdered cut FIRST (distributed top-k), then the benign global
+    # window ranks only the 20 survivors — ranking the corpus-sized
+    # ddoc through a single-partition window is exactly the shape the
+    # registry plan audit rejects (and it caught this one in review)
+    dtop = ddoc.orderBy(F.desc("dcos"), "doc_id").limit(HYBRID_POOL)
     wd = Window.orderBy(F.desc("dcos"), "doc_id")
     drank = (
-        ddoc.withColumn("dr", F.row_number().over(wd))
-        .filter(F.col("dr") <= HYBRID_POOL)
+        dtop.withColumn("dr", F.row_number().over(wd))
         .select("doc_id", "dr")
         .localCheckpoint(eager=True)  # 20 rows; frees the chunk index
     )

@@ -74,6 +74,10 @@ DOUBLE_OUTPUT_ALLOWLIST = {
     "j5_two_pass_factor": ["converted_qty"],
     "j9_compare_join": ["delta", "rev_1994", "rev_1995"],
     "k5_compaction": ["total_qty"],
+    # r5: ln-based BM25 score and the 1/(60+rank) RRF sum, both
+    # rounded to 6 dp and swept green at sf0.1 --shuffle 5
+    "text_bm25_topk": ["bm25"],
+    "pipeline_hybrid_retrieve": ["rrf"],
     "mm_decode_bmp": ["mean_pixel"],
     "mm_decode_wav": ["mean_abs_sample"],
     "mm_extract_features": ["mean_byte"],
