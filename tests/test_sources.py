@@ -621,3 +621,40 @@ def test_smtp_transport_sends_one_summary_message(spark):
                 )
         finally:
             srv.shutdown()
+
+
+def test_manifest_detects_row_loss_and_duplication(spark, tmp_path):
+    """K9 integrity contract: the manifest validator passes on the
+    intact table and fails when a row is lost OR duplicated — the
+    order-independent checksum moves either way, which a plain row
+    count alone would miss for a paired lose-one-duplicate-one
+    corruption."""
+    from machine_learning_with_spark_streaming_spark.sources.maintenance import (
+        validate_manifest,
+        write_with_manifest,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    path = str(tmp_path / "t")
+    write_with_manifest(df, path, "k")
+    *_, ok = validate_manifest(spark, path, "k")
+    assert ok
+
+    # corruption 1: drop a row (count AND checksum both move)
+    broken = spark.read.parquet(path).filter("k <> 7")
+    broken.write.mode("overwrite").parquet(str(tmp_path / "b1"))
+    import shutil
+
+    shutil.copytree(f"{path}_manifest", str(tmp_path / "b1_manifest"))
+    n, c, mn, mc, ok1 = validate_manifest(spark, str(tmp_path / "b1"), "k")
+    assert not ok1 and n == mn - 1
+
+    # corruption 2: same COUNT, different rows (drop 7, duplicate 8) —
+    # only the checksum catches it
+    b2 = spark.read.parquet(path).filter("k <> 7").unionAll(
+        spark.createDataFrame([(8,)], "k long")
+    )
+    b2.write.mode("overwrite").parquet(str(tmp_path / "b2"))
+    shutil.copytree(f"{path}_manifest", str(tmp_path / "b2_manifest"))
+    n2, c2, mn2, mc2, ok2 = validate_manifest(spark, str(tmp_path / "b2"), "k")
+    assert n2 == mn2 and not ok2 and c2 != mc2
