@@ -1007,14 +1007,23 @@ def near_dup_ingest_sink(spark, idx_dir: str, out_dir: str):
         sigs = bmp_dhash_signatures(batch_df).localCheckpoint(eager=True)
         bands = dhash_bands(sigs, DHASH_BANDS, DHASH_BAND_BITS)
         # explicit schema: before the first batch the partitioned dir
-        # holds no files, so inference would fail
-        index = ss.read.schema(_NEAR_DUP_IDX_SCHEMA).parquet(idx_dir)
+        # holds no files, so inference would fail. The probe EXCLUDES
+        # this batch's own partition (a crash-retried batch would
+        # otherwise see its own half-written bands) and keeps only
+        # strictly-earlier assets (ingest order is ascending ids), so a
+        # retry can never self-pair or double-report.
+        index = (
+            ss.read.schema(_NEAR_DUP_IDX_SCHEMA)
+            .parquet(idx_dir)
+            .filter(F.col("batch_id") != batch_id)
+        )
         cross = (
             bands.alias("n")
             .join(
                 index.alias("o"),
                 (F.col("n.band") == F.col("o.band"))
-                & (F.col("n.val") == F.col("o.val")),
+                & (F.col("n.val") == F.col("o.val"))
+                & (F.col("o.asset_id") < F.col("n.asset_id")),
             )
             .select(
                 F.col("o.asset_id").alias("asset_a"),
@@ -1053,6 +1062,7 @@ def near_dup_ingest_sink(spark, idx_dir: str, out_dir: str):
             .join(
                 sigs.unionByName(
                     ss.read.schema(_NEAR_DUP_IDX_SCHEMA).parquet(idx_dir)
+                    .filter(F.col("batch_id") != batch_id)
                     .select("asset_id", "dhash")
                     .distinct()
                 ).alias("s2"),

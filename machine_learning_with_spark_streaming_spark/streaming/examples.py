@@ -853,9 +853,17 @@ def q_incremental_dedup_stream(spark, sf_dir):
         hashed = batch_df.select(
             "doc_id", F.xxhash64(normalize_text("text")).alias("h")
         )
-        # keep-first within the batch, then against the accumulated base
+        # keep-first within the batch, then against the accumulated base.
+        # The base read EXCLUDES this batch's own partition: a
+        # crash-retried batch would otherwise anti-join against its own
+        # half-written hashes, conclude everything is a duplicate, and
+        # overwrite its partitions with nothing — losing the rows.
         firsts = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-        base = ss.read.schema("h long, batch_id long").parquet(fp_dir)
+        base = (
+            ss.read.schema("h long, batch_id long")
+            .parquet(fp_dir)
+            .filter(F.col("batch_id") != batch_id)
+        )
         new = firsts.join(base, "h", "left_anti").localCheckpoint(eager=True)
         # exactly-once: per-batch partitions + dynamic overwrite, so a
         # crash-retried batch replaces its own rows instead of

@@ -256,3 +256,19 @@ def test_near_dup_ingest_index_survives_restart(spark, tmp_path):
         ).parquet(idx_dir).count()
     )
     assert idx_after_p2 == 12
+
+    # crash-retry idempotence: re-invoking the sink for an ALREADY
+    # WRITTEN batch (the write-succeeded/commit-lost failure mode) must
+    # reproduce identical detections — the probe excludes the batch's
+    # own partition, so it neither self-pairs nor double-reports
+    batch2 = spark.createDataFrame(
+        [(3, bytes([126]) + base[1:])], "asset_id long, payload binary"
+    )
+    sink(batch2, 2)
+    assert dets() == {(3, 1)}
+    assert (
+        spark.read.schema(
+            "asset_id long, dhash long, band int, val long, batch_id long"
+        ).parquet(idx_dir).count()
+        == 12
+    )
