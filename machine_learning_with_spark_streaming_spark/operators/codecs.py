@@ -989,13 +989,22 @@ def near_dup_ingest_sink(spark, idx_dir: str, out_dir: str):
     """Build the perceptual-ingest foreachBatch sink: initializes the
     (empty, partitioned) band-index and detections dirs and returns the
     per-batch function. Shared by the registered 4-batch run and the
-    checkpoint-restart test."""
-    spark.createDataFrame([], _NEAR_DUP_IDX_SCHEMA).write.partitionBy(
-        "batch_id"
-    ).parquet(idx_dir)
-    spark.createDataFrame([], _NEAR_DUP_OUT_SCHEMA).write.partitionBy(
-        "batch_id"
-    ).parquet(out_dir)
+    checkpoint-restart test.
+
+    Initialization only runs when a dir doesn't exist yet: a real
+    restart (new process, existing checkpoint + data dirs) must be able
+    to re-invoke the factory without an errorifexists throw — and must
+    NOT overwrite, which would wipe the accumulated band index."""
+    import os as _os
+
+    if not _os.path.isdir(idx_dir):
+        spark.createDataFrame([], _NEAR_DUP_IDX_SCHEMA).write.partitionBy(
+            "batch_id"
+        ).parquet(idx_dir)
+    if not _os.path.isdir(out_dir):
+        spark.createDataFrame([], _NEAR_DUP_OUT_SCHEMA).write.partitionBy(
+            "batch_id"
+        ).parquet(out_dir)
 
     def sink(batch_df, batch_id):
         # exactly-once: both sinks write into their own batch_id=N

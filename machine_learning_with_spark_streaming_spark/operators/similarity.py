@@ -1099,11 +1099,15 @@ p AS (
 ),
 q AS (SELECT * FROM p WHERE vec_id = {_PCA_QUERY_ID}),
 scored AS (
+  -- each difference is cast to HUGEINT BEFORE squaring: DuckDB does
+  -- not auto-promote BIGINT arithmetic (it errors on overflow), and
+  -- four squared nano terms can exceed 2^63 — this genuinely matches
+  -- the decimal(38,0) carry on the Spark side
   SELECT p.vec_id,
-         (p.pc0_nano - q.pc0_nano) * (p.pc0_nano - q.pc0_nano)
-         + (p.pc1_nano - q.pc1_nano) * (p.pc1_nano - q.pc1_nano)
-         + (p.pc2_nano - q.pc2_nano) * (p.pc2_nano - q.pc2_nano)
-         + (p.pc3_nano - q.pc3_nano) * (p.pc3_nano - q.pc3_nano) AS d2
+         CAST(p.pc0_nano - q.pc0_nano AS HUGEINT) * CAST(p.pc0_nano - q.pc0_nano AS HUGEINT)
+         + CAST(p.pc1_nano - q.pc1_nano AS HUGEINT) * CAST(p.pc1_nano - q.pc1_nano AS HUGEINT)
+         + CAST(p.pc2_nano - q.pc2_nano AS HUGEINT) * CAST(p.pc2_nano - q.pc2_nano AS HUGEINT)
+         + CAST(p.pc3_nano - q.pc3_nano AS HUGEINT) * CAST(p.pc3_nano - q.pc3_nano AS HUGEINT) AS d2
   FROM p, q WHERE p.vec_id <> {_PCA_QUERY_ID}
 )
 SELECT CAST(row_number() OVER (ORDER BY d2, vec_id) AS INT) AS rank,

@@ -2463,14 +2463,17 @@ def bm25_topk(
             ),
         )
     )
-    scored = contrib.groupBy("__id").agg(F.sum("part").alias("score"))
+    scored = contrib.groupBy("__id").agg(
+        F.round(F.sum("part"), 6).alias("bm25")
+    )
+    # the top-k cut keys on the 6-dp ROUNDED score (like the dense
+    # leg's dcos cut): both engines then select the pool on the same
+    # key, so a boundary pair whose unrounded scores differ only past
+    # 6 dp can never flip pool membership cross-engine
     return (
-        scored.orderBy(F.desc("score"), "__id")
+        scored.orderBy(F.desc("bm25"), "__id")
         .limit(k)
-        .select(
-            F.col("__id").alias(id_col),
-            F.round("score", 6).alias("bm25"),
-        )
+        .select(F.col("__id").alias(id_col), "bm25")
     )
 
 
@@ -2499,9 +2502,9 @@ contrib AS (
   JOIN dl USING (doc_id)
   CROSS JOIN stats
 ),
-scored AS (SELECT doc_id, sum(part) AS score FROM contrib GROUP BY 1)
-SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS bm25
-FROM scored ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}
+scored AS (SELECT doc_id, round(sum(part), 6) AS bm25 FROM contrib GROUP BY 1)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, bm25
+FROM scored ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP_K}
 """
 
 

@@ -243,7 +243,11 @@ def test_near_dup_ingest_index_survives_restart(spark, tmp_path):
     )
     assert idx_after_p1 == 8  # 2 assets x 4 bands
 
-    # query died; pass 2 arrives: a one-pixel edit of asset 1
+    # query died; pass 2 arrives: a one-pixel edit of asset 1. A real
+    # restart is a NEW process, so the factory is re-invoked against the
+    # existing dirs — it must neither throw (errorifexists) nor wipe the
+    # accumulated band index (overwrite).
+    sink = near_dup_ingest_sink(spark, idx_dir, out_dir)
     afile(2, [(3, bytes([126]) + base[1:])])
     run()
     # cross-restart detection through the durable index

@@ -243,9 +243,16 @@ def stream_stress(spark, dst: str, files_per_trigger: list[int]) -> dict:
             "micro_batches": n_batches,
             "chunk_rows": out.count(),
         }
-        # trigger-granularity invariance: identical chunk assignment
+        # trigger-granularity invariance: identical chunk assignment.
+        # A mismatch is a cursor regression — fail the run, don't just
+        # record it (EXPLAIN.md documents this as an assertion).
         if last_chunks is not None and chunks != last_chunks:
             results[f"fpt={fpt}"]["MISMATCH"] = True
+            print(json.dumps(results))
+            raise AssertionError(
+                f"trigger-granularity invariance violated at fpt={fpt}: "
+                f"{len(chunks ^ last_chunks)} differing chunk rows"
+            )
         last_chunks = chunks
         spark.catalog.dropTempView(sink)
     shutil.rmtree(work, ignore_errors=True)
