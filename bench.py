@@ -147,6 +147,15 @@ EXTENDED += [
     "r6_linear_interpolate",
     "pipeline_llm_data_prep_v3",
 ]
+# round-6 additions (first-baselined this round)
+EXTENDED += [
+    "r7_ohlc_resample",
+    "text_word_entropy",
+    "v15_k_anonymity_gate",
+    "emb_truncate_renorm",
+    "s19_hive_partitioned_roundtrip",
+    "s11_late_data_stream",
+]
 
 
 def _sf_from_dir(path: str) -> float:

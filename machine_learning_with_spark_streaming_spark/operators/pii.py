@@ -139,3 +139,81 @@ def q_pii_redact(spark, sf_dir):
         *[f"n_{k}" for k in PII_PATTERNS],
         F.md5(redact_pii("text")).alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+# ----------------------------------------- k-anonymity release gate
+
+K_ANON_K = 10
+_SUPPRESSED = "suppressed"
+
+
+def k_anonymity_gate(
+    df: DataFrame, quasi_cols: list[str], k: int = K_ANON_K
+) -> DataFrame:
+    """Privacy release gate: quasi-identifier groups with fewer than
+    ``k`` members are withheld from the release and rolled into one
+    accounting row — the k-anonymity rule every dataset-export /
+    datasheet step applies before row-level statistics leave the
+    pipeline (companion to the pii_redact scrub on free text).
+
+    Scale shape: one groupBy on the quasi-identifier tuple (partial
+    aggregation, no window), then a tiny two-row-ish aggregate of the
+    suppressed remainder unioned on. Nothing global, nothing driver-side."""
+    grouped = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    released = grouped.filter(F.col("n_rows") >= k).withColumn(
+        "verdict", F.lit("released")
+    )
+    suppressed = (
+        grouped.filter(F.col("n_rows") < k)
+        .agg(
+            F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_rows"),
+            F.count(F.lit(1)).alias("n_groups"),
+        )
+        .select(
+            *[F.lit(None).cast(grouped.schema[c].dataType).alias(c)
+              for c in quasi_cols],
+            "n_rows",
+            F.lit(_SUPPRESSED).alias("verdict"),
+            "n_groups",
+        )
+    )
+    return released.withColumn("n_groups", F.lit(1)).unionByName(suppressed)
+
+
+_K_ANON_ORACLE = f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000.0) AS INT) AS bal_bucket,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM customer GROUP BY 1, 2, 3
+),
+rel AS (
+  SELECT c_nationkey, c_mktsegment, bal_bucket, n_rows,
+         'released' AS verdict, CAST(1 AS BIGINT) AS n_groups
+  FROM g WHERE n_rows >= {K_ANON_K}
+),
+sup AS (
+  SELECT CAST(NULL AS INT) AS c_nationkey, CAST(NULL AS VARCHAR) AS c_mktsegment,
+         CAST(NULL AS INT) AS bal_bucket,
+         CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS n_rows,
+         '{_SUPPRESSED}' AS verdict, CAST(count(*) AS BIGINT) AS n_groups
+  FROM g WHERE n_rows < {K_ANON_K}
+)
+SELECT * FROM rel UNION ALL SELECT * FROM sup
+ORDER BY verdict, c_nationkey, c_mktsegment, bal_bucket
+"""
+
+
+@register("v15_k_anonymity_gate", oracle=_K_ANON_ORACLE)
+def q_k_anonymity_gate(spark, sf_dir):
+    """k=10 anonymity gate over customers keyed by (nation, market
+    segment, $1000 balance bucket): released groups in full detail,
+    the sub-k remainder as one suppressed accounting row."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("bal_bucket"),
+    )
+    return k_anonymity_gate(
+        cust, ["c_nationkey", "c_mktsegment", "bal_bucket"]
+    ).orderBy("verdict", "c_nationkey", "c_mktsegment", "bal_bucket")

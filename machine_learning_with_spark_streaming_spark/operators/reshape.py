@@ -403,3 +403,83 @@ def q_gap_fill_interpolate(spark, sf_dir):
     return gap_fill_interpolate(ev, "user_id", "ts", "value").orderBy(
         "user_id", "day"
     )
+
+
+# ------------------------------------------------ R7: OHLC time resample
+
+def ohlc_resample(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "hour",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-bucket resample with bar semantics: per (key, bucket) the
+    first/max/min/last value plus count and sum — the OHLC shape every
+    monitoring/market pipeline computes, generalizing the reference's
+    month-grain snapshots (myConversionsClass.py:468-504) to arbitrary
+    event time grains.
+
+    Scale shape: first/last are resolved by two row_number windows
+    partitioned on the SAME (key, bucket) keys the final groupBy uses,
+    so Catalyst reuses one hash partitioning across all three — a
+    single shuffle, no self-joins, no min_by/arg_min engine-specific
+    tie behavior (ties break on the id column, deterministic
+    cross-engine)."""
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start")
+    base = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(F.col(key), b, F.col(ts_col), F.col(id_col), F.col(value_col))
+    )
+    w_asc = Window.partitionBy(key, "bucket_start").orderBy(ts_col, id_col)
+    w_desc = Window.partitionBy(key, "bucket_start").orderBy(
+        F.col(ts_col).desc(), F.col(id_col).desc()
+    )
+    marked = base.withColumn("__ra", F.row_number().over(w_asc)).withColumn(
+        "__rd", F.row_number().over(w_desc)
+    )
+    return marked.groupBy(key, "bucket_start").agg(
+        F.max(F.when(F.col("__ra") == 1, F.col(value_col))).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max(F.when(F.col("__rd") == 1, F.col(value_col))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.round(F.sum(value_col), 6) + F.lit(0.0)).alias("value_sum"),
+    )
+
+
+_OHLC_ORACLE = """
+WITH base AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_start, ts, event_id,
+         value
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+marked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, bucket_start
+                            ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY event_type, bucket_start
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM base
+)
+SELECT event_type, bucket_start,
+       max(CASE WHEN ra = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rd = 1 THEN value END) AS close,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) + 0.0 AS value_sum
+FROM marked GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("r7_ohlc_resample", oracle=_OHLC_ORACLE)
+def q_ohlc_resample(spark, sf_dir):
+    """R7: hourly OHLC bars per event type over the events table —
+    open/high/low/close plus count and 6-dp sum, ties broken on
+    event_id so both engines pick identical first/last rows."""
+    ev = load_table(spark, sf_dir, "events")
+    return ohlc_resample(ev, "event_type", "ts", "value").orderBy(
+        "event_type", "bucket_start"
+    )

@@ -1266,3 +1266,71 @@ def q_hybrid_retrieve(spark, sf_dir):
             F.round("rrf", 6).alias("rrf"),
         )
     )
+
+
+# ------------------------- matryoshka truncation + renormalization
+
+MRL_DIMS = 16
+
+
+def truncate_renormalize(
+    df: DataFrame, dims: int = MRL_DIMS, vec_col: str = "embedding"
+) -> DataFrame:
+    """Matryoshka-style dimensionality cut: keep the first ``dims``
+    coordinates of each embedding and L2-renormalize the prefix — the
+    standard cheap-retrieval trick for MRL-trained encoders (a 4x
+    shorter vector whose cosine approximates the full one). Emits the
+    prefix norm, the retained-energy ratio ``||prefix||^2/||full||^2``
+    (the quality dial: how much of the vector's mass the cut keeps),
+    and the renormalized-prefix checksum ``sum(prefix)/||prefix||``.
+
+    Map-only: per-row array arithmetic inside codegen, no shuffle, no
+    Python — the 100 TB shape is "read, slice, write"."""
+    dv = as_double_array(vec_col)
+    pre = F.slice(dv, 1, dims)
+    ss = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda a, x: a + x * x
+    )
+    pn = F.sqrt(ss(pre))
+    return df.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        (F.round(pn, 6) + F.lit(0.0)).alias("prefix_norm"),
+        (F.round(ss(pre) / ss(dv), 6) + F.lit(0.0)).alias("energy_ratio"),
+        (
+            F.round(
+                F.when(
+                    pn > 0,
+                    F.aggregate(pre, F.lit(0.0), lambda a, x: a + x) / pn,
+                ).otherwise(F.lit(0.0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("renorm_checksum"),
+    )
+
+
+_MRL_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         list_transform(embedding[1:{MRL_DIMS}],
+                        x -> CAST(x AS DOUBLE)) AS pre
+  FROM embeddings
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       round(sqrt(list_dot_product(pre, pre)), 6) + 0.0 AS prefix_norm,
+       round(list_dot_product(pre, pre) / list_dot_product(emb, emb), 6)
+         + 0.0 AS energy_ratio,
+       round(CASE WHEN sqrt(list_dot_product(pre, pre)) > 0
+                  THEN list_sum(pre) / sqrt(list_dot_product(pre, pre))
+                  ELSE 0.0 END, 6) + 0.0 AS renorm_checksum
+FROM v ORDER BY 1
+"""
+
+
+@register("emb_truncate_renorm", oracle=_MRL_ORACLE)
+def q_truncate_renorm(spark, sf_dir):
+    """Matryoshka 64->16 truncate + renormalize over the embeddings
+    table: prefix norm, retained-energy ratio, renormalized checksum."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return truncate_renormalize(emb).orderBy("vec_id")

@@ -2516,3 +2516,74 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(docs, BM25_QUERY_TERMS).orderBy(
         F.desc("bm25"), "doc_id"
     )
+
+
+# --------------------------------------- word-distribution entropy
+
+def word_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the word distribution plus the
+    distinct-word ratio — the curation signal that separates natural
+    prose (high entropy) from template/spam/keyword-stuffed text (low
+    entropy, low distinct ratio); the information-theoretic complement
+    to the surface `text_repetition` ratios.
+
+    Scale shape: explode -> (doc, word) count -> per-doc agg. Two
+    shuffles on the same doc-keyed layout, partial aggregation
+    everywhere, no windows, no Python. Entropy is
+    ``-sum((c/n) * ln(c/n))`` over the per-word counts ``c`` of an
+    ``n``-word doc; docs with no words drop out (no distribution to
+    score) in both engines identically."""
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.explode(words(text_col)).alias("w")
+    ).filter(F.col("w") != "")
+    wc = toks.groupBy("__id", "w").agg(F.count(F.lit(1)).alias("c"))
+    p = F.col("c") / F.col("n")
+    return (
+        wc.withColumn("n", F.sum("c").over(Window.partitionBy("__id")))
+        .groupBy("__id", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            (F.round(-F.sum(p * F.log(p)), 6) + F.lit(0.0)).alias("entropy"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("n").alias("n_words"),
+            "n_distinct",
+            "entropy",
+            (F.round(F.col("n_distinct") / F.col("n"), 6) + F.lit(0.0)).alias(
+                "distinct_ratio"
+            ),
+        )
+    )
+
+
+_ENTROPY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_WS}) AS w FROM documents
+),
+tk AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+wc AS (SELECT doc_id, w, count(*) AS c FROM tk GROUP BY 1, 2),
+wn AS (
+  SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM wc
+),
+agg AS (
+  SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) + 0.0 AS entropy
+  FROM wn GROUP BY doc_id, n
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_words, n_distinct, entropy,
+       round(n_distinct * 1.0 / n_words, 6) + 0.0 AS distinct_ratio
+FROM agg ORDER BY 1
+"""
+
+
+@register("text_word_entropy", oracle=_ENTROPY_ORACLE)
+def q_word_entropy(spark, sf_dir):
+    """Per-doc word-distribution entropy + distinct ratio over the
+    corpus — low-entropy documents are the template/spam tail a
+    training-data filter cuts."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return word_entropy(docs).orderBy("doc_id")

@@ -698,3 +698,58 @@ def q_k9_manifest_sink(spark, sf_dir):
         [(mn, mc, bool(ok))],
         "n_rows long, key_checksum string, manifest_ok boolean",
     )
+
+
+# -------------------------------------- S19: hive-partitioned layout
+
+_S19_ORACLE = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("s19_hive_partitioned_roundtrip", oracle=_S19_ORACLE)
+def q_hive_partitioned_roundtrip(spark, sf_dir):
+    """Hive-partitioned lake layout: write a scratch clone of ``orders``
+    partitioned by ``o_orderpriority`` (directory-encoded values), read
+    it back with a partition-key predicate, and aggregate monthly. The
+    oracle recomputes from the unpartitioned source, so the comparison
+    certifies the partitioned write/read round-trip loses and leaks
+    nothing across partition boundaries.
+
+    Scale shape: the predicate prunes at PLANNING time — only the
+    ``o_orderpriority=1-URGENT`` directory is listed and scanned, the
+    other four partitions contribute zero I/O (asserted on the physical
+    plan in tests/test_sources_more.py). This is the layout that turns
+    a 100 TB full scan into a per-priority scan.
+
+    Revenue is summed as exact per-row integer cents (o_totalprice has
+    2 dp), so the aggregate is order-independent cross-engine."""
+    import tempfile
+
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    tbl = os.path.join(tempfile.mkdtemp(prefix="mlwss_s19_"), "orders_part")
+    load_table(spark, sf_dir, "orders").write.partitionBy(
+        "o_orderpriority"
+    ).parquet(tbl)
+    part = spark.read.parquet(tbl).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        part.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("order_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+        .orderBy("order_month")
+    )

@@ -965,3 +965,145 @@ def q_session_window_stream(spark, sf_dir):
     return mem.select(
         "user_id", "session_start", "n_events", "value_sum"
     ).orderBy("user_id", "session_start")
+
+
+# ------------------------------- watermark late-data drop, certified
+
+_LATE_DELAY_HOURS = 1
+_LATE_MOD = 97
+
+_LATE_STREAM_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, ts, event_type, value,
+         (CASE WHEN day(ts) <= 8 THEN 0 WHEN day(ts) <= 15 THEN 1
+               WHEN day(ts) <= 22 THEN 2 ELSE 3 END)
+         + (CASE WHEN event_id % {_LATE_MOD} = 0 AND day(ts) <= 15
+                 THEN 2 ELSE 0 END) AS b
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+bmax AS (SELECT b, max(ts) AS mx FROM e GROUP BY b),
+-- Spark's late filter in micro-batch k uses the watermark IN EFFECT
+-- DURING batch k-1 (i.e. max event time over batches 0..k-2, minus the
+-- delay) — one batch staler than the eviction watermark. Verified
+-- empirically; see the query docstring.
+wm AS (
+  SELECT b,
+         max(mx) OVER (ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+           - INTERVAL {_LATE_DELAY_HOURS} HOUR AS filter_wm
+  FROM bmax
+),
+kept AS (
+  SELECT e.ts, e.event_type, e.value
+  FROM e JOIN wm USING (b)
+  WHERE filter_wm IS NULL
+     OR date_trunc('hour', ts) + INTERVAL 1 HOUR > filter_wm
+)
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) + 0.0 AS value_sum
+FROM kept GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("s11_late_data_stream", oracle=_LATE_STREAM_ORACLE)
+def q_late_data_stream(spark, sf_dir):
+    """Watermark late-drop semantics as a REAL multi-micro-batch run,
+    certified against an oracle that models Spark's exact drop rule.
+
+    The events table streams in four deterministic micro-batches (one
+    per ~week of event time, so ingest is approximately time-ordered
+    like a real feed), except rows with ``event_id % 97 == 0`` arrive
+    TWO batches late. A 1-hour watermark over 1-hour tumbling windows
+    then genuinely drops the stragglers whose window fell behind.
+
+    Empirically pinned Spark semantics the oracle encodes (probed on
+    this exact build; tests/test_streaming_late.py re-asserts it):
+
+    - the watermark in effect during batch k is ``max(event time over
+      batches 0..k-1) - delay`` and drives state EVICTION / append
+      emission;
+    - the LATE-ROW FILTER in batch k uses the one-batch-STALER value
+      (batches 0..k-2) — a late row merging into a window evicted in
+      the same batch still counts;
+    - a final empty micro-batch applies the last watermark advance
+      under ``availableNow``.
+
+    Two trailing flush rows (+10h/+20h, ``__flush`` type, excluded from
+    output) force every real window past the final watermark so append
+    mode emits the complete set regardless of the empty-batch behavior.
+    No timestamp in the testdata lands exactly on an hour, so boundary
+    strictness (``<`` vs ``<=``) cannot bite."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select("event_id", "ts", "event_type", "value")
+    )
+    day = F.dayofmonth("ts")
+    b = (
+        F.when(day <= 8, 0)
+        .when(day <= 15, 1)
+        .when(day <= 22, 2)
+        .otherwise(3)
+        + F.when(
+            (F.col("event_id") % _LATE_MOD == 0) & (day <= 15), 2
+        ).otherwise(0)
+    )
+    tagged = ev.withColumn("__b", b).localCheckpoint(eager=True)
+    mx = tagged.agg(F.max("ts")).collect()[0][0]  # 1-row bounded scalar
+    import datetime as _dt
+
+    def _flush(hours: int):
+        return spark.createDataFrame(
+            [(-1 * hours, mx + _dt.timedelta(hours=hours), "__flush", 0.0)],
+            "event_id long, ts timestamp, event_type string, value double",
+        )
+
+    parts = [
+        tagged.filter(F.col("__b") == i).drop("__b") for i in range(4)
+    ] + [_flush(10), _flush(20)]
+    work = tempfile.mkdtemp(prefix="mlwss_late_")
+    stage = stage_ordered_files(parts, f"{work}/stage")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    agg = (
+        stream.withWatermark("ts", f"{_LATE_DELAY_HOURS} hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.round(F.sum("value"), 6) + F.lit(0.0)).alias("value_sum"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+    sink = f"late_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    mem = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    shutil.rmtree(work, ignore_errors=True)
+    return mem.filter(F.col("event_type") != "__flush").orderBy(
+        "window_start", "event_type"
+    )

@@ -147,6 +147,12 @@ DOUBLE_OUTPUT_ALLOWLIST = {
     "w3_max_per_group": ["l_quantity"],
     "w5_first_nonzero": ["first_rate"],
     "w6_rolling_7d": ["roll_sum_7d"],
+    # r6: raw parquet doubles (no arithmetic) for OHLC; 6-dp-rounded
+    # sums/ratios elsewhere, swept green at sf0.1 --shuffle 5
+    "r7_ohlc_resample": ["close", "high", "low", "open", "value_sum"],
+    "text_word_entropy": ["distinct_ratio", "entropy"],
+    "emb_truncate_renorm": ["energy_ratio", "prefix_norm", "renorm_checksum"],
+    "s11_late_data_stream": ["value_sum"],
 }
 
 

@@ -1,0 +1,119 @@
+"""Semantic unit tests for the round-6 operators (OHLC resample,
+word entropy, k-anonymity gate, matryoshka truncate+renorm, hive
+partition pruning). Cross-engine value certification is verify_all's
+job; these pin the operator semantics on tiny controlled inputs."""
+
+import math
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def test_ohlc_resample_bar_semantics(spark):
+    from machine_learning_with_spark_streaming_spark.operators.reshape import ohlc_resample
+
+    t = lambda m, s=0: datetime(2024, 1, 1, 10, m, s)  # noqa: E731
+    rows = [
+        # (key, ts, id, value) — one hourly bucket for key "a"
+        ("a", t(5), 1, 3.0),    # open (earliest ts)
+        ("a", t(30), 2, 9.0),   # high
+        ("a", t(40), 3, 1.0),   # low
+        ("a", t(59), 4, 5.0),   # close (latest ts)
+        # same-ts tie: event_id breaks it deterministically
+        ("b", t(0), 10, 2.0),   # open (tie on ts, lower id)
+        ("b", t(0), 11, 7.0),
+        ("b", t(50), 12, 4.0),  # close
+        # null value rows are excluded
+        ("b", t(55), 13, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    out = {
+        r.event_type: r
+        for r in ohlc_resample(df, "event_type", "ts", "value").collect()
+    }
+    a, b = out["a"], out["b"]
+    assert (a.open, a.high, a.low, a.close, a.n_events) == (3.0, 9.0, 1.0, 5.0, 4)
+    assert a.value_sum == 18.0
+    assert (b.open, b.close, b.n_events) == (2.0, 4.0, 3)
+
+
+def test_word_entropy_values(spark):
+    from machine_learning_with_spark_streaming_spark.operators.text import word_entropy
+
+    rows = [
+        (1, "spam spam spam spam"),        # one word: entropy 0
+        (2, "alpha beta gamma delta"),     # uniform 4: ln(4)
+        (3, "  "),                         # no words: drops out
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in word_entropy(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].entropy == 0.0
+    assert got[1].n_words == 4 and got[1].n_distinct == 1
+    assert got[1].distinct_ratio == 0.25
+    assert abs(got[2].entropy - round(math.log(4), 6)) < 1e-9
+    assert got[2].distinct_ratio == 1.0
+
+
+def test_k_anonymity_gate_suppresses_small_groups(spark):
+    from machine_learning_with_spark_streaming_spark.operators.pii import k_anonymity_gate
+
+    rows = [("us", "A")] * 5 + [("us", "B")] * 2 + [("de", "A")] * 1
+    df = spark.createDataFrame(rows, "country string, seg string")
+    out = k_anonymity_gate(df, ["country", "seg"], k=3).collect()
+    rel = [r for r in out if r.verdict == "released"]
+    sup = [r for r in out if r.verdict == "suppressed"]
+    assert len(rel) == 1 and (rel[0].country, rel[0].seg, rel[0].n_rows) == (
+        "us", "A", 5,
+    )
+    assert len(sup) == 1
+    assert sup[0].country is None and sup[0].seg is None
+    assert (sup[0].n_rows, sup[0].n_groups) == (3, 2)  # 2 + 1 rows, 2 groups
+
+    # all-released edge: the suppressed accounting row is still emitted
+    out2 = k_anonymity_gate(df, ["country", "seg"], k=1).collect()
+    sup2 = [r for r in out2 if r.verdict == "suppressed"]
+    assert len(sup2) == 1 and (sup2[0].n_rows, sup2[0].n_groups) == (0, 0)
+
+
+def test_truncate_renormalize_known_vectors(spark):
+    from machine_learning_with_spark_streaming_spark.operators.similarity import (
+        truncate_renormalize,
+    )
+
+    v_ones = [1.0] * 16 + [0.0] * 48     # prefix norm 4, all energy kept
+    v_tail = [0.0] * 16 + [2.0] * 48     # zero prefix: guarded checksum
+    df = spark.createDataFrame(
+        [(1, v_ones), (2, v_tail)], "vec_id long, embedding array<float>"
+    )
+    got = {r.vec_id: r for r in truncate_renormalize(df).collect()}
+    assert got[1].prefix_norm == 4.0
+    assert got[1].energy_ratio == 1.0
+    assert got[1].renorm_checksum == 4.0  # sum 16 / norm 4
+    assert got[2].prefix_norm == 0.0
+    assert got[2].energy_ratio == 0.0
+    assert got[2].renorm_checksum == 0.0  # zero-norm guard
+
+
+def test_hive_partitioned_scan_prunes(spark, sf_dir, tmp_path):
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    tbl = str(tmp_path / "orders_part")
+    load_table(spark, sf_dir, "orders").write.partitionBy(
+        "o_orderpriority"
+    ).parquet(tbl)
+    part = spark.read.parquet(tbl).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    # the partition predicate prunes at planning time, it is not a
+    # post-scan data filter
+    assert "PartitionFilters" in plan
+    assert "o_orderpriority" in plan.split("PartitionFilters")[1].split("]")[0]
+    # pruned read returns exactly the partition's rows
+    n_all = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).count()
+    assert part.count() == n_all
