@@ -155,6 +155,8 @@ EXTENDED += [
     "emb_truncate_renorm",
     "s19_hive_partitioned_roundtrip",
     "s11_late_data_stream",
+    "v16_referential_integrity",
+    "s20_malformed_jsonl",
 ]
 
 

@@ -1143,3 +1143,124 @@ def q_grand_total_scalar(spark, sf_dir):
         .cast("long")
         .alias("price_cents_total"),
     )
+
+
+# ----------------------------------- V16: referential-integrity report
+
+def fk_orphan_report(
+    pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Cross-table referential-integrity suite: for each
+    ``(name, child, child_key, parent, parent_key)`` relationship,
+    one report row ``(fk_name, n_child_rows, n_orphan_rows,
+    n_orphan_keys, passed)`` — the FK companion to the single-table
+    ``constraint_report`` (together they are the Deequ-style gate the
+    reference runs as require-columns + row-count SQL checks,
+    pipeline/lib.py:196-202, datavalidation.py).
+
+    Scale shape per FK: the child collapses to DISTINCT keys with
+    per-key row counts FIRST (partial aggregation — the join moves
+    keys, never child rows), then a left-anti join against the
+    parent's distinct keys finds orphans. Small parents broadcast
+    automatically under AQE; the one-row summaries union driver-free.
+    NULL child keys count as orphan rows (they reference nothing) but
+    not as orphan keys."""
+    outs = []
+    for name, child, ckey, parent, pkey in pairs:
+        ck = child.groupBy(F.col(ckey).alias("__k")).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        pk = parent.select(F.col(pkey).alias("__k")).distinct()
+        orphans = ck.filter(F.col("__k").isNotNull()).join(
+            pk, "__k", "left_anti"
+        )
+        null_rows = ck.filter(F.col("__k").isNull()).agg(
+            F.coalesce(F.sum("__c"), F.lit(0)).alias("__nullc")
+        )
+        summary = (
+            orphans.agg(
+                F.coalesce(F.sum("__c"), F.lit(0)).alias("__orc"),
+                F.count(F.lit(1)).alias("n_orphan_keys"),
+            )
+            .crossJoin(ck.agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("n_child_rows")))
+            .crossJoin(null_rows)
+            .select(
+                F.lit(name).alias("fk_name"),
+                F.col("n_child_rows").cast("long").alias("n_child_rows"),
+                (F.col("__orc") + F.col("__nullc"))
+                .cast("long")
+                .alias("n_orphan_rows"),
+                F.col("n_orphan_keys").cast("long").alias("n_orphan_keys"),
+                ((F.col("__orc") + F.col("__nullc")) == 0).alias("passed"),
+            )
+        )
+        outs.append(summary)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+_V16_ORACLE = """
+WITH rel AS (
+  SELECT 'customer_nation' AS fk_name,
+         (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_child_rows,
+         (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM (
+            SELECT c_nationkey AS k, count(*) AS cnt FROM customer GROUP BY 1
+          ) WHERE k IS NULL OR k NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL)) AS n_orphan_rows,
+         (SELECT CAST(count(*) AS BIGINT) FROM (
+            SELECT DISTINCT c_nationkey AS k FROM customer WHERE c_nationkey IS NOT NULL
+          ) WHERE k NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL)) AS n_orphan_keys
+  UNION ALL
+  SELECT 'events_user_customer',
+         (SELECT CAST(count(*) AS BIGINT) FROM events),
+         (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM (
+            SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1
+          ) WHERE k IS NULL OR k NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)),
+         (SELECT CAST(count(*) AS BIGINT) FROM (
+            SELECT DISTINCT user_id AS k FROM events WHERE user_id IS NOT NULL
+          ) WHERE k NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))
+  UNION ALL
+  SELECT 'lineitem_orders',
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+         (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM (
+            SELECT l_orderkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1
+          ) WHERE k IS NULL OR k NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)),
+         (SELECT CAST(count(*) AS BIGINT) FROM (
+            SELECT DISTINCT l_orderkey AS k FROM lineitem WHERE l_orderkey IS NOT NULL
+          ) WHERE k NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL))
+  UNION ALL
+  SELECT 'orders_customer',
+         (SELECT CAST(count(*) AS BIGINT) FROM orders),
+         (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM (
+            SELECT o_custkey AS k, count(*) AS cnt FROM orders GROUP BY 1
+          ) WHERE k IS NULL OR k NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)),
+         (SELECT CAST(count(*) AS BIGINT) FROM (
+            SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL
+          ) WHERE k NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))
+)
+SELECT fk_name, n_child_rows, n_orphan_rows, n_orphan_keys,
+       n_orphan_rows = 0 AS passed
+FROM rel ORDER BY fk_name
+"""
+
+
+@register("v16_referential_integrity", oracle=_V16_ORACLE)
+def q_referential_integrity(spark, sf_dir):
+    """FK-orphan report over four relationships: the three intact
+    TPC-H chains (lineitem->orders->customer->nation) plus the
+    deliberately-broken events.user_id->customer.c_custkey mapping,
+    so both the all-pass and the orphan-counting paths run."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    ev = load_table(spark, sf_dir, "events")
+    return fk_orphan_report(
+        [
+            ("customer_nation", cu, "c_nationkey", na, "n_nationkey"),
+            ("events_user_customer", ev, "user_id", cu, "c_custkey"),
+            ("lineitem_orders", li, "l_orderkey", od, "o_orderkey"),
+            ("orders_customer", od, "o_custkey", cu, "c_custkey"),
+        ]
+    ).orderBy("fk_name")

@@ -753,3 +753,55 @@ def q_hive_partitioned_roundtrip(spark, sf_dir):
         )
         .orderBy("order_month")
     )
+
+
+# ----------------------------- S20: malformed-JSONL tolerant ingest
+
+_MALFORMED_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "fixtures",
+    "malformed_feed.jsonl",
+)
+
+_S20_ORACLE = f"""
+WITH j AS (
+  SELECT * FROM read_json('{_MALFORMED_FIXTURE}',
+    columns = {{id: 'BIGINT', qty: 'DOUBLE', tag: 'VARCHAR'}},
+    format = 'newline_delimited', ignore_errors = true)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(id) AS BIGINT) AS n_good,
+       CAST(count(*) - count(id) AS BIGINT) AS n_corrupt,
+       CAST(sum(CAST(round(qty * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+       CAST(count(DISTINCT tag) AS BIGINT) AS n_tags
+FROM j
+"""
+
+
+@register("s20_malformed_jsonl", oracle=_S20_ORACLE)
+def q_malformed_jsonl(spark, sf_dir):
+    """Tolerant JSONL ingest over a committed fixture with broken
+    lines: PERMISSIVE mode + ``columnNameOfCorruptRecord`` keeps the
+    pipeline running and ACCOUNTS for every bad line instead of
+    failing the job or silently dropping rows — the ingest-robustness
+    contract a crawl-dump reader needs (the K8 side-output's parser
+    sibling). DuckDB's ``ignore_errors`` materializes bad lines as
+    all-NULL rows, so both engines agree line-for-line on what parsed
+    (verified: 12 lines, 8 good, corrupt rows carry no field values);
+    the comparison certifies the good/corrupt split and that corrupt
+    lines contribute nothing to the aggregates. qty is summed as exact
+    integer cents."""
+    df = (
+        spark.read.schema("id long, qty double, tag string, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(_MALFORMED_FIXTURE)
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count("id").alias("n_good"),
+        (F.count(F.lit(1)) - F.count("id")).alias("n_corrupt"),
+        F.sum(F.round(F.col("qty") * 100).cast("long")).alias("qty_cents"),
+        F.countDistinct("tag").alias("n_tags"),
+    )

@@ -117,3 +117,33 @@ def test_hive_partitioned_scan_prunes(spark, sf_dir, tmp_path):
         F.col("o_orderpriority") == "1-URGENT"
     ).count()
     assert part.count() == n_all
+
+
+def test_fk_orphan_report_counts(spark):
+    from machine_learning_with_spark_streaming_spark.operators.validation import fk_orphan_report
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (99,), (None,)], "k long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "p long")
+    out = fk_orphan_report([("rel", child, "k", parent, "p")]).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 99 (x2 rows) is an orphan key; the NULL row counts as an orphan
+    # row but not an orphan key
+    assert (r.n_child_rows, r.n_orphan_rows, r.n_orphan_keys, r.passed) == (
+        6, 3, 1, False,
+    )
+
+    clean = spark.createDataFrame([(1,), (2,)], "k long")
+    r2 = fk_orphan_report([("ok", clean, "k", parent, "p")]).collect()[0]
+    assert (r2.n_orphan_rows, r2.n_orphan_keys, r2.passed) == (0, 0, True)
+
+
+def test_malformed_jsonl_accounting(spark):
+    import __spark_entry__ as E
+
+    r = E.queries()["s20_malformed_jsonl"](spark, "unused").collect()[0]
+    assert (r.n_lines, r.n_good, r.n_corrupt) == (12, 8, 4)
+    assert r.qty_cents == 4125  # corrupt lines contribute nothing
+    assert r.n_tags == 4
