@@ -157,6 +157,7 @@ EXTENDED += [
     "s11_late_data_stream",
     "v16_referential_integrity",
     "s20_malformed_jsonl",
+    "w9_time_weighted_avg",
 ]
 
 

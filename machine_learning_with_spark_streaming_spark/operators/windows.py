@@ -558,3 +558,79 @@ def q_cumulative_distinct(spark, sf_dir):
         F.col("o_orderpriority").alias("priority"),
         "distinct_so_far",
     ).orderBy("custkey", "order_ts", "priority")
+
+
+# ------------------------------------ W9: time-weighted average (TWAP)
+
+def time_weighted_avg(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-(key, day) time-weighted average: each observation holds its
+    value until the next one (step function), the last one until
+    midnight — the TWAP/duration-weighted mean that a plain ``avg``
+    gets wrong whenever sampling is irregular (the standard
+    market-data / sensor downsample next to r7's OHLC bars).
+
+    Durations are exact integer microseconds (epoch-µs differences), so
+    the only float arithmetic is the value x weight products — summed
+    per small (key, day) group and rounded 6 dp, the certified-safe
+    pattern. One shuffle: the lead window and the groupBy share the
+    (key, day) hash partitioning."""
+    d = F.to_date(ts_col).alias("day")
+    base = df.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(key), d, F.col(ts_col), F.col(id_col), F.col(value_col))
+    w = Window.partitionBy(key, "day").orderBy(ts_col, id_col)
+    day_end = F.unix_micros(
+        (F.col("day") + F.expr("INTERVAL 1 DAY")).cast("timestamp")
+    )
+    dur = F.coalesce(
+        F.unix_micros(F.lead(ts_col).over(w)), day_end
+    ) - F.unix_micros(F.col(ts_col))
+    stepped = base.withColumn("__dur_us", dur)
+    return stepped.groupBy(key, "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.round(
+                F.sum(F.col(value_col) * F.col("__dur_us"))
+                / F.sum("__dur_us"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("twap"),
+    )
+
+
+_TWAP_ORACLE = """
+WITH base AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id, value
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+stepped AS (
+  SELECT event_type, day, value,
+         coalesce(
+           epoch_us(lead(ts) OVER (PARTITION BY event_type, day
+                                   ORDER BY ts, event_id)),
+           epoch_us(CAST(day + INTERVAL 1 DAY AS TIMESTAMP))
+         ) - epoch_us(ts) AS dur_us
+  FROM base
+)
+SELECT event_type, day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value * dur_us) / sum(dur_us), 6) + 0.0 AS twap
+FROM stepped GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("w9_time_weighted_avg", oracle=_TWAP_ORACLE)
+def q_time_weighted_avg(spark, sf_dir):
+    """Daily TWAP per event type over the events table — exact integer
+    microsecond durations, last observation carried to midnight."""
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(ev, "event_type", "ts", "value").orderBy(
+        "event_type", "day"
+    )

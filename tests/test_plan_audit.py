@@ -153,6 +153,7 @@ DOUBLE_OUTPUT_ALLOWLIST = {
     "text_word_entropy": ["distinct_ratio", "entropy"],
     "emb_truncate_renorm": ["energy_ratio", "prefix_norm", "renorm_checksum"],
     "s11_late_data_stream": ["value_sum"],
+    "w9_time_weighted_avg": ["twap"],
 }
 
 

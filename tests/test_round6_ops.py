@@ -147,3 +147,27 @@ def test_malformed_jsonl_accounting(spark):
     assert (r.n_lines, r.n_good, r.n_corrupt) == (12, 8, 4)
     assert r.qty_cents == 4125  # corrupt lines contribute nothing
     assert r.n_tags == 4
+
+
+def test_time_weighted_avg_step_function(spark):
+    from machine_learning_with_spark_streaming_spark.operators.windows import time_weighted_avg
+
+    t = lambda h: datetime(2024, 3, 1, h, 0)  # noqa: E731
+    rows = [
+        # value 10 holds 06:00-18:00 (12h), value 30 holds 18:00-24:00
+        # (6h): twap = (10*12 + 30*6)/18 = 16.666667
+        ("a", t(6), 1, 10.0),
+        ("a", t(18), 2, 30.0),
+        # single observation holds to midnight: twap = its value
+        ("b", t(12), 3, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    got = {
+        r.event_type: r
+        for r in time_weighted_avg(df, "event_type", "ts", "value").collect()
+    }
+    assert got["a"].twap == 16.666667
+    assert got["a"].n_events == 2
+    assert got["b"].twap == 5.0
