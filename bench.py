@@ -158,6 +158,8 @@ EXTENDED += [
     "v16_referential_integrity",
     "s20_malformed_jsonl",
     "w9_time_weighted_avg",
+    "sim_binary_hamming_topk",
+    "a18_cube_grouping",
 ]
 
 

@@ -467,3 +467,52 @@ def q_equi_width_histogram(spark, sf_dir):
         (F.col("bin_min") + 0.0).alias("bin_min"),
         (F.col("bin_max") + 0.0).alias("bin_max"),
     ).orderBy("bin")
+
+
+# --------------------------------------- A18: CUBE with grouping flags
+
+_A18_ORACLE = """
+SELECT c_mktsegment,
+       CAST(c_nationkey AS INT) AS c_nationkey,
+       CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+       CAST(GROUPING(c_nationkey) AS INT) AS g_nat,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS bal_cents
+FROM customer
+GROUP BY CUBE (c_mktsegment, c_nationkey)
+ORDER BY g_seg, g_nat, c_mktsegment, c_nationkey
+"""
+
+
+@register("a18_cube_grouping", oracle=_A18_ORACLE)
+def q_cube_grouping(spark, sf_dir):
+    """A18: full CUBE over (segment, nation) with explicit per-column
+    GROUPING flags — the all-margins companion to a5's rollup /
+    grouping-sets (every slice, both one-way margins, and the grand
+    total in ONE pass with partial aggregation; at scale this is 4
+    grouping sets sharing a single shuffle instead of 4 scans).
+    Balances are summed as exact per-row integer cents, so every
+    margin is order-independent cross-engine. Per-column flags rather
+    than grouping_id() keep the bit-order convention out of the
+    contract."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("__cents"),
+    )
+    return (
+        cust.cube("c_mktsegment", "c_nationkey")
+        .agg(
+            # grouping() is only resolvable inside the cube aggregate
+            F.grouping("c_mktsegment").cast("int").alias("g_seg"),
+            F.grouping("c_nationkey").cast("int").alias("g_nat"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__cents").alias("bal_cents"),
+        )
+        .select(
+            "c_mktsegment", "c_nationkey", "g_seg", "g_nat",
+            "n_rows", "bal_cents",
+        )
+        .orderBy("g_seg", "g_nat", "c_mktsegment", "c_nationkey")
+    )

@@ -1334,3 +1334,118 @@ def q_truncate_renorm(spark, sf_dir):
     table: prefix norm, retained-energy ratio, renormalized checksum."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return truncate_renormalize(emb).orderBy("vec_id")
+
+
+# -------------------------- 1-bit (sign) binarization + Hamming top-k
+
+BIN_N_QUERIES = 4
+BIN_TOP_K = 10
+
+
+def sign_binarize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """1-bit quantization: the sign bit of each of the 64 coordinates,
+    packed into two 32-bit halves carried as BIGINTs (no 1<<63 sign
+    games in either engine). The extreme end of the quantization ladder
+    (float -> int8 -> PQ -> 1 bit): 16 bytes of vector become 8, and
+    similarity becomes two XOR+popcount ops — the cheapest possible
+    candidate generator in front of an exact re-rank.
+
+    Map-only; the packed signature is what shuffles, never the floats."""
+
+    def pack(offset: int) -> F.Column:
+        # SQL lambda: the Python F.shiftleft signature only takes a
+        # literal bit count, but the SQL function accepts the lambda's
+        # index variable
+        return F.expr(
+            f"aggregate(transform(slice({vec_col}, {offset + 1}, 32),"
+            " (x, i) -> IF(CAST(x AS DOUBLE) >= 0.0D,"
+            " shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),"
+            " CAST(0 AS BIGINT), (a, b) -> a + b)"
+        )
+
+    return df.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        pack(0).alias("sig_lo"),
+        pack(32).alias("sig_hi"),
+    )
+
+
+def hamming_topk(
+    corpus_sig: DataFrame, query_sig: DataFrame, k: int = BIN_TOP_K
+) -> DataFrame:
+    """Top-k by Hamming distance over packed sign signatures: broadcast
+    the (small) query set, two xor+bit_count per candidate, per-query
+    rank. Integer-only output — nothing to round."""
+    q = query_sig.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig_lo").alias("q_lo"),
+        F.col("sig_hi").alias("q_hi"),
+    )
+    scored = (
+        corpus_sig.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("sig_lo").bitwiseXOR(F.col("q_lo")))
+                + F.bit_count(F.col("sig_hi").bitwiseXOR(F.col("q_hi")))
+            ).alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )
+
+
+_BINARY_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, g.i AS i, embedding[g.i] AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+),
+sig AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN i <= 32 AND x >= 0
+                       THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END) AS BIGINT) AS lo,
+         CAST(sum(CASE WHEN i > 32 AND x >= 0
+                       THEN CAST(1 AS BIGINT) << (i - 33) ELSE 0 END) AS BIGINT) AS hi
+  FROM ex GROUP BY 1
+),
+q AS (SELECT * FROM sig WHERE vec_id < {BIN_N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)) AS ham
+  FROM q, sig c WHERE c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, ham,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ham, neighbor_id) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id, CAST(ham AS INT) AS hamming
+FROM ranked WHERE rank <= {BIN_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("sim_binary_hamming_topk", oracle=_BINARY_ORACLE)
+def q_binary_hamming_topk(spark, sf_dir):
+    """Hamming top-10 for the first 4 vectors over sign-binarized
+    embeddings — the 1-bit end of the quantization ladder, certified
+    bit-exact (integer-only output)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sig = sign_binarize(emb)
+    return hamming_topk(sig, sig.filter(F.col("vec_id") < BIN_N_QUERIES)).orderBy(
+        "query_id", "rank"
+    )

@@ -171,3 +171,48 @@ def test_time_weighted_avg_step_function(spark):
     assert got["a"].twap == 16.666667
     assert got["a"].n_events == 2
     assert got["b"].twap == 5.0
+
+
+def test_sign_binarize_and_hamming(spark):
+    from machine_learning_with_spark_streaming_spark.operators.similarity import (
+        hamming_topk,
+        sign_binarize,
+    )
+
+    base = [1.0] * 32 + [-1.0] * 32          # lo all ones, hi zero
+    flip2 = list(base)
+    flip2[0] = -1.0                           # flip bit 0 of lo
+    flip2[40] = 1.0                           # flip bit 8 of hi
+    far = [-x for x in base]                  # all 64 bits differ
+    df = spark.createDataFrame(
+        [(0, base), (1, flip2), (2, far)],
+        "vec_id long, embedding array<float>",
+    )
+    sig = sign_binarize(df)
+    s = {r.vec_id: (r.sig_lo, r.sig_hi) for r in sig.collect()}
+    assert s[0] == (0xFFFFFFFF, 0)            # 32 sign bits set, none above
+    top = hamming_topk(sig, sig.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [(r.rank, r.neighbor_id, r.hamming) for r in top] == [
+        (1, 1, 2),
+        (2, 2, 64),
+    ]
+
+
+def test_cube_grouping_margins(spark):
+    import __spark_entry__ as E
+
+    out = E.queries()["a18_cube_grouping"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    # grand total: both flags set, exactly once, counts everything
+    gt = [r for r in rows if (r.g_seg, r.g_nat) == (1, 1)]
+    assert len(gt) == 1
+    total = gt[0].n_rows
+    # one-way margins each re-sum to the grand total
+    seg_margin = [r for r in rows if (r.g_seg, r.g_nat) == (0, 1)]
+    nat_margin = [r for r in rows if (r.g_seg, r.g_nat) == (1, 0)]
+    assert sum(r.n_rows for r in seg_margin) == total
+    assert sum(r.n_rows for r in nat_margin) == total
+    assert sum(r.bal_cents for r in seg_margin) == gt[0].bal_cents
+    # detail slices re-sum too
+    detail = [r for r in rows if (r.g_seg, r.g_nat) == (0, 0)]
+    assert sum(r.n_rows for r in detail) == total
