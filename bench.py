@@ -160,6 +160,8 @@ EXTENDED += [
     "w9_time_weighted_avg",
     "sim_binary_hamming_topk",
     "a18_cube_grouping",
+    "ml_linear_trend",
+    "w10_percentile_normalize",
 ]
 
 

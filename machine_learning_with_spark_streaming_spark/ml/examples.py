@@ -272,3 +272,82 @@ def q_logreg_stream(spark, sf_dir):
         )
         .orderBy("prediction")
     )
+
+
+# ------------------------------ closed-form linear trend per key
+
+_TREND_EPOCH0 = "2024-01-01"
+
+
+def linear_trend(
+    df: DataFrame, key: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Per-key simple linear regression of value on time (days since a
+    fixed origin), solved closed-form from five plain sums — the
+    distributed-ML shape where the MODEL is an aggregate: one partial-
+    aggregating shuffle computes (n, Σx, Σy, Σxy, Σx²) per key, and
+    slope/intercept fall out on the 1-row-per-key result. This is drift
+    detection for monitoring ("is this metric trending?") and the
+    simplest member of the closed-form-GLM family.
+
+    Numerical discipline: x is CENTERED (days since the origin, 0..30
+    here) so the normal-equation terms are well-conditioned — regressing
+    on raw epoch values would cancel catastrophically. Plain sums (not
+    engine covar/var implementations, which differ in update order
+    cross-engine) + 6-dp rounding is the repo's certified-safe float
+    pattern."""
+    x = (
+        F.unix_micros(F.col(ts_col))
+        - F.unix_micros(F.lit(_TREND_EPOCH0).cast("timestamp"))
+    ) / F.lit(86400e6)
+    base = df.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(key), x.alias("__x"), F.col(value_col).alias("__y"))
+    agg = base.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        F.col(key),
+        F.col("n").cast("long").alias("n"),
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope_per_day"),
+        (
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+            + F.lit(0.0)
+        ).alias("intercept"),
+    )
+
+
+_TREND_ORACLE = f"""
+WITH base AS (
+  SELECT event_type,
+         (epoch_us(ts) - epoch_us(TIMESTAMP '{_TREND_EPOCH0}')) / 86400e6 AS x,
+         value AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM base GROUP BY 1
+)
+SELECT event_type, n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
+         AS slope_per_day,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         + 0.0 AS intercept
+FROM agg ORDER BY 1
+"""
+
+
+@register("ml_linear_trend", oracle=_TREND_ORACLE)
+def q_linear_trend(spark, sf_dir):
+    """Per-event-type value-vs-time linear trend (slope per day +
+    intercept), closed-form from one aggregate pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return linear_trend(ev, "event_type", "ts", "value").orderBy("event_type")

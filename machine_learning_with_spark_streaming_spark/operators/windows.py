@@ -634,3 +634,40 @@ def q_time_weighted_avg(spark, sf_dir):
     return time_weighted_avg(ev, "event_type", "ts", "value").orderBy(
         "event_type", "day"
     )
+
+
+# ----------------------------- W10: per-group percentile normalization
+
+def percentile_normalize(
+    df: DataFrame, key: str, value_col: str, id_col: str = "event_id"
+) -> DataFrame:
+    """Rank-based feature scaling: percent_rank of the value within its
+    key group — the monotone [0,1] normalization that is robust to
+    outliers and arbitrary distributions (the preprocessing step in
+    front of quantile-binned features / calibration curves). Ties rank
+    on the VALUE only, so equal values get equal scores in both engines
+    regardless of physical row order."""
+    w = Window.partitionBy(key).orderBy(value_col)
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(id_col), F.col(key), F.col(value_col)
+    )
+    return base.withColumn(
+        "pctile", F.round(F.percent_rank().over(w), 6) + F.lit(0.0)
+    )
+
+
+_W10_ORACLE = """
+SELECT event_id, event_type, value,
+       round(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 6)
+         + 0.0 AS pctile
+FROM events WHERE value IS NOT NULL
+ORDER BY event_id
+"""
+
+
+@register("w10_percentile_normalize", oracle=_W10_ORACLE)
+def q_percentile_normalize(spark, sf_dir):
+    """Percentile-normalized event values per type (rank-based [0,1]
+    scaling, tie-stable cross-engine)."""
+    ev = load_table(spark, sf_dir, "events")
+    return percentile_normalize(ev, "event_type", "value").orderBy("event_id")

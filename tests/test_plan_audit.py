@@ -154,6 +154,8 @@ DOUBLE_OUTPUT_ALLOWLIST = {
     "emb_truncate_renorm": ["energy_ratio", "prefix_norm", "renorm_checksum"],
     "s11_late_data_stream": ["value_sum"],
     "w9_time_weighted_avg": ["twap"],
+    "ml_linear_trend": ["intercept", "slope_per_day"],
+    "w10_percentile_normalize": ["pctile", "value"],
 }
 
 

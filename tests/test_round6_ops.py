@@ -216,3 +216,35 @@ def test_cube_grouping_margins(spark):
     # detail slices re-sum too
     detail = [r for r in rows if (r.g_seg, r.g_nat) == (0, 0)]
     assert sum(r.n_rows for r in detail) == total
+
+
+def test_linear_trend_exact_line(spark):
+    from machine_learning_with_spark_streaming_spark.ml.examples import linear_trend
+
+    # y = 2x + 3 exactly, x in whole days since the origin
+    rows = [
+        ("a", datetime(2024, 1, 1 + d), i, 2.0 * d + 3.0)
+        for i, d in enumerate([0, 1, 2, 5, 10])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    r = linear_trend(df, "event_type", "ts", "value").collect()[0]
+    assert (r.n, r.slope_per_day, r.intercept) == (5, 2.0, 3.0)
+
+
+def test_percentile_normalize_ties(spark):
+    from machine_learning_with_spark_streaming_spark.operators.windows import (
+        percentile_normalize,
+    )
+
+    rows = [("a", 1, 10.0), ("a", 2, 10.0), ("a", 3, 20.0), ("a", 4, 30.0),
+            ("b", 5, 7.0)]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, value double")
+    got = {r.event_id: r.pctile for r in
+           percentile_normalize(df, "event_type", "value").collect()}
+    # ties share the rank regardless of row order; (rank-1)/(n-1)
+    assert got[1] == got[2] == 0.0
+    assert got[3] == 0.666667
+    assert got[4] == 1.0
+    assert got[5] == 0.0  # singleton group

@@ -96,6 +96,14 @@ QUERIES = [
     "sim_pq_adc_topk_many",
     "sample_epoch_shuffle",
     "mm_image_near_dup",
+    # round-6 additions
+    "r7_ohlc_resample",
+    "w9_time_weighted_avg",
+    "text_word_entropy",
+    "v15_k_anonymity_gate",
+    "v16_referential_integrity",
+    "sim_binary_hamming_topk",
+    "a18_cube_grouping",
 ]
 
 
