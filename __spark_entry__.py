@@ -77,6 +77,12 @@ _STALE_CERTS: dict[str, int] = {
     # r4 rewrote length_bucketed_batches (global-sort ntile -> broadcast
     # percentile boundaries; impl AND oracle); newest green row is r3.
     "sample_length_batches": 4,
+    # r6 changed the bm25 pool cut to key on the 6-dp rounded score
+    # (Spark impl AND both oracles) and recast the PCA top-k oracle's
+    # distance arithmetic to HUGEINT; newest green rows are r5.
+    "text_bm25_topk": 5,
+    "pipeline_hybrid_retrieve": 5,
+    "sim_pca_topk": 5,
 }
 
 

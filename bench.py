@@ -162,6 +162,7 @@ EXTENDED += [
     "a18_cube_grouping",
     "ml_linear_trend",
     "w10_percentile_normalize",
+    "v17_ks_drift",
 ]
 
 

@@ -156,6 +156,7 @@ DOUBLE_OUTPUT_ALLOWLIST = {
     "w9_time_weighted_avg": ["twap"],
     "ml_linear_trend": ["intercept", "slope_per_day"],
     "w10_percentile_normalize": ["pctile", "value"],
+    "v17_ks_drift": ["ks_d"],
 }
 
 

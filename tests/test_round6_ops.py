@@ -248,3 +248,22 @@ def test_percentile_normalize_ties(spark):
     assert got[3] == 0.666667
     assert got[4] == 1.0
     assert got[5] == 0.0  # singleton group
+
+
+def test_ks_drift_planted_distributions(spark):
+    from machine_learning_with_spark_streaming_spark.operators.validation import ks_drift
+
+    rows = [(float(v), True) for v in (1, 2, 3, 4)] + [
+        (float(v), False) for v in (3, 4, 5, 6)
+    ]
+    df = spark.createDataFrame(rows, "value double, old boolean")
+    r = ks_drift(df, "value", F.col("old")).collect()[0]
+    # max ECDF gap is 0.5 (at v=2 and v=4); integer numerator 2*4-0*4=8
+    assert (r.n_old, r.n_new, r.d_num, r.ks_d) == (4, 4, 8, 0.5)
+
+    same = spark.createDataFrame(
+        [(float(v), b) for v in (1, 2, 3) for b in (True, False)],
+        "value double, old boolean",
+    )
+    r2 = ks_drift(same, "value", F.col("old")).collect()[0]
+    assert (r2.d_num, r2.ks_d) == (0, 0.0)
