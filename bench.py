@@ -163,6 +163,8 @@ EXTENDED += [
     "ml_linear_trend",
     "w10_percentile_normalize",
     "v17_ks_drift",
+    "s21_multiline_json_array",
+    "sample_poisson_bootstrap",
 ]
 
 

@@ -1336,3 +1336,97 @@ def q_epoch_shuffle(spark, sf_dir):
         .unionByName(epoch_shuffle(docs, epoch=1))
         .orderBy("epoch", "shard", "pos")
     )
+
+
+# --------------------- deterministic Poisson(1) bootstrap replicates
+
+BOOT_REPLICATES = 4
+#: Poisson(1) CDF in integer millionths: u-grid thresholds for k=0..7;
+#: u >= the last entry draws k=8. Deterministic-exact given the hash.
+_POISSON1_CDF_PPM = [
+    367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990,
+]
+
+
+def poisson_bootstrap_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_replicates: int = BOOT_REPLICATES,
+) -> DataFrame:
+    """Per-row Poisson(1) bootstrap weights for ``n_replicates``
+    resamples — the out-of-core bootstrap: instead of materializing B
+    copies of the corpus, each row gets a deterministic integer weight
+    per replicate (md5-gate uniform through the Poisson(1) inverse
+    CDF), and any downstream metric computed with the weights yields
+    its bootstrap distribution. Map-only (explode by a 4-literal
+    array); weights are a pure function of (row key, replicate), so
+    replicas shard/reshuffle freely and both engines derive the
+    identical resample."""
+    from machine_learning_with_spark_streaming_spark.operators.dedup import md5_hash60
+
+    rep = F.explode(
+        F.array(*[F.lit(i) for i in range(n_replicates)])
+    ).alias("replicate")
+    u = md5_hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit("#boot"), F.col("replicate"))
+    ) % 1000000
+    k = F.lit(len(_POISSON1_CDF_PPM))
+    for j in range(len(_POISSON1_CDF_PPM) - 1, -1, -1):
+        k = F.when(u < _POISSON1_CDF_PPM[j], j).otherwise(k)
+    # carry the row's columns through: downstream metrics need no
+    # re-join — the whole expansion stays map-only
+    return df.select("*", rep).withColumn("weight", k.cast("int"))
+
+
+def _boot_case_sql(u_sql: str) -> str:
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {u_sql} < {t} THEN {j}"
+            for j, t in enumerate(_POISSON1_CDF_PPM)
+        )
+        + f" ELSE {len(_POISSON1_CDF_PPM)} END"
+    )
+
+
+_BOOT_U_SQL = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#boot' ||"
+    " CAST(r AS VARCHAR)), 1, 15))::BIGINT % 1000000"
+)
+
+_BOOT_ORACLE = f"""
+WITH w AS (
+  SELECT d.doc_id, d.n_chars, g.r,
+         {_boot_case_sql(_BOOT_U_SQL)} AS weight
+  FROM documents d,
+       LATERAL (SELECT unnest(range({BOOT_REPLICATES})) AS r) g
+)
+SELECT CAST(r AS INT) AS replicate,
+       CAST(sum(weight) AS BIGINT) AS total_weight,
+       CAST(count(*) FILTER (WHERE weight > 0) AS BIGINT) AS n_rows_kept,
+       CAST(sum(weight * n_chars) AS BIGINT) AS weighted_chars
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("sample_poisson_bootstrap", oracle=_BOOT_ORACLE)
+def q_poisson_bootstrap(spark, sf_dir):
+    """Four bootstrap resamples of the corpus as per-replicate weight
+    summaries (total weight, surviving rows, weighted char mass) —
+    integer-exact, the uncertainty-estimation companion to the
+    deterministic samplers."""
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = poisson_bootstrap_weights(docs)
+    return (
+        w.groupBy(F.col("replicate").cast("int").alias("replicate"))
+        .agg(
+            F.sum("weight").cast("long").alias("total_weight"),
+            F.count(F.when(F.col("weight") > 0, 1)).alias("n_rows_kept"),
+            F.sum(F.col("weight") * F.col("n_chars"))
+            .cast("long")
+            .alias("weighted_chars"),
+        )
+        .orderBy("replicate")
+    )

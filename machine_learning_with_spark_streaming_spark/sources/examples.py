@@ -805,3 +805,47 @@ def q_malformed_jsonl(spark, sf_dir):
         F.sum(F.round(F.col("qty") * 100).cast("long")).alias("qty_cents"),
         F.countDistinct("tag").alias("n_tags"),
     )
+
+
+# ------------------------- S21: multiLine JSON-array document ingest
+
+_ARRAY_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "fixtures",
+    "array_feed.json",
+)
+
+_S21_ORACLE = f"""
+SELECT tag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(qty * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+FROM read_json('{_ARRAY_FIXTURE}',
+  columns = {{id: 'BIGINT', qty: 'DOUBLE', tag: 'VARCHAR'}},
+  format = 'array')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("s21_multiline_json_array", oracle=_S21_ORACLE)
+def q_multiline_json_array(spark, sf_dir):
+    """API-dump ingest: one JSON ARRAY document spanning many lines
+    (the REST-export wire shape, vs s3/s20's line-delimited form) read
+    with ``multiLine`` — without it Spark would try one JSON document
+    per LINE and corrupt every record. A whole multiLine document is
+    one unsplittable task, which is exactly why pipelines convert to
+    JSONL/parquet at the edge; this query certifies the conversion
+    entry point."""
+    df = (
+        spark.read.schema("id long, qty double, tag string")
+        .option("multiLine", True)
+        .json(_ARRAY_FIXTURE)
+    )
+    return (
+        df.groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("qty") * 100).cast("long")).alias("qty_cents"),
+        )
+        .orderBy("tag")
+    )

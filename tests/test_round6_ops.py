@@ -267,3 +267,39 @@ def test_ks_drift_planted_distributions(spark):
     )
     r2 = ks_drift(same, "value", F.col("old")).collect()[0]
     assert (r2.d_num, r2.ks_d) == (0, 0.0)
+
+
+def test_poisson_bootstrap_deterministic_and_sane(spark):
+    from machine_learning_with_spark_streaming_spark.operators.sampling import (
+        poisson_bootstrap_weights,
+    )
+
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    w = poisson_bootstrap_weights(docs, n_replicates=2)
+    rows = w.collect()
+    again = {(r.doc_id, r.replicate): r.weight for r in w.collect()}
+    for r in rows:  # pure function of (key, replicate)
+        assert again[(r.doc_id, r.replicate)] == r.weight
+    import collections
+
+    per_rep = collections.Counter()
+    for r in rows:
+        per_rep[r.replicate] += r.weight
+    # Poisson(1): total weight ~ n within a few percent at n=2000
+    for rep in (0, 1):
+        assert abs(per_rep[rep] - 2000) < 2000 * 0.1
+    # replicates differ from each other
+    assert any(
+        again[(d, 0)] != again[(d, 1)] for d in range(100)
+    )
+
+
+def test_multiline_json_array_roundtrip(spark):
+    import __spark_entry__ as E
+
+    rows = {r.tag: r for r in
+            E.queries()["s21_multiline_json_array"](spark, "unused").collect()}
+    assert rows["alpha"].n_rows == 3
+    assert rows["alpha"].qty_cents == 1315  # 2.50 + 1.25 + 9.40
+    assert rows["beta"].qty_cents == 710
+    assert rows["gamma"].qty_cents == 75
