@@ -165,6 +165,7 @@ EXTENDED += [
     "v17_ks_drift",
     "s21_multiline_json_array",
     "sample_poisson_bootstrap",
+    "pipeline_eval_holdout",
 ]
 
 

@@ -1430,3 +1430,108 @@ def q_poisson_bootstrap(spark, sf_dir):
         )
         .orderBy("replicate")
     )
+
+
+# --------------------- leakage-safe train/eval release (capstone)
+
+_EVAL_MOD = 97
+_HOLDOUT_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+_HOLDOUT_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text, source, n_chars FROM documents
+  WHERE doc_id % {_EVAL_MOD} <> 0
+),
+bench AS (
+  SELECT doc_id, text, source, n_chars FROM documents
+  WHERE doc_id % {_EVAL_MOD} = 0
+),
+cw AS (SELECT doc_id, string_split({_HOLDOUT_NORM}, ' ') AS ws FROM corpus),
+bw AS (SELECT doc_id, string_split({_HOLDOUT_NORM}, ' ') AS ws FROM bench),
+csh AS (
+  SELECT DISTINCT doc_id,
+         ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] AS shingle
+  FROM cw, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g
+),
+bsh AS (
+  SELECT DISTINCT ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] AS shingle
+  FROM bw, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g
+),
+bh AS (SELECT DISTINCT ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM bsh),
+ch AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM csh),
+cont AS (SELECT DISTINCT ch.doc_id FROM ch JOIN bh USING (h)),
+clean AS (
+  SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+),
+assigned AS (
+  SELECT source, n_chars,
+         CASE WHEN {_SPLIT_HASH_SQL} < 8000 THEN 'train'
+              WHEN {_SPLIT_HASH_SQL} < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM clean
+),
+summary AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_groups,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM assigned GROUP BY 1
+  UNION ALL
+  SELECT 'contaminated', CAST(count(*) AS BIGINT),
+         CAST(count(DISTINCT c.source) AS BIGINT),
+         CAST(coalesce(sum(c.n_chars), 0) AS BIGINT)
+  FROM corpus c JOIN cont USING (doc_id)
+  UNION ALL
+  SELECT 'eval', CAST(count(*) AS BIGINT),
+         CAST(count(DISTINCT source) AS BIGINT),
+         CAST(sum(n_chars) AS BIGINT)
+  FROM bench
+)
+SELECT * FROM summary ORDER BY split
+"""
+
+
+@register("pipeline_eval_holdout", oracle=_HOLDOUT_ORACLE)
+def q_eval_holdout(spark, sf_dir):
+    """The training-data RELEASE capstone: every ~97th document plays
+    the held-out eval set; corpus docs sharing any 3-gram with it are
+    dropped (decontamination), the survivors get the group-atomic
+    80/10/10 split (domain-keyed — near-dups never straddle splits),
+    and the release manifest reports all five populations. The two
+    leakage guarantees composed here are each individually certified
+    (`decontaminate_benchmark`, `sample_group_split`); this query
+    certifies their COMPOSITION — the clean-set boundary feeding the
+    split gate."""
+    from machine_learning_with_spark_streaming_spark.operators.dedup import decontaminate
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    corpus = docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    bench = docs.filter(F.col("doc_id") % _EVAL_MOD == 0)
+    clean = decontaminate(corpus, bench)
+    contaminated = corpus.join(
+        clean.select(F.col("doc_id").alias("__k")),
+        F.col("doc_id") == F.col("__k"),
+        "left_anti",
+    )
+
+    def summarize(df, name=None):
+        g = df.groupBy(
+            (F.col("split") if name is None else F.lit(name)).alias("split")
+        )
+        return g.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_groups"),
+            F.coalesce(F.sum("n_chars"), F.lit(0))
+            .cast("long")
+            .alias("sum_chars"),
+        )
+
+    assigned = assign_split(clean, key_col="source")
+    return (
+        summarize(assigned)
+        .unionByName(summarize(contaminated, "contaminated"))
+        .unionByName(summarize(bench, "eval"))
+        .orderBy("split")
+    )

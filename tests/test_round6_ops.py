@@ -303,3 +303,21 @@ def test_multiline_json_array_roundtrip(spark):
     assert rows["alpha"].qty_cents == 1315  # 2.50 + 1.25 + 9.40
     assert rows["beta"].qty_cents == 710
     assert rows["gamma"].qty_cents == 75
+
+
+def test_eval_holdout_populations_disjoint_and_complete(spark):
+    import __spark_entry__ as E
+
+    rows = {r.split: r for r in
+            E.queries()["pipeline_eval_holdout"](spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) <= {"train", "val", "test", "contaminated", "eval"}
+    import duckdb
+
+    total = duckdb.sql(
+        "select count(*), sum(n_chars) from "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()[0]
+    # the five populations partition the corpus exactly
+    assert sum(r.n_docs for r in rows.values()) == total[0]
+    assert sum(r.sum_chars for r in rows.values()) == total[1]
+    assert rows["eval"].n_docs > 0
