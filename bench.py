@@ -166,6 +166,7 @@ EXTENDED += [
     "s21_multiline_json_array",
     "sample_poisson_bootstrap",
     "pipeline_eval_holdout",
+    "s11_jdbc_upsert_stream",
 ]
 
 

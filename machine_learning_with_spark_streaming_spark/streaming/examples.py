@@ -1107,3 +1107,101 @@ def q_late_data_stream(spark, sf_dir):
     return mem.filter(F.col("event_type") != "__flush").orderBy(
         "window_start", "event_type"
     )
+
+
+# --------------------- streaming -> live-SQL upsert (the namesake loop)
+
+_JDBC_UPSERT_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS last_event_id,
+       value AS last_value
+FROM ranked WHERE rn = 1 ORDER BY user_id
+"""
+
+
+@register("s11_jdbc_upsert_stream", oracle=_JDBC_UPSERT_ORACLE)
+def q_jdbc_upsert_stream(spark, sf_dir):
+    """The reference's namesake composition end to end: a REAL
+    4-micro-batch event stream whose foreachBatch sink maintains a
+    latest-wins keyed table in a LIVE SQL engine (embedded Derby over
+    JDBC) — stream.py feeding mySQLClass.py's DELETE+INSERT upsert
+    (mySQLClass.py:179-220), re-expressed as merge-and-overwrite.
+
+    Per batch: read the target over JDBC, union the batch, keep one row
+    per user_id with the max (ts, event_id), overwrite. The maintained
+    table is a pure function of the SET of rows ever seen (max is
+    associative/commutative/idempotent), so the run is batch-order-
+    independent — hash-checkable against a whole-input oracle — and a
+    crash-retried batch rewrites the identical table (exactly-once
+    effect without a transactional sink). On an engine with real MERGE
+    the overwrite becomes per-key upsert; full-rewrite is the portable
+    Derby stand-in, and the certified semantics are identical."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from machine_learning_with_spark_streaming_spark.sources.jdbc import read_table, write_table
+
+    work = tempfile.mkdtemp(prefix="mlwss_jdbcup_")
+    url = f"jdbc:derby:{work}/db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    table = "latest_events"
+    schema = "user_id long, ts timestamp, event_id long, value double"
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+    )
+    # pre-create the (empty) target so every batch's read succeeds
+    write_table(
+        spark.createDataFrame([], schema), url, table,
+        mode="overwrite", properties=props,
+    )
+
+    def sink(batch_df, batch_id):
+        ss = batch_df.sparkSession
+        target = read_table(ss, url, table, properties=props)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        merged = (
+            target.unionByName(batch_df)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .localCheckpoint(eager=True)  # materialize BEFORE truncating
+        )
+        write_table(merged, url, table, mode="overwrite", properties=props)
+
+    stage, ckpt = f"{work}/stage", f"{work}/ckpt"
+    ev.repartition(4).write.parquet(stage)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = (
+        read_table(spark, url, table, properties=props)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_id").cast("long").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+        .localCheckpoint(eager=True)  # detach from the Derby dir
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return final

@@ -276,3 +276,53 @@ def test_near_dup_ingest_index_survives_restart(spark, tmp_path):
         ).parquet(idx_dir).count()
         == 12
     )
+
+
+def test_jdbc_upsert_sink_retry_idempotent(spark, tmp_path):
+    """Crash-retry of a batch against the Derby latest-wins sink must
+    rewrite the identical table (merge is a pure function of the set of
+    rows ever seen)."""
+    from datetime import datetime
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.sources.jdbc import read_table, write_table
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    schema = "user_id long, ts timestamp, event_id long, value double"
+    write_table(spark.createDataFrame([], schema), url, "t",
+                mode="overwrite", properties=props)
+
+    def sink(batch_df):
+        target = read_table(spark, url, "t", properties=props)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        merged = (
+            target.unionByName(batch_df)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .localCheckpoint(eager=True)
+        )
+        write_table(merged, url, "t", mode="overwrite", properties=props)
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)  # noqa: E731
+    b0 = spark.createDataFrame(
+        [(1, t(0), 100, 1.0), (2, t(1), 101, 2.0)], schema
+    )
+    b1 = spark.createDataFrame(
+        [(1, t(5), 102, 9.0)], schema  # newer row for user 1
+    )
+    sink(b0)
+    sink(b1)
+    snap = lambda: sorted(  # noqa: E731
+        (r.user_id, r.event_id, r.value)
+        for r in read_table(spark, url, "t", properties=props).collect()
+    )
+    after = snap()
+    assert after == [(1, 102, 9.0), (2, 101, 2.0)]
+    sink(b1)  # crash-retry replays the SAME batch
+    assert snap() == after
