@@ -157,6 +157,8 @@ DOUBLE_OUTPUT_ALLOWLIST = {
     "ml_linear_trend": ["intercept", "slope_per_day"],
     "w10_percentile_normalize": ["pctile", "value"],
     "v17_ks_drift": ["ks_d"],
+    # raw parquet double round-tripped through Derby, no arithmetic
+    "s11_jdbc_upsert_stream": ["last_value"],
 }
 
 
