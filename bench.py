@@ -167,6 +167,7 @@ EXTENDED += [
     "sample_poisson_bootstrap",
     "pipeline_eval_holdout",
     "s11_jdbc_upsert_stream",
+    "dedup_cluster_stats",
 ]
 
 

@@ -291,3 +291,61 @@ def q_canonical_keeper(spark, sf_dir):
     return canonical_keeper_report(
         corpus, cc, F.length("text")
     ).orderBy("component")
+
+
+# ---------------------------- dedup datasheet: cluster-size profile
+
+_CLUSTER_STATS_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lab FROM corpus
+  UNION
+  SELECT e.v AS node, r.lab FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (
+  SELECT node, min(lab) AS component FROM reach GROUP BY node
+),
+csizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY 1
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM csizes GROUP BY cluster_size ORDER BY 1
+"""
+
+
+@register("dedup_cluster_stats", oracle=_CLUSTER_STATS_ORACLE)
+def q_cluster_stats(spark, sf_dir):
+    """The dedup DATASHEET: cluster-size histogram over the full
+    LSH→verify→connected-components pipeline — n_clusters and doc mass
+    per duplicate-cluster size (size 1 = unique docs). This is the
+    report a curation run publishes before canonical-keeper election:
+    the dedup ratio is ``1 - sum(n_clusters)/sum(n_docs)`` and the tail
+    of the histogram is what decides whether near-dup thresholds need
+    tightening. Two tiny aggregates over the certified component
+    table — the histogram is at most max-cluster-size rows."""
+    corpus = corpus_with_duplicates(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus, max_band_bucket=50)
+    cc = connected_components(pairs, nodes=corpus)
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

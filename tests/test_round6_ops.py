@@ -321,3 +321,18 @@ def test_eval_holdout_populations_disjoint_and_complete(spark):
     assert sum(r.n_docs for r in rows.values()) == total[0]
     assert sum(r.sum_chars for r in rows.values()) == total[1]
     assert rows["eval"].n_docs > 0
+
+
+def test_cluster_stats_masses_reconcile(spark):
+    import __spark_entry__ as E
+
+    q = E.queries()
+    hist = q["dedup_cluster_stats"](spark, "/root/testdata/sf0.001").collect()
+    cc = q["dedup_connected_components"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    # histogram doc mass == component table rows; cluster count matches
+    assert sum(r.n_docs for r in hist) == len(cc)
+    assert sum(r.n_clusters for r in hist) == len({r.component for r in cc})
+    # the duplicate-injected corpus has at least one multi-doc cluster
+    assert any(r.cluster_size > 1 for r in hist)
