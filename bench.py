@@ -168,6 +168,7 @@ EXTENDED += [
     "pipeline_eval_holdout",
     "s11_jdbc_upsert_stream",
     "dedup_cluster_stats",
+    "w11_ewma_smooth",
 ]
 
 

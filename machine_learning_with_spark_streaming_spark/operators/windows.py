@@ -671,3 +671,92 @@ def q_percentile_normalize(spark, sf_dir):
     scaling, tie-stable cross-engine)."""
     ev = load_table(spark, sf_dir, "events")
     return percentile_normalize(ev, "event_type", "value").orderBy("event_id")
+
+
+# --------------------------- W11: fixed-window EWMA smoothing
+
+EWMA_LAGS = 8  # alpha = 1/2 over the trailing 8 observations
+
+
+def ewma_smooth(
+    df: DataFrame, key: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Daily-mean series per key smoothed by a FIXED-window EWMA
+    (weights 2^-j over the trailing 8 present days, renormalized over
+    the terms that exist) — the dashboard/anomaly-baseline smoother
+    beside w6's flat rolling sum. The infinite-memory recursive EWMA is
+    inherently sequential; the 8-term truncation (max relative tail
+    error 2^-8) is the distributed form: eight lag() reads over one
+    key-partitioned sort, no recursion, no state.
+
+    Exactness: daily means are built from exact integer cents and
+    counts, and the EWMA is a fixed expression tree over those
+    doubles — identical IEEE ops in both engines, 6-dp rounded at the
+    output only."""
+    day = F.to_date(ts_col).alias("day")
+    daily = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.col(key), day)
+        .agg(
+            F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("__cents"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .withColumn("mean_value", F.col("__cents") / 100.0 / F.col("__n"))
+    )
+    w = Window.partitionBy(key).orderBy("day")
+    num, den = F.lit(0.0), F.lit(0.0)
+    for j in range(EWMA_LAGS):
+        term = F.lag("mean_value", j).over(w)
+        wt = float(1 << (EWMA_LAGS - 1 - j))
+        num = num + F.coalesce(term, F.lit(0.0)) * wt
+        den = den + F.when(term.isNotNull(), wt).otherwise(0.0)
+    return daily.select(
+        F.col(key),
+        F.col("day"),
+        (F.round("mean_value", 6) + F.lit(0.0)).alias("mean_value"),
+        (F.round(num / den, 6) + F.lit(0.0)).alias("ewma"),
+    )
+
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    nums, dens = [], []
+    for j in range(EWMA_LAGS):
+        wt = 1 << (EWMA_LAGS - 1 - j)
+        t = f"lag(mean_value, {j}) OVER w"
+        nums.append(f"coalesce({t}, 0.0) * {wt}.0")
+        dens.append(f"CASE WHEN {t} IS NOT NULL THEN {wt}.0 ELSE 0.0 END")
+    return " + ".join(nums), " + ".join(dens)
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_terms_sql()
+
+_W11_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+series AS (SELECT event_type, day, cents / 100.0 / n AS mean_value FROM daily),
+sm AS (
+  SELECT event_type, day, mean_value,
+         ({_EWMA_NUM}) / ({_EWMA_DEN}) AS ewma
+  FROM series
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, day,
+       round(mean_value, 6) + 0.0 AS mean_value,
+       round(ewma, 6) + 0.0 AS ewma
+FROM sm ORDER BY 1, 2
+"""
+
+
+@register("w11_ewma_smooth", oracle=_W11_ORACLE)
+def q_ewma_smooth(spark, sf_dir):
+    """8-term EWMA over daily mean event values per type — the
+    anomaly-baseline smoother, exact-cents inputs."""
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_smooth(ev, "event_type", "ts", "value").orderBy(
+        "event_type", "day"
+    )

@@ -159,6 +159,7 @@ DOUBLE_OUTPUT_ALLOWLIST = {
     "v17_ks_drift": ["ks_d"],
     # raw parquet double round-tripped through Derby, no arithmetic
     "s11_jdbc_upsert_stream": ["last_value"],
+    "w11_ewma_smooth": ["ewma", "mean_value"],
 }
 
 

@@ -336,3 +336,21 @@ def test_cluster_stats_masses_reconcile(spark):
     assert sum(r.n_clusters for r in hist) == len({r.component for r in cc})
     # the duplicate-injected corpus has at least one multi-doc cluster
     assert any(r.cluster_size > 1 for r in hist)
+
+
+def test_ewma_smooth_known_series(spark):
+    from machine_learning_with_spark_streaming_spark.operators.windows import ewma_smooth
+
+    # one event per day, values 10, 20, 40: EWMA weights renormalize
+    # over the present lags
+    rows = [
+        ("a", datetime(2024, 1, 1, 12), 10.0),
+        ("a", datetime(2024, 1, 2, 12), 20.0),
+        ("a", datetime(2024, 1, 3, 12), 40.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = {str(r.day): r.ewma for r in
+           ewma_smooth(df, "event_type", "ts", "value").collect()}
+    assert got["2024-01-01"] == 10.0                      # only itself
+    assert got["2024-01-02"] == round((2 * 20 + 10) / 3, 6)
+    assert got["2024-01-03"] == round((4 * 40 + 2 * 20 + 10) / 7, 6)
