@@ -169,6 +169,7 @@ EXTENDED += [
     "s11_jdbc_upsert_stream",
     "dedup_cluster_stats",
     "w11_ewma_smooth",
+    "v19_observed_metrics",
 ]
 
 

@@ -1381,3 +1381,48 @@ def q_ks_drift(spark, sf_dir):
     second-half event values — integer-exact max ECDF gap."""
     ev = load_table(spark, sf_dir, "events")
     return ks_drift(ev, "value", F.dayofmonth("ts") <= 15)
+
+
+# ----------------------- V19: observed metrics as a certified query
+
+_V19_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass,
+       CAST(sum(CASE WHEN n_chars >= 100 THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_violations,
+       CAST((SELECT count(*) FROM documents WHERE n_chars >= 100)
+            AS BIGINT) AS n_kept_downstream
+FROM documents
+"""
+
+
+@register("v19_observed_metrics", oracle=_V19_ORACLE)
+def q_observed_metrics(spark, sf_dir):
+    """Observed in-flight metrics, driver-certified: a quality gate
+    counts rows/pass/violations DURING the downstream job (Spark
+    ``Observation`` — an AggregatingAccumulator riding the pass the
+    pipeline already makes), with ZERO extra scans. The returned row
+    carries the observation's counters plus the downstream count the
+    single action produced; the oracle recomputes all four from the
+    table, so the certification pins that observe() sees every row of
+    the very job it rides (reference analog: runner.py's stage row
+    prints, here for free)."""
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cond = F.col("n_chars") >= 100
+    observed, obs = observe_metrics(docs, "gate", observed_gate_metrics(cond))
+    n_kept = observed.filter(cond).count()  # the ONLY job
+    got = obs.get
+    return docs.sparkSession.createDataFrame(
+        [
+            (
+                int(got["n_rows"]),
+                int(got["n_pass"]),
+                int(got["n_violations"]),
+                int(n_kept),
+            )
+        ],
+        "n_rows long, n_pass long, n_violations long, n_kept_downstream long",
+    )
