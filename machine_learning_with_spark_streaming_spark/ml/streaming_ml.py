@@ -46,7 +46,20 @@ def fit_logreg(
         featuresCol=features_col,
         labelCol=label_col,
     )
-    return lr.fit(train)
+    model = lr.fit(train)
+    # Detach the training summary: it back-references the SparkSession,
+    # so a model captured in a foreachBatch/task closure would drag the
+    # session into task serialization — which fails outright once
+    # anything has initialized the session's ObservationManager (any
+    # Observation user, e.g. observe_metrics). Nothing here consumes
+    # the summary; a caller who needs it can refit without this helper.
+    try:
+        model._java_obj.setSummary(
+            train.sparkSession._jvm.scala.Option.empty()
+        )
+    except Exception:
+        pass  # future-Spark guard: keep the model usable regardless
+    return model
 
 
 def accuracy_of(pred: DataFrame, label_col: str = "label") -> DataFrame:

@@ -105,3 +105,41 @@ def test_logreg_embeddings_quality(spark, sf_dir):
     r = accuracy_of(model.transform(test)).first()
     assert 0.0 <= r.accuracy <= 1.0
     assert r.n_rows == test.count()
+
+
+def test_model_closure_survives_observation_manager_init(spark, tmp_path):
+    """Regression: once anything initializes the session's
+    ObservationManager (any Observation user, e.g. observe_metrics), a
+    model whose trainingSummary back-references the SparkSession can no
+    longer be serialized into a task closure — fit_logreg must hand out
+    a summary-detached model so ML sinks keep working in any order."""
+    from machine_learning_with_spark_streaming_spark.operators.validation import (
+        observe_metrics,
+        observed_gate_metrics,
+    )
+
+    # poison first: initialize the ObservationManager on this session
+    df = spark.range(10).withColumn("n_chars", F.col("id") * 10)
+    observed, obs = observe_metrics(
+        df, "poison", observed_gate_metrics(F.col("n_chars") >= 50)
+    )
+    observed.count()
+    assert obs.get["n_rows"] == 10
+
+    # then serialize a freshly fitted model into a foreachBatch closure
+    train = spark.createDataFrame(
+        [([1.0, 0.0, 0.0, 0.0], 1.0), ([-1.0, 0.0, 0.0, 0.0], 0.0)] * 10,
+        "features array<double>, label double",
+    ).withColumn("row_idx", F.monotonically_increasing_id())
+    model = fit_logreg(with_feature_vector(train))
+    stage = str(tmp_path / "stage")
+    train.coalesce(1).write.parquet(stage)
+    stream = spark.readStream.schema(
+        "features array<double>, label double, row_idx long"
+    ).parquet(stage)
+    run_available_now(
+        stream,
+        predict_per_batch(model, str(tmp_path / "preds")),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert spark.read.parquet(str(tmp_path / "preds")).count() == 20
