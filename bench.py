@@ -170,6 +170,7 @@ EXTENDED += [
     "dedup_cluster_stats",
     "w11_ewma_smooth",
     "v19_observed_metrics",
+    "s22_dynamic_partition_overwrite",
 ]
 
 

@@ -849,3 +849,57 @@ def q_multiline_json_array(spark, sf_dir):
         )
         .orderBy("tag")
     )
+
+
+# ------------------- S22: dynamic partition overwrite (surgical rewrite)
+
+_S22_ORACLE = """
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_f_status
+FROM orders
+WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderstatus = 'F')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("s22_dynamic_partition_overwrite", oracle=_S22_ORACLE)
+def q_dynamic_partition_overwrite(spark, sf_dir):
+    """Surgical partition rewrite: with ``partitionOverwriteMode=dynamic``
+    an overwrite replaces ONLY the partitions present in the written
+    frame — here the '1-URGENT' directory is rewritten without its 'F'
+    rows while the other four partition directories are untouched (in
+    static mode the same write would WIPE them; at 100 TB that is the
+    difference between rewriting one partition and losing the table).
+    The oracle recomputes the post-rewrite state from the source, so
+    untouched-partition integrity and the surgical delete are certified
+    together. Per-write option, not a session-conf mutation."""
+    import tempfile
+
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    tbl = os.path.join(tempfile.mkdtemp(prefix="mlwss_s22_"), "orders_part")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderpriority").parquet(tbl)
+    urgent_kept = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderstatus") != "F")
+    )
+    (
+        urgent_kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderpriority")
+        .parquet(tbl)
+    )
+    return (
+        spark.read.parquet(tbl)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).cast("long").alias("n_f_status"),
+        )
+        .orderBy("priority")
+    )

@@ -354,3 +354,39 @@ def test_ewma_smooth_known_series(spark):
     assert got["2024-01-01"] == 10.0                      # only itself
     assert got["2024-01-02"] == round((2 * 20 + 10) / 3, 6)
     assert got["2024-01-03"] == round((4 * 40 + 2 * 20 + 10) / 7, 6)
+
+
+def test_dynamic_partition_overwrite_is_surgical(spark, sf_dir, tmp_path):
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    tbl = str(tmp_path / "part")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderpriority").parquet(tbl)
+    before = {
+        r.o_orderpriority: r.n
+        for r in spark.read.parquet(tbl)
+        .groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # dynamic overwrite touching ONLY 1-URGENT
+    (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderstatus") != "F")
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderpriority")
+        .parquet(tbl)
+    )
+    after = {
+        r.o_orderpriority: r.n
+        for r in spark.read.parquet(tbl)
+        .groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # untouched partitions byte-identical in count; urgent shrank
+    for p in before:
+        if p != "1-URGENT":
+            assert after[p] == before[p]
+    assert after["1-URGENT"] < before["1-URGENT"]
+    # in STATIC mode the same write WOULD have wiped the others
+    assert set(after) == set(before)
