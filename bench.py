@@ -171,6 +171,7 @@ EXTENDED += [
     "w11_ewma_smooth",
     "v19_observed_metrics",
     "s22_dynamic_partition_overwrite",
+    "text_langid_confusion",
 ]
 
 

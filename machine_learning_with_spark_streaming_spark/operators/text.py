@@ -2587,3 +2587,59 @@ def q_word_entropy(spark, sf_dir):
     training-data filter cuts."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return word_entropy(docs).orderBy("doc_id")
+
+
+# -------------------------- classifier eval: lang-id confusion matrix
+
+_CONFUSION_ORACLE = f"""
+WITH scored AS ({_LANG_INNER}),
+preds AS (
+  SELECT doc_id, lang, {_LANG_CASE} AS pred_lang FROM scored
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM preds)
+SELECT lang AS true_lang, pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(count(*) * 1.0 / max(n_total), 6) + 0.0 AS share
+FROM preds CROSS JOIN tot
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("text_langid_confusion", oracle=_CONFUSION_ORACLE)
+def q_langid_confusion(spark, sf_dir):
+    """Classifier EVAL over the certified lang-id: the (true, predicted)
+    confusion matrix with per-cell corpus share — the quality report a
+    curation run publishes before trusting a filter model's routing
+    decisions (which languages leak into which bucket, and how much of
+    the corpus rides each cell). Composes the certified predictor with
+    one groupBy; the total for the share column is a 1-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    preds = lang_id_table(docs)
+    joined = docs.join(preds, docs.doc_id == preds.id).select(
+        "lang", "pred_lang"
+    )
+    tot = joined.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        joined.groupBy(
+            F.col("lang").alias("true_lang"), F.col("pred_lang")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("lang") == F.col("pred_lang"), 1).otherwise(0)
+            ).cast("long").alias("n_correct"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n_docs",
+            "n_correct",
+            (F.round(F.col("n_docs") / F.col("n_total"), 6) + F.lit(0.0)).alias(
+                "share"
+            ),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )

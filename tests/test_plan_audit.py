@@ -160,6 +160,7 @@ DOUBLE_OUTPUT_ALLOWLIST = {
     # raw parquet double round-tripped through Derby, no arithmetic
     "s11_jdbc_upsert_stream": ["last_value"],
     "w11_ewma_smooth": ["ewma", "mean_value"],
+    "text_langid_confusion": ["share"],
 }
 
 

@@ -390,3 +390,22 @@ def test_dynamic_partition_overwrite_is_surgical(spark, sf_dir, tmp_path):
     assert after["1-URGENT"] < before["1-URGENT"]
     # in STATIC mode the same write WOULD have wiped the others
     assert set(after) == set(before)
+
+
+def test_langid_confusion_reconciles(spark):
+    import __spark_entry__ as E
+
+    rows = E.queries()["text_langid_confusion"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    import duckdb
+
+    total = duckdb.sql(
+        "select count(*) from read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()[0][0]
+    assert sum(r.n_docs for r in rows) == total
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    # diagonal cells are exactly their n_docs; off-diagonal are 0 correct
+    for r in rows:
+        assert r.n_correct == (r.n_docs if r.true_lang == r.pred_lang else 0)
