@@ -83,6 +83,10 @@ _STALE_CERTS: dict[str, int] = {
     "text_bm25_topk": 5,
     "pipeline_hybrid_retrieve": 5,
     "sim_pca_topk": 5,
+    # r7 enabled the stop-shingle cut in the registered source-overlap
+    # query (impl AND oracle — r6 judge item 2); pre-r7 green rows were
+    # recorded for the uncut matrix.
+    "dedup_source_overlap": 6,
 }
 
 

@@ -173,6 +173,10 @@ EXTENDED += [
     "s22_dynamic_partition_overwrite",
     "text_langid_confusion",
 ]
+# round-7 additions (first-baselined this round)
+EXTENDED += [
+    "dedup_semantic_k32",
+]
 
 
 def _sf_from_dir(path: str) -> float:
@@ -220,16 +224,22 @@ def main() -> None:
             spark.catalog.clearCache()
 
     total = round(sum(v for n, v in timings.items() if n in HEADLINE), 3)
-    out = {
-        "metric": "headline_total_sec",
-        "value": total,
-        "unit": "sec",
-        "value_all": round(sum(timings.values()), 3),
-        "queries": timings,
-        "sf": _sf_from_dir(SF_DIR),
-    }
+    # Summary keys (metric/value/value_all/sf) are emitted AFTER the large
+    # ``queries`` dict: the driver's BENCH_r*.json keeps only the last
+    # 2,000 chars of stdout, so the headline number must sit in the tail
+    # (BENCH_r06 lost it because ``value`` was printed first).
+    out: dict[str, object] = {"queries": timings}
     if errors:
         out["errors"] = errors
+    out.update(
+        {
+            "metric": "headline_total_sec",
+            "unit": "sec",
+            "value_all": round(sum(timings.values()), 3),
+            "value": total,
+            "sf": _sf_from_dir(SF_DIR),
+        }
+    )
     print(json.dumps(out))
 
 

@@ -460,19 +460,23 @@ def semdedup(
     )
 
 
-def _kmeans_centroid_values() -> str:
-    from machine_learning_with_spark_streaming_spark.functions.ml_artifacts import (
-        KMEANS_CENTROIDS,
-    )
-
+def _centroid_values(centroids: list[list[float]]) -> str:
     rows = []
-    for i, c in enumerate(KMEANS_CENTROIDS):
+    for i, c in enumerate(centroids):
         lit = "[" + ", ".join(repr(x) for x in c) + "]"
         rows.append(f"({i}, CAST({lit} AS DOUBLE[]))")
     return ",\n  ".join(rows)
 
 
-def _semdedup_oracle() -> str:
+def _kmeans_centroid_values() -> str:
+    from machine_learning_with_spark_streaming_spark.functions.ml_artifacts import (
+        KMEANS_CENTROIDS,
+    )
+
+    return _centroid_values(KMEANS_CENTROIDS)
+
+
+def _semdedup_oracle(centroid_values: str | None = None) -> str:
     from machine_learning_with_spark_streaming_spark.operators.similarity import (
         _DUP_CORPUS_SQL,
     )
@@ -480,7 +484,7 @@ def _semdedup_oracle() -> str:
     return f"""
 WITH {_DUP_CORPUS_SQL},
 kcent(cluster, centroid) AS (VALUES
-  {_kmeans_centroid_values()}
+  {centroid_values or _kmeans_centroid_values()}
 ),
 v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -522,3 +526,36 @@ def q_semdedup(spark, sf_dir):
 
     corpus = embeddings_with_duplicates(spark, sf_dir)
     return semdedup(corpus).orderBy("vec_id")
+
+
+def _semdedup_k32_oracle() -> str:
+    from machine_learning_with_spark_streaming_spark.functions.kmeans32_artifacts import (
+        KMEANS32_CENTROIDS,
+    )
+
+    return _semdedup_oracle(_centroid_values(KMEANS32_CENTROIDS))
+
+
+@register("dedup_semantic_k32", oracle=_semdedup_k32_oracle())
+def q_semdedup_k32(spark, sf_dir):
+    """SemDeDup in its k ∝ corpus scale form: the frozen 32-centroid
+    quantizer (tools/freeze_kmeans32.py, mirrored as oracle literals)
+    bounds the within-cluster pair join at Σ cluster_size² with mean
+    ball ≈ n/32, where the 4-centroid demo artifact left it quadratic
+    in the corpus (the r6 stress sweep's sole superlinear outlier,
+    86 s at 16x). Same operator, same keep policy — only the quantizer
+    artifact differs, which is exactly SemDeDup's documented scale lever
+    (k ≈ n/10³-10⁴; Abbas et al. 2023 §3)."""
+    from machine_learning_with_spark_streaming_spark.functions.kmeans32_artifacts import (
+        KMEANS32_CENTROIDS,
+    )
+    from machine_learning_with_spark_streaming_spark.operators.similarity import (
+        embeddings_with_duplicates,
+    )
+
+    corpus = embeddings_with_duplicates(spark, sf_dir)
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(KMEANS32_CENTROIDS)],
+        "cluster int, centroid array<double>",
+    )
+    return semdedup(corpus, centroids=cent).orderBy("vec_id")

@@ -1516,16 +1516,22 @@ def q_eval_holdout(spark, sf_dir):
         "left_anti",
     )
 
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_groups"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("sum_chars"),
+    ]
+
     def summarize(df, name=None):
-        g = df.groupBy(
-            (F.col("split") if name is None else F.lit(name)).alias("split")
-        )
-        return g.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("source").alias("n_groups"),
-            F.coalesce(F.sum("n_chars"), F.lit(0))
-            .cast("long")
-            .alias("sum_chars"),
+        if name is None:
+            return df.groupBy("split").agg(*aggs)
+        # named populations use a GLOBAL agg: the oracle's global
+        # aggregates always emit the 'contaminated'/'eval' rows (with
+        # zeros), and groupBy(lit(name)) would emit ZERO rows on an
+        # empty population — a spurious cert divergence at any SF where
+        # decontamination finds nothing (r6 ADVICE item 1)
+        return df.agg(*aggs).select(
+            F.lit(name).alias("split"), "n_docs", "n_groups", "sum_chars"
         )
 
     assigned = assign_split(clean, key_col="source")

@@ -1304,7 +1304,12 @@ def ks_drift(
         )
     )
     g = g.localCheckpoint(eager=True)  # reused by range agg + both phases
+    _RESULT_SCHEMA = "n_old long, n_new long, d_num long, ks_d double"
     lo, hi = g.agg(F.min("v"), F.max("v")).collect()[0]
+    if lo is None:
+        # empty or all-NULL value column: no observed values, no ECDF —
+        # emit the zero report instead of crashing on (hi - lo)
+        return df.sparkSession.createDataFrame([(0, 0, 0, None)], _RESULT_SCHEMA)
     width = (hi - lo) / KS_BUCKETS or 1.0
     bucket = F.least(
         F.lit(KS_BUCKETS - 1),
@@ -1321,6 +1326,13 @@ def ks_drift(
         offsets.append((b, acc_o, acc_n))
         acc_o, acc_n = acc_o + so, acc_n + sn
     n_old, n_new = acc_o, acc_n
+    if n_old == 0 or n_new == 0:
+        # one-sided sample: both ECDF gaps are trivially 0 and the
+        # normalizer n_old*n_new is 0 — KS is undefined; report the
+        # observed counts with a NULL statistic rather than dividing
+        return df.sparkSession.createDataFrame(
+            [(n_old, n_new, 0, None)], _RESULT_SCHEMA
+        )
     off = F.broadcast(
         gb.sparkSession.createDataFrame(
             offsets, "b int, off_old long, off_new long"

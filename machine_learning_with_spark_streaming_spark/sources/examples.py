@@ -730,18 +730,20 @@ def q_hive_partitioned_roundtrip(spark, sf_dir):
 
     Revenue is summed as exact per-row integer cents (o_totalprice has
     2 dp), so the aggregate is order-independent cross-engine."""
+    import shutil
     import tempfile
 
     from machine_learning_with_spark_streaming_spark.schemas import load_table
 
-    tbl = os.path.join(tempfile.mkdtemp(prefix="mlwss_s19_"), "orders_part")
+    work = tempfile.mkdtemp(prefix="mlwss_s19_")
+    tbl = os.path.join(work, "orders_part")
     load_table(spark, sf_dir, "orders").write.partitionBy(
         "o_orderpriority"
     ).parquet(tbl)
     part = spark.read.parquet(tbl).filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
-    return (
+    out = (
         part.groupBy(
             F.date_trunc("month", "o_orderdate").cast("date").alias("order_month")
         )
@@ -752,7 +754,13 @@ def q_hive_partitioned_roundtrip(spark, sf_dir):
             ),
         )
         .orderBy("order_month")
+        # materialize, then remove the scratch clone: repeated
+        # cert/bench/stress sweeps must not leak a full orders copy per
+        # run (r6 ADVICE item 3)
+        .localCheckpoint(eager=True)
     )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 # ----------------------------- S20: malformed-JSONL tolerant ingest
@@ -875,11 +883,13 @@ def q_dynamic_partition_overwrite(spark, sf_dir):
     The oracle recomputes the post-rewrite state from the source, so
     untouched-partition integrity and the surgical delete are certified
     together. Per-write option, not a session-conf mutation."""
+    import shutil
     import tempfile
 
     from machine_learning_with_spark_streaming_spark.schemas import load_table
 
-    tbl = os.path.join(tempfile.mkdtemp(prefix="mlwss_s22_"), "orders_part")
+    work = tempfile.mkdtemp(prefix="mlwss_s22_")
+    tbl = os.path.join(work, "orders_part")
     orders = load_table(spark, sf_dir, "orders")
     orders.write.partitionBy("o_orderpriority").parquet(tbl)
     urgent_kept = orders.filter(
@@ -892,7 +902,7 @@ def q_dynamic_partition_overwrite(spark, sf_dir):
         .partitionBy("o_orderpriority")
         .parquet(tbl)
     )
-    return (
+    out = (
         spark.read.parquet(tbl)
         .groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(
@@ -902,4 +912,9 @@ def q_dynamic_partition_overwrite(spark, sf_dir):
             ).cast("long").alias("n_f_status"),
         )
         .orderBy("priority")
+        # materialize, then remove the scratch clone (r6 ADVICE item 3:
+        # repeated sweeps leaked one orders copy per run)
+        .localCheckpoint(eager=True)
     )
+    shutil.rmtree(work, ignore_errors=True)
+    return out

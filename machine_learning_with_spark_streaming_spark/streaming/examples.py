@@ -1138,10 +1138,14 @@ def q_jdbc_upsert_stream(spark, sf_dir):
     table is a pure function of the SET of rows ever seen (max is
     associative/commutative/idempotent), so the run is batch-order-
     independent — hash-checkable against a whole-input oracle — and a
-    crash-retried batch rewrites the identical table (exactly-once
-    effect without a transactional sink). On an engine with real MERGE
-    the overwrite becomes per-key upsert; full-rewrite is the portable
-    Derby stand-in, and the certified semantics are identical."""
+    crash-retried batch rewrites the identical table, PROVIDED each
+    overwrite commits atomically: JDBC mode='overwrite' is a
+    non-transactional truncate+insert, so a crash *mid-overwrite* can
+    lose prior-batch rows the retried batch doesn't carry. On an engine
+    with transactional MERGE (or a stage-then-rename swap table) the
+    retry recovers from any crash point; full-rewrite is the portable
+    Derby stand-in, with that caveat, and the steady-state certified
+    semantics are identical."""
     import shutil
     import tempfile
 

@@ -55,6 +55,9 @@ DOUBLE_OUTPUT_ALLOWLIST = {
     "dedup_minhash_lsh": ["jaccard"],
     "dedup_ngram_jaccard": ["jaccard"],
     "dedup_semantic": ["centroid_sim"],
+    # same rounded cosine as dedup_semantic, k=32 artifact; swept green
+    # at sf0.01 and sf0.1 --shuffle 5 (r7)
+    "dedup_semantic_k32": ["centroid_sim"],
     "dedup_source_overlap": ["jaccard"],
     "diag_key_skew": ["share", "x_avg"],
     "emb_centroid_drift": ["cos_drift", "l2_shift"],

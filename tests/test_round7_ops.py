@@ -1,0 +1,122 @@
+"""Round-7 additions: scaled-k SemDeDup, the source-overlap stop-shingle
+cut, and the r6-ADVICE robustness fixes (ks_drift degenerate inputs,
+eval-holdout empty populations)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_semdedup_k32_same_policy_scaled_quantizer(spark, sf_dir):
+    """The k=32 artifact changes only the quantizer: injected exact
+    copies still land in the same cluster as their originals and exactly
+    one of each copy-pair survives (equal centroid_sim -> lower id
+    kept)."""
+    from machine_learning_with_spark_streaming_spark.functions.kmeans32_artifacts import (
+        KMEANS32_CENTROIDS,
+    )
+    from machine_learning_with_spark_streaming_spark.operators.ivf import semdedup
+    from machine_learning_with_spark_streaming_spark.operators.similarity import (
+        embeddings_with_duplicates,
+    )
+
+    assert len(KMEANS32_CENTROIDS) == 32
+    assert all(len(c) == 64 for c in KMEANS32_CENTROIDS)
+
+    corpus = embeddings_with_duplicates(spark, sf_dir)
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(KMEANS32_CENTROIDS)],
+        "cluster int, centroid array<double>",
+    )
+    out = {r["vec_id"]: r for r in semdedup(corpus, centroids=cent).collect()}
+    n_orig = corpus.count() - 20
+    assert len(out) == n_orig + 20
+    for i in range(20):
+        orig, copy = out[i], out[i + 100000]
+        assert orig["cluster"] == copy["cluster"]  # identical vector, same argmax
+        assert orig["centroid_sim"] == copy["centroid_sim"]
+        # the copy (higher id, equal csim) is always the dropped one
+        assert copy["keep"] == 0
+    # the quantizer actually spreads the corpus (the point of k=32:
+    # bounded ball sizes) — at least half the centroids are occupied
+    n_clusters = len({r["cluster"] for r in out.values()})
+    assert n_clusters >= 16
+
+
+def test_source_overlap_stop_shingle_cut(spark):
+    """Shingles present in more than max_shingle_groups sources are
+    dropped from the universe BEFORE sizes and the pair join, so both
+    n_common and jaccard reflect only informative shingles."""
+    from machine_learning_with_spark_streaming_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    # 12 sources all share boilerplate 'b1..b5' (3 shingles, group-DF 12);
+    # sources S0 and S1 additionally share a distinctive 5-gram run.
+    boiler = "b1 b2 b3 b4 b5"
+    distinct_pair = "d1 d2 d3 d4 d5"
+    rows = [(f"S{i}", boiler) for i in range(12)]
+    rows += [("S0", distinct_pair), ("S1", distinct_pair)]
+    df = spark.createDataFrame(rows, "source string, text string")
+
+    uncut = {
+        (r["grp_a"], r["grp_b"]): (r["n_common"], r["jaccard"])
+        for r in source_overlap_matrix(df).collect()
+    }
+    # without the cut the boilerplate makes every pair overlap
+    assert uncut[("S2", "S3")] == (3, 1.0)
+    assert uncut[("S0", "S1")][0] == 6
+
+    cut = {
+        (r["grp_a"], r["grp_b"]): (r["n_common"], r["jaccard"])
+        for r in source_overlap_matrix(df, max_shingle_groups=10).collect()
+    }
+    # boilerplate (group-DF 12 > 10) is gone from the universe: pure
+    # boilerplate pairs vanish entirely, and the S0-S1 Jaccard is now
+    # computed over the 3 distinctive shingles only
+    assert ("S2", "S3") not in cut
+    assert cut[("S0", "S1")] == (3, 1.0)
+
+
+def test_ks_drift_degenerate_inputs(spark):
+    """r6 ADVICE item 4: empty / all-NULL / one-sided inputs return a
+    zero-or-NULL report instead of raising."""
+    from machine_learning_with_spark_streaming_spark.operators.validation import ks_drift
+
+    schema = "value double, old boolean"
+    empty = spark.createDataFrame([], schema)
+    r = ks_drift(empty, "value", F.col("old")).collect()
+    assert [tuple(x) for x in r] == [(0, 0, 0, None)]
+
+    all_null = spark.createDataFrame([(None, True), (None, False)], schema)
+    r = ks_drift(all_null, "value", F.col("old")).collect()
+    assert [tuple(x) for x in r] == [(0, 0, 0, None)]
+
+    one_sided = spark.createDataFrame(
+        [(1.0, True), (2.0, True), (3.0, True)], schema
+    )
+    r = ks_drift(one_sided, "value", F.col("old")).collect()
+    assert [tuple(x) for x in r] == [(3, 0, 0, None)]
+
+
+def test_eval_holdout_always_emits_named_populations(spark, sf_dir):
+    """r6 ADVICE item 1: the 'contaminated' and 'eval' rows must exist
+    even when those populations are empty (global agg, not
+    groupBy(lit))."""
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()["pipeline_eval_holdout"]
+    rows = {r["split"]: r for r in q(spark, sf_dir).collect()}
+    assert "contaminated" in rows and "eval" in rows
+    # and the empty-population shape directly: zero-row input still
+    # yields one zero row per named population
+    from machine_learning_with_spark_streaming_spark.operators.sampling import (  # noqa: F401
+        assign_split,
+    )
+    empty = spark.createDataFrame([], "doc_id long, source string, n_chars long")
+    agg = empty.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_groups"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("sum_chars"),
+    ).select(F.lit("contaminated").alias("split"), "n_docs", "n_groups", "sum_chars")
+    assert [tuple(r) for r in agg.collect()] == [("contaminated", 0, 0, 0)]

@@ -104,6 +104,8 @@ QUERIES = [
     "v16_referential_integrity",
     "sim_binary_hamming_topk",
     "a18_cube_grouping",
+    # round-7 additions
+    "dedup_semantic_k32",
 ]
 
 
