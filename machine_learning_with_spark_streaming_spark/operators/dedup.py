@@ -882,6 +882,8 @@ def source_overlap_matrix(
     consistently over the informative-shingle universe. Boilerplate
     present everywhere carries no overlap signal; removing it is the
     same estimate-sharpening trick as stop-word removal in IR."""
+    from pyspark.storagelevel import StorageLevel
+
     sh = (
         df.select(
             F.col(group_col).alias("grp"),
@@ -891,6 +893,13 @@ def source_overlap_matrix(
         .select("grp", md5_hash60(F.col("s")).alias("h"))
         .distinct()
     )
+    # 3-5 consumers (hot-set agg, sizes, both self-join sides): persist
+    # the distinct shingle table so the explode+distinct pass over the
+    # corpus runs ONCE — it was being recomputed per consumer, and that
+    # recomputation (not the pair join) dominated the 16x stress time
+    # (cluster-scale analog: materialize the shingle table, as the LSH
+    # index build does)
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     if max_shingle_groups is not None:
         # sh is distinct (grp, h): count(*) per h IS the group-DF
         hot = (
