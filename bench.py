@@ -176,6 +176,11 @@ EXTENDED += [
 # round-7 additions (first-baselined this round)
 EXTENDED += [
     "dedup_semantic_k32",
+    "v20_psi_drift",
+    "v21_benford_digits",
+    "w12_mom_pct_change",
+    "ml_corr_matrix",
+    "text_shingle_novelty",
 ]
 
 

@@ -351,3 +351,119 @@ def q_linear_trend(spark, sf_dir):
     intercept), closed-form from one aggregate pass."""
     ev = load_table(spark, sf_dir, "events")
     return linear_trend(ev, "event_type", "ts", "value").orderBy("event_type")
+
+
+# ------------- exact-sufficient-statistics Pearson correlation matrix
+
+_CORR_MEASURES = [
+    ("qty", "l_quantity", 1),          # integral units
+    ("price", "l_extendedprice", 100), # 2-dp -> exact cents
+    ("disc", "l_discount", 100),       # 2-dp fraction -> exact percent
+    ("tax", "l_tax", 100),
+]
+
+
+def corr_matrix_exact(df: DataFrame, measures=None) -> DataFrame:
+    """Pearson correlation matrix over fixed-point measure columns,
+    computed from EXACT integer sufficient statistics: every Σx, Σx²,
+    Σxy is summed as integers (decimal(38,0) — products of cents
+    overflow BIGINT at sf0.1 already), and only the final closed form
+
+        corr = (nΣxy - ΣxΣy) / sqrt((nΣx² - (Σx)²)(nΣy² - (Σy)²))
+
+    runs in floating point — on identical integer operands in both
+    engines, so the result is deterministic where engine-native
+    ``corr()`` implementations (streaming co-moment updates, order-
+    dependent) are not. The same trick as ml_linear_trend, upgraded
+    from "plain double sums + rounding" to bit-exact integer sums.
+
+    Scale shape: ONE aggregate pass computes all (2m + m(m+1)/2 + 1)
+    sums with map-side partials — no shuffle of rows, no per-pair scan;
+    the m(m-1)/2-row matrix is assembled from the single result row."""
+    measures = measures or _CORR_MEASURES
+    cols = {
+        name: F.round(F.col(src) * scale).cast("long")
+        for name, src, scale in measures
+    }
+    base = df
+    for _, src, _s in measures:
+        base = base.filter(F.col(src).isNotNull())
+    dec = lambda c: c.cast("decimal(18,0)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).alias("n")]
+    names = [m[0] for m in measures]
+    for a in names:
+        aggs.append(F.sum(dec(cols[a])).alias(f"s_{a}"))
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            aggs.append(
+                F.sum(dec(cols[a]) * dec(cols[b])).alias(f"s_{a}_{b}")
+            )
+    row = base.agg(*aggs)
+    nD = F.col("n").cast("double")
+    sD = lambda c: F.col(c).cast("double")  # noqa: E731
+    outs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            num = nD * sD(f"s_{a}_{b}") - sD(f"s_{a}") * sD(f"s_{b}")
+            var_a = nD * sD(f"s_{a}_{a}") - sD(f"s_{a}") * sD(f"s_{a}")
+            var_b = nD * sD(f"s_{b}_{b}") - sD(f"s_{b}") * sD(f"s_{b}")
+            outs.append(
+                row.select(
+                    F.lit(a).alias("m_a"),
+                    F.lit(b).alias("m_b"),
+                    F.col("n").cast("long").alias("n"),
+                    (
+                        F.round(num / F.sqrt(var_a * var_b), 6) + F.lit(0.0)
+                    ).alias("corr"),
+                )
+            )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _corr_oracle() -> str:
+    names = [m[0] for m in _CORR_MEASURES]
+    vals = ",\n         ".join(
+        f"CAST(round({src} * {scale}) AS HUGEINT) AS {name}"
+        for name, src, scale in _CORR_MEASURES
+    )
+    notnull = " AND ".join(f"{src} IS NOT NULL" for _, src, _s in _CORR_MEASURES)
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for a in names:
+        sums.append(f"sum({a}) AS s_{a}")
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            sums.append(f"sum({a} * {b}) AS s_{a}_{b}")
+    selects = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            num = (
+                f"(n::DOUBLE * s_{a}_{b}::DOUBLE - s_{a}::DOUBLE * s_{b}::DOUBLE)"
+            )
+            va = f"(n::DOUBLE * s_{a}_{a}::DOUBLE - s_{a}::DOUBLE * s_{a}::DOUBLE)"
+            vb = f"(n::DOUBLE * s_{b}_{b}::DOUBLE - s_{b}::DOUBLE * s_{b}::DOUBLE)"
+            selects.append(
+                f"SELECT '{a}' AS m_a, '{b}' AS m_b, n,\n"
+                f"       round({num} / sqrt({va} * {vb}), 6) + 0.0 AS corr\n"
+                f"FROM agg"
+            )
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH base AS (
+  SELECT {vals}
+  FROM lineitem WHERE {notnull}
+),
+agg AS (SELECT {", ".join(sums)} FROM base)
+{body}
+ORDER BY 1, 2
+"""
+
+
+@register("ml_corr_matrix", oracle=_corr_oracle())
+def q_corr_matrix(spark, sf_dir):
+    """Deterministic Pearson correlation matrix over the four lineitem
+    measures (integer-exact sufficient statistics, one aggregate pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return corr_matrix_exact(li).orderBy("m_a", "m_b")

@@ -2643,3 +2643,89 @@ def q_langid_confusion(spark, sf_dir):
         )
         .orderBy("true_lang", "pred_lang")
     )
+
+
+# ------------------- shingle novelty (first-occurrence content ratio)
+
+def shingle_novelty(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's DISTINCT shingles
+    whose corpus-wide first occurrence (min id) is this doc — the
+    curation signal behind "how much genuinely new content does this
+    document add", used for curriculum ordering and incremental-crawl
+    value scoring (near-1 docs are fresh content; near-0 docs are
+    recombinations of already-seen text). Deduplication's complement:
+    dedup asks "is the whole doc a copy", novelty measures copied
+    CONTENT mass at shingle granularity.
+
+    Scale shape: distinct (id, 60-bit shingle key) index (16-byte
+    shuffle rows, the dedup-family layout), min(id) per shingle (one
+    partial-agg shuffle on the key), equi-join back on the key, per-doc
+    count rollup. Everything integer except the final rounded ratio;
+    first-occurrence ties cannot happen (min over ids within one
+    shingle group is unique per group).
+
+    At 100 TB: both shuffles key on the shingle hash — AQE-balanced;
+    the join is index-sized, never text-sized. For incremental crawls
+    the min(id) table IS the persistent state: new batches probe it
+    (the dedup_incremental pattern) instead of recomputing the corpus."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(normalize_text(text_col), " ").alias("__ws"),
+        )
+        .select("id", F.explode(_grams_from_words(F.col("__ws"), n)).alias("s"))
+        .select("id", md5_hash60(F.col("s")).alias("h"))
+        .distinct()
+    )
+    firsts = sh.groupBy("h").agg(F.min("id").alias("first_id"))
+    per_doc = (
+        sh.join(firsts, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_id") == F.col("id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_shingles",
+        "n_novel",
+        (
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6) + F.lit(0.0)
+        ).alias("novelty"),
+    )
+
+
+_NOVELTY_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, {_WS} AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2]),
+                         1, 15))::BIGINT AS h
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g
+),
+firsts AS (SELECT h, min(doc_id) AS first_id FROM sh GROUP BY 1)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(sum(CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0 END)
+             / (1.0 * count(*)), 6) + 0.0 AS novelty
+FROM sh JOIN firsts f USING (h)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("text_shingle_novelty", oracle=_NOVELTY_ORACLE)
+def q_shingle_novelty(spark, sf_dir):
+    """Per-document novel-shingle fraction over the documents corpus
+    (first-occurrence by min doc_id)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return shingle_novelty(docs).orderBy("doc_id")

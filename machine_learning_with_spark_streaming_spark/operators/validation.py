@@ -1438,3 +1438,190 @@ def q_observed_metrics(spark, sf_dir):
         ],
         "n_rows long, n_pass long, n_violations long, n_kept_downstream long",
     )
+
+
+# ----------------------- V20: PSI (population stability index) drift
+
+PSI_BINS = 16
+
+
+def psi_drift(
+    df: DataFrame, value_col: str, old_cond: "F.Column", n_bins: int = PSI_BINS
+) -> DataFrame:
+    """Population Stability Index between the rows where ``old_cond``
+    holds (baseline) and the rest (current) — the industry-standard
+    model-monitoring drift score (PSI < 0.1 stable, 0.1-0.25 shifting,
+    > 0.25 drifted), complementing v14's raw histogram deltas and v17's
+    binning-free KS: PSI weights each bin's share shift by the
+    log-ratio, so it reacts to WHERE the mass moved, not just how much.
+
+    Bins are equi-width over the observed global min..max (both exact
+    data values, so bucket edges are bit-identical cross-engine).
+    Laplace smoothing ``(c+1)/(n+bins)`` keeps empty bins finite —
+    the standard fix, and deterministic. Per-bin terms are rounded to
+    6 dp BEFORE the total sums them: a sum of 16 arbitrary doubles is
+    summation-order-dependent across engines, but a sum of 6-dp-rounded
+    terms is ~1e-15 from a 6-dp lattice point and re-rounds identically.
+
+    Scale shape: one groupBy(bucket) after a broadcast (lo, hi) scalar —
+    two scans, no window, no sort; output is n_bins+1 rows regardless
+    of input size."""
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("v"),
+        F.when(old_cond, 1).otherwise(0).alias("is_old"),
+    )
+    lo, hi = base.agg(F.min("v"), F.max("v")).collect()[0]
+    if lo is None:
+        return df.sparkSession.createDataFrame(
+            [], "bin int, c_old long, c_new long, psi_term double"
+        )
+    width = (hi - lo) / n_bins or 1.0
+    b = F.least(
+        F.lit(n_bins - 1), F.floor((F.col("v") - F.lit(lo)) / F.lit(width))
+    ).cast("int")
+    counts = base.groupBy(b.alias("bin")).agg(
+        F.sum("is_old").cast("long").alias("c_old"),
+        (F.count(F.lit(1)) - F.sum("is_old")).cast("long").alias("c_new"),
+    )
+    n_old, n_new = counts.agg(F.sum("c_old"), F.sum("c_new")).collect()[0]
+    p_old = (F.col("c_old") + 1) / F.lit(float(n_old + n_bins))
+    p_new = (F.col("c_new") + 1) / F.lit(float(n_new + n_bins))
+    terms = counts.select(
+        "bin",
+        "c_old",
+        "c_new",
+        (F.round((p_new - p_old) * F.log(p_new / p_old), 6) + F.lit(0.0)).alias(
+            "psi_term"
+        ),
+    )
+    total = terms.agg(
+        F.lit(-1).cast("int").alias("bin"),
+        F.sum("c_old").cast("long").alias("c_old"),
+        F.sum("c_new").cast("long").alias("c_new"),
+        (F.round(F.sum("psi_term"), 6) + F.lit(0.0)).alias("psi_term"),
+    )
+    return terms.unionByName(total)
+
+
+_V20_ORACLE = f"""
+WITH base AS (
+  SELECT value AS v, CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS is_old
+  FROM events WHERE value IS NOT NULL
+),
+ext AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
+counts AS (
+  SELECT CAST(least({PSI_BINS - 1},
+              floor((v - lo) / (CASE WHEN (hi - lo) / {PSI_BINS} = 0
+                                     THEN 1.0 ELSE (hi - lo) / {PSI_BINS} END)))
+         AS INT) AS bin,
+         CAST(sum(is_old) AS BIGINT) AS c_old,
+         CAST(count(*) - sum(is_old) AS BIGINT) AS c_new
+  FROM base, ext GROUP BY 1
+),
+tot AS (SELECT sum(c_old) AS n_old, sum(c_new) AS n_new FROM counts),
+terms AS (
+  SELECT bin, c_old, c_new,
+         round(((c_new + 1) / (n_new + {PSI_BINS}.0)
+                - (c_old + 1) / (n_old + {PSI_BINS}.0))
+               * ln(((c_new + 1) / (n_new + {PSI_BINS}.0))
+                    / ((c_old + 1) / (n_old + {PSI_BINS}.0))), 6) + 0.0
+           AS psi_term
+  FROM counts, tot
+)
+SELECT * FROM terms
+UNION ALL
+SELECT CAST(-1 AS INT), CAST(sum(c_old) AS BIGINT), CAST(sum(c_new) AS BIGINT),
+       round(sum(psi_term), 6) + 0.0
+FROM terms
+ORDER BY 1
+"""
+
+
+@register("v20_psi_drift", oracle=_V20_ORACLE)
+def q_psi_drift(spark, sf_dir):
+    """PSI between first-half-of-month and second-half event values:
+    16 equi-width bins, Laplace-smoothed shares, per-bin terms plus the
+    bin=-1 total row."""
+    ev = load_table(spark, sf_dir, "events")
+    return psi_drift(ev, "value", F.dayofmonth("ts") <= 15).orderBy("bin")
+
+
+# --------------------- V21: Benford first-digit distribution audit
+
+# P(d) = log10(1 + 1/d), in exact ppm (rounded half-up at the 6th place)
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_digits(df: DataFrame, amount_col: str) -> DataFrame:
+    """First-significant-digit audit against Benford's law — the classic
+    anomaly screen for amount columns (fabricated or capped values skew
+    the leading-digit distribution). All-integer output: observed ppm by
+    integer division, expected ppm as committed literals, so the report
+    is bit-exact cross-engine.
+
+    The digit is taken from the DECIMAL STRING of the integer cents
+    (first character), not via log10 — floor(log10(x)) can flip at
+    exact powers of ten across engines; string heads cannot.
+
+    Scale shape: map + one groupBy over at most 9 keys (partial agg
+    does all the work map-side); the broadcast expected table is a
+    9-row literal."""
+    cents = F.round(F.col(amount_col) * 100).cast("long")
+    d = F.substring(F.abs(cents).cast("string"), 1, 1).cast("int")
+    base = df.filter(F.col(amount_col).isNotNull() & (F.abs(cents) > 0))
+    counts = base.groupBy(d.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    n = base.count()
+    exp = df.sparkSession.createDataFrame(
+        sorted(BENFORD_PPM.items()), "digit int, benford_ppm long"
+    )
+    obs_ppm = (F.col("n_obs") * 1000000) / F.lit(n)
+    return (
+        exp.join(F.broadcast(counts), "digit", "left")
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            F.floor(F.coalesce(obs_ppm, F.lit(0))).cast("long").alias("obs_ppm"),
+            "benford_ppm",
+            F.abs(
+                F.floor(F.coalesce(obs_ppm, F.lit(0))) - F.col("benford_ppm")
+            ).cast("long").alias("abs_delta_ppm"),
+        )
+    )
+
+
+def _benford_values() -> str:
+    return ", ".join(f"({d}, {p})" for d, p in sorted(BENFORD_PPM.items()))
+
+
+_V21_ORACLE = f"""
+WITH base AS (
+  SELECT substr(CAST(abs(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS VARCHAR), 1, 1)::INT AS digit
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+    AND abs(CAST(round(o_totalprice * 100) AS BIGINT)) > 0
+),
+counts AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM base GROUP BY 1),
+n AS (SELECT count(*) AS n FROM base),
+exp(digit, benford_ppm) AS (VALUES {_benford_values()})
+SELECT e.digit, CAST(coalesce(c.n_obs, 0) AS BIGINT) AS n_obs,
+       CAST(floor(coalesce(c.n_obs, 0) * 1000000.0 / n.n) AS BIGINT) AS obs_ppm,
+       CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+       CAST(abs(floor(coalesce(c.n_obs, 0) * 1000000.0 / n.n)
+                - e.benford_ppm) AS BIGINT) AS abs_delta_ppm
+FROM exp e LEFT JOIN counts c USING (digit), n
+ORDER BY 1
+"""
+
+
+@register("v21_benford_digits", oracle=_V21_ORACLE)
+def q_benford_digits(spark, sf_dir):
+    """Benford first-digit audit of order totals (integer-cents string
+    heads, all-ppm integer report)."""
+    od = load_table(spark, sf_dir, "orders")
+    return benford_digits(od, "o_totalprice").orderBy("digit")

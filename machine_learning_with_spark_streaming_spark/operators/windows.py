@@ -760,3 +760,78 @@ def q_ewma_smooth(spark, sf_dir):
     return ewma_smooth(ev, "event_type", "ts", "value").orderBy(
         "event_type", "day"
     )
+
+
+# --------------------- W12: month-over-month % change (time intelligence)
+
+def mom_pct_change(
+    df: DataFrame, key: str, date_col: str, amount_col: str
+) -> DataFrame:
+    """Period-over-period comparison — the DAX time-intelligence staple
+    (PREVIOUSMONTH / DIVIDE(cur - prev, prev), reference extracts'
+    month-on-month variance shape) as one monthly rollup plus a lag
+    window per key. Revenue is summed as exact integer cents; only the
+    final ratio is floating, guarded at the 0/absent baseline (NULL —
+    the v3/F7 zero-baseline rule).
+
+    Scale shape: the rollup shuffles once on (key, month) with map-side
+    partial sums; the lag window partitions by key over the tiny
+    month-level result — never over raw rows."""
+    monthly = (
+        df.filter(F.col(date_col).isNotNull())
+        .groupBy(
+            F.col(key),
+            F.date_trunc("month", F.col(date_col)).cast("date").alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col(amount_col) * 100).cast("long")).alias(
+                "revenue_cents"
+            )
+        )
+    )
+    w = Window.partitionBy(key).orderBy("month")
+    prev = F.lag("revenue_cents").over(w)
+    return monthly.select(
+        key,
+        "month",
+        "revenue_cents",
+        prev.alias("prev_cents"),
+        F.when(
+            prev.isNotNull() & (prev != 0),
+            F.round((F.col("revenue_cents") - prev) / prev, 6) + F.lit(0.0),
+        ).alias("pct_change"),
+    )
+
+
+_W12_ORACLE = """
+WITH monthly AS (
+  SELECT o_orderpriority AS priority,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders WHERE o_orderdate IS NOT NULL
+  GROUP BY 1, 2
+),
+lagged AS (
+  SELECT priority, month, revenue_cents,
+         lag(revenue_cents) OVER (PARTITION BY priority ORDER BY month)
+           AS prev_cents
+  FROM monthly
+)
+SELECT priority, month, revenue_cents, prev_cents,
+       CASE WHEN prev_cents IS NOT NULL AND prev_cents <> 0
+            THEN round((revenue_cents - prev_cents) / (1.0 * prev_cents), 6)
+                 + 0.0
+       END AS pct_change
+FROM lagged ORDER BY 1, 2
+"""
+
+
+@register("w12_mom_pct_change", oracle=_W12_ORACLE)
+def q_mom_pct_change(spark, sf_dir):
+    """Month-over-month revenue % change per order priority (exact
+    integer-cents rollup, guarded ratio)."""
+    od = load_table(spark, sf_dir, "orders")
+    return mom_pct_change(od, "o_orderpriority", "o_orderdate", "o_totalprice") \
+        .withColumnRenamed("o_orderpriority", "priority") \
+        .orderBy("priority", "month")

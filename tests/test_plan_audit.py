@@ -58,6 +58,13 @@ DOUBLE_OUTPUT_ALLOWLIST = {
     # same rounded cosine as dedup_semantic, k=32 artifact; swept green
     # at sf0.01 and sf0.1 --shuffle 5 (r7)
     "dedup_semantic_k32": ["centroid_sim"],
+    # r7 additions, all swept at sf0.1 --shuffle 5: 6-dp-rounded terms
+    # from exact-integer operands (PSI log-ratio terms; guarded MoM
+    # ratio; corr from integer sufficient statistics; novelty fraction)
+    "v20_psi_drift": ["psi_term"],
+    "w12_mom_pct_change": ["pct_change"],
+    "ml_corr_matrix": ["corr"],
+    "text_shingle_novelty": ["novelty"],
     "dedup_source_overlap": ["jaccard"],
     "diag_key_skew": ["share", "x_avg"],
     "emb_centroid_drift": ["cos_drift", "l2_shift"],

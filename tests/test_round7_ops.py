@@ -120,3 +120,104 @@ def test_eval_holdout_always_emits_named_populations(spark, sf_dir):
         F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("sum_chars"),
     ).select(F.lit("contaminated").alias("split"), "n_docs", "n_groups", "sum_chars")
     assert [tuple(r) for r in agg.collect()] == [("contaminated", 0, 0, 0)]
+
+
+def test_psi_drift_planted(spark):
+    """Identical distributions -> PSI ~= 0; a hard shift -> large PSI.
+    The bin=-1 total row equals the sum of the rounded per-bin terms."""
+    from machine_learning_with_spark_streaming_spark.operators.validation import psi_drift
+
+    same = spark.createDataFrame(
+        [(float(v), b) for v in range(32) for b in (True, False)],
+        "value double, old boolean",
+    )
+    rows = psi_drift(same, "value", F.col("old")).collect()
+    total = [r for r in rows if r["bin"] == -1][0]
+    assert total["c_old"] == total["c_new"] == 32
+    assert abs(total["psi_term"]) < 1e-6
+
+    shifted = spark.createDataFrame(
+        [(float(v), True) for v in range(16)]
+        + [(float(v) + 16, False) for v in range(16)],
+        "value double, old boolean",
+    )
+    rows = psi_drift(shifted, "value", F.col("old")).collect()
+    total = [r for r in rows if r["bin"] == -1][0]
+    assert total["psi_term"] > 1.0  # fully disjoint mass => big index
+    per_bin_sum = round(sum(r["psi_term"] for r in rows if r["bin"] >= 0), 6)
+    assert abs(total["psi_term"] - per_bin_sum) < 2e-6
+
+    empty = spark.createDataFrame([], "value double, old boolean")
+    assert psi_drift(empty, "value", F.col("old")).count() == 0
+
+
+def test_benford_digits_planted(spark):
+    from machine_learning_with_spark_streaming_spark.operators.validation import (
+        benford_digits,
+    )
+
+    # 30 values starting with 1, 10 with 2, none with 9; zero excluded
+    rows = [(float(10 + i % 5),) for i in range(30)] + [(25.0,)] * 10 + [(0.0,)]
+    df = spark.createDataFrame(rows, "amt double")
+    got = {r["digit"]: r for r in benford_digits(df, "amt").collect()}
+    assert set(got) == set(range(1, 10))  # all 9 digits always present
+    assert got[1]["n_obs"] == 30 and got[2]["n_obs"] == 10
+    assert got[9]["n_obs"] == 0 and got[9]["obs_ppm"] == 0
+    assert got[1]["obs_ppm"] == 750000  # 30/40 exactly
+    assert got[1]["abs_delta_ppm"] == 750000 - 301030
+
+
+def test_mom_pct_change_planted(spark):
+    from machine_learning_with_spark_streaming_spark.operators.windows import (
+        mom_pct_change,
+    )
+    import datetime as dt
+
+    rows = [
+        ("A", dt.date(2024, 1, 5), 100.0),
+        ("A", dt.date(2024, 1, 20), 100.0),
+        ("A", dt.date(2024, 2, 1), 300.0),
+        ("B", dt.date(2024, 1, 1), 50.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, d date, amt double")
+    got = {
+        (r["k"], str(r["month"])): r
+        for r in mom_pct_change(df, "k", "d", "amt").collect()
+    }
+    assert got[("A", "2024-01-01")]["revenue_cents"] == 20000
+    assert got[("A", "2024-01-01")]["pct_change"] is None  # no baseline
+    assert got[("A", "2024-02-01")]["pct_change"] == 0.5  # 300 vs 200
+    assert got[("B", "2024-01-01")]["pct_change"] is None
+
+
+def test_corr_matrix_exact_planted(spark):
+    from machine_learning_with_spark_streaming_spark.ml.examples import corr_matrix_exact
+
+    # y = 2x exactly -> corr 1; z = -x -> corr -1 with both
+    rows = [(float(i), float(2 * i), float(-i)) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    meas = [("x", "x", 1), ("y", "y", 1), ("z", "z", 1)]
+    got = {
+        (r["m_a"], r["m_b"]): r["corr"]
+        for r in corr_matrix_exact(df, meas).collect()
+    }
+    assert got[("x", "y")] == 1.0
+    assert got[("x", "z")] == -1.0
+    assert got[("y", "z")] == -1.0
+
+
+def test_shingle_novelty_planted(spark):
+    from machine_learning_with_spark_streaming_spark.operators.text import shingle_novelty
+
+    a = "w1 w2 w3 w4 w5"          # 3 shingles, all first-seen in doc 1
+    b = "w1 w2 w3 w4 w5 x1 x2"    # repeats a's 3 + 2 new
+    c = "z1 z2 z3"                # 1 shingle, all new
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in shingle_novelty(df).collect()}
+    assert (got[1]["n_shingles"], got[1]["n_novel"]) == (3, 3)
+    assert got[1]["novelty"] == 1.0
+    assert (got[2]["n_shingles"], got[2]["n_novel"]) == (5, 2)
+    assert got[2]["novelty"] == 0.4
+    assert got[3]["novelty"] == 1.0

@@ -271,18 +271,24 @@ def stream_stress(spark, dst: str, files_per_trigger: list[int]) -> dict:
 
 def main() -> None:
     # --docs=64 builds/uses a sibling dir with N-times documents (facts
-    # stay 8x) — the r4 64x sublinearity check for the dedup chain
-    docs_mult, dst, runs = 16, DST, 2
+    # stay 8x) — the r4 64x sublinearity check for the dedup chain.
+    # --facts=64 scales lineitem/orders/events/embeddings instead (docs
+    # stay 16x) — the r7 64x check for the fact-table operator families.
+    docs_mult, facts_mult, dst, runs = 16, 8, DST, 2
     for a in sys.argv[1:]:
         if a.startswith("--docs="):
             docs_mult = int(a.split("=", 1)[1])
             if docs_mult != 16:
                 dst = f"{DST}{docs_mult}"
+        if a.startswith("--facts="):
+            facts_mult = int(a.split("=", 1)[1])
+            if facts_mult != 8:
+                dst = f"{DST}f{facts_mult}"
         if a.startswith("--runs="):
             runs = int(a.split("=", 1)[1])
     if not os.path.isdir(dst) or "--rebuild" in sys.argv:
         shutil.rmtree(dst, ignore_errors=True)
-        build(dst=dst, docs_mult=docs_mult)
+        build(dst=dst, docs_mult=docs_mult, facts_mult=facts_mult)
     if "--build" in sys.argv:
         print(json.dumps({"built": dst}))
         return
