@@ -181,6 +181,9 @@ EXTENDED += [
     "w12_mom_pct_change",
     "ml_corr_matrix",
     "text_shingle_novelty",
+    "j16_asof_tolerance_join",
+    "dedup_minhash_calibration",
+    "emb_dim_stats",
 ]
 
 

@@ -1184,3 +1184,125 @@ def q_incremental_minhash(spark, sf_dir):
     )
     batch = near.unionByName(exact)
     return incremental_minhash_dedup(batch, base).orderBy("doc_id", "dup_of")
+
+
+# -------------- MinHash estimator calibration (estimate vs exact report)
+
+CAL_NUM_HASHES = 16
+
+
+def minhash_md5_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = CAL_NUM_HASHES,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """MinHash signatures from the md5-60-bit hash family — statistically
+    the same estimator as the xxhash64 production family in
+    :func:`minhash_signatures`, but derivable verbatim in ANSI SQL, so
+    the whole estimate can be oracle-checked (xxhash64 has no DuckDB
+    equivalent; estimator math shouldn't be certified only by the
+    engine that computed it)."""
+    sh = shingle_table(df, text_col, id_col, n).select(
+        "id", F.explode("sh").alias("shingle")
+    )
+    mins = [
+        F.min(
+            md5_hash60(F.concat(F.lit(f"{i}|"), F.col("shingle")))
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*mins)
+
+
+def minhash_calibration(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = CAL_NUM_HASHES,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Measure, don't guess — for every verified near-dup pair, the
+    MinHash ESTIMATE (fraction of agreeing signature components, the
+    unbiased Jaccard estimator with stderr ≈ sqrt(J(1-J)/k)) next to the
+    EXACT Jaccard, plus the absolute error. This is the calibration
+    report that justifies a signature width before a 100 TB run commits
+    to it: if p95(abs_err) at k=16 is too wide for the dedup threshold,
+    widen k BEFORE the fleet burns a corpus pass on a bad index.
+
+    Scale shape: exact pairs come from the certified inverted-index
+    path (bounded by the stop-shingle cut); signatures are one
+    aggregate over exploded shingles; the report join touches pair
+    rows only. est = k_agree/num_hashes is an exact dyadic rational —
+    bit-identical cross-engine; abs_err subtracts two identically
+    rounded doubles."""
+    pairs = jaccard_pairs(
+        df, text_col, id_col, threshold=threshold, max_shingle_df=50
+    )
+    sig = minhash_md5_signatures(df, text_col, id_col, num_hashes)
+    a = sig.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"h{i}").alias(f"__a{i}") for i in range(num_hashes)],
+    )
+    b = sig.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"h{i}").alias(f"__b{i}") for i in range(num_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("jaccard").alias("exact_j"),
+            agree.cast("long").alias("k_agree"),
+            (F.round(agree / F.lit(num_hashes), 6) + F.lit(0.0)).alias("est_j"),
+            (
+                F.round(
+                    F.abs(agree / F.lit(num_hashes) - F.col("jaccard")), 6
+                )
+                + F.lit(0.0)
+            ).alias("abs_err"),
+        )
+    )
+
+
+def _cal_oracle() -> str:
+    k = CAL_NUM_HASHES
+    seeds = ", ".join(f"({i})" for i in range(k))
+    return f"""
+WITH {_JACCARD_PAIRS_CTES},
+seeds(i) AS (VALUES {seeds}),
+sig AS (
+  SELECT doc_id, i,
+         min(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || shingle),
+                             1, 15))::BIGINT) AS h
+  FROM sh, seeds GROUP BY 1, 2
+),
+agree AS (
+  SELECT p.id_a, p.id_b, p.jaccard,
+         CAST(sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS BIGINT)
+           AS k_agree
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.id_a
+  JOIN sig sb ON sb.doc_id = p.id_b AND sb.i = sa.i
+  GROUP BY 1, 2, 3
+)
+SELECT id_a, id_b, jaccard AS exact_j, k_agree,
+       round(k_agree / {k}.0, 6) + 0.0 AS est_j,
+       round(abs(k_agree / {k}.0 - jaccard), 6) + 0.0 AS abs_err
+FROM agree ORDER BY 1, 2
+"""
+
+
+@register("dedup_minhash_calibration", oracle=_cal_oracle())
+def q_minhash_calibration(spark, sf_dir):
+    """MinHash estimate-vs-exact calibration over the verified near-dup
+    pairs of the injected-duplicate corpus (md5 hash family, k=16)."""
+    corpus = corpus_with_duplicates(spark, sf_dir)
+    return minhash_calibration(corpus).orderBy("id_a", "id_b")

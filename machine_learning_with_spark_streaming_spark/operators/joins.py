@@ -356,10 +356,17 @@ def asof_join(
     right_time: str,
     value_cols: dict[str, str],
     strict: bool = False,
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """J10 (beyond the reference surface): backward as-of join — attach to
     each left row the most recent right row at-or-before its timestamp
     (``strict=True``: strictly before), per join key.
+
+    ``tolerance_seconds`` (timestamp times only) is the feature-store
+    staleness bound: a match older than the tolerance is nulled out, as
+    if no right row existed — "don't serve features staler than X". The
+    carried payload always embeds the matched right timestamp, so the
+    bound is a post-window column predicate: zero extra shuffles.
 
     Spark has no AS OF join operator; the naive range-join formulation
     (``l.key = r.key AND r.t <= l.t`` + max-per-group) explodes into one
@@ -381,7 +388,9 @@ def asof_join(
     boundaries with a second pass over per-bucket tails.
     """
     r_ord, l_ord = (0, 1) if not strict else (1, 0)
-    payload = F.struct(*[F.col(c) for c in value_cols])
+    payload = F.struct(
+        *[F.col(c) for c in value_cols], F.col(right_time).alias("__rt")
+    )
     rt = right.select(
         *[F.col(k) for k in on],
         F.col(right_time).alias("__t"),
@@ -402,10 +411,22 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
-    return matched.filter(F.col("__is_left")).select(
-        *left.columns,
-        *[F.col(f"__m.{src}").alias(dst) for src, dst in value_cols.items()],
-    )
+    if tolerance_seconds is not None:
+        # cast handles TIMESTAMP_NTZ inputs (session tz is pinned UTC,
+        # so NTZ -> TIMESTAMP is exact epoch math, no DST seam)
+        fresh = (
+            F.unix_micros(F.col("__t").cast("timestamp"))
+            - F.unix_micros(F.col("__m.__rt").cast("timestamp"))
+        ) <= F.lit(int(tolerance_seconds) * 1_000_000)
+        out_cols = [
+            F.when(fresh, F.col(f"__m.{src}")).alias(dst)
+            for src, dst in value_cols.items()
+        ]
+    else:
+        out_cols = [
+            F.col(f"__m.{src}").alias(dst) for src, dst in value_cols.items()
+        ]
+    return matched.filter(F.col("__is_left")).select(*left.columns, *out_cols)
 
 
 _J10_ORACLE = """
@@ -864,3 +885,76 @@ def q_fuzzy_symspell_join(spark, sf_dir):
         "clean_key",
         F.col("dist").cast("int").alias("dist"),
     ).orderBy("dirty_key", "clean_key")
+
+
+# ------------- J16: as-of join with a staleness tolerance (feature-store)
+
+ASOF_TOLERANCE_DAYS = 30
+
+
+_J16_ORACLE = f"""
+WITH ded AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                              ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+),
+matched AS (
+  SELECT l.o_orderkey, l.o_custkey,
+         CAST(l.o_orderdate AS TIMESTAMP) AS o_orderdate,
+         r.o_orderkey AS mk, r.o_totalprice AS mp, r.o_orderdate AS mt
+  FROM orders l ASOF LEFT JOIN ded r
+    ON l.o_custkey = r.o_custkey AND l.o_orderdate > r.o_orderdate
+)
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CASE WHEN epoch_us(o_orderdate) - epoch_us(mt)
+                 <= CAST({ASOF_TOLERANCE_DAYS} AS BIGINT) * 86400 * 1000000
+            THEN mk END AS prev_order_key,
+       CASE WHEN epoch_us(o_orderdate) - epoch_us(mt)
+                 <= CAST({ASOF_TOLERANCE_DAYS} AS BIGINT) * 86400 * 1000000
+            THEN round(mp, 2) END AS prev_order_price
+FROM matched ORDER BY 1
+"""
+
+
+@register("j16_asof_tolerance_join", oracle=_J16_ORACLE)
+def q_asof_tolerance_join(spark, sf_dir):
+    """J16: the j10 self as-of join under a 30-day staleness bound — the
+    feature-store serving rule ("never attach a feature value older than
+    the freshness SLA"). Matches staler than the tolerance are nulled as
+    if absent; the bound is a post-window predicate on the payload's
+    embedded match timestamp, so the plan is byte-identical to j10's
+    single-shuffle union-window shape — no extra join, no range
+    explosion. Exact-microsecond arithmetic on both engines (calendar
+    datediff semantics differ cross-engine; epoch math cannot)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    ded = (
+        orders.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    out = asof_join(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        ded,
+        on=["o_custkey"],
+        left_time="o_orderdate",
+        right_time="o_orderdate",
+        value_cols={
+            "o_orderkey": "prev_order_key",
+            "o_totalprice": "prev_order_price",
+        },
+        strict=True,
+        tolerance_seconds=ASOF_TOLERANCE_DAYS * 86400,
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "prev_order_key",
+        F.round("prev_order_price", 2).alias("prev_order_price"),
+    ).orderBy("o_orderkey")

@@ -1449,3 +1449,69 @@ def q_binary_hamming_topk(spark, sf_dir):
     return hamming_topk(sig, sig.filter(F.col("vec_id") < BIN_N_QUERIES)).orderBy(
         "query_id", "rank"
     )
+
+
+# ------------------- per-dimension embedding health stats (exact nano)
+
+def embedding_dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension mean/std of an embedding column — the feature-health
+    report behind whitening decisions, dead-dimension detection (std≈0),
+    and PCA/PQ preprocessing sanity ("is dimension 7 carrying 100x the
+    variance"). Pairs with emb_centroid_drift: that tracks the corpus
+    centroid over time, this profiles the geometry within one snapshot.
+
+    Exactness: components are FLOORED to integer nano-units before any
+    sum (the pq.py ADC discipline), so Σx and Σx² are exact integers
+    (decimal(38) / HUGEINT — squares of nano-units overflow BIGINT) and
+    mean/std are one deterministic double expression over identical
+    operands in both engines. Engine-native stddev is a streaming
+    co-moment — order-dependent — and would not certify.
+
+    Scale shape: posexplode + one groupBy(dim) with map-side partials;
+    output is exactly DIM rows at any corpus size."""
+    e = df.select(F.posexplode(as_double_array(vec_col)).alias("dim", "__x"))
+    nano = F.floor(F.col("__x") * F.lit(1e9)).cast("decimal(18,0)")
+    agg = e.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(nano).alias("s"),
+        F.sum(nano * nano).alias("ss"),
+    )
+    nD = F.col("n").cast("double")
+    sD = F.col("s").cast("double")
+    ssD = F.col("ss").cast("double")
+    return agg.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").cast("long").alias("n"),
+        (F.round(sD / nD / F.lit(1e9), 6) + F.lit(0.0)).alias("mean"),
+        (
+            F.round(F.sqrt(nD * ssD - sD * sD) / nD / F.lit(1e9), 6)
+            + F.lit(0.0)
+        ).alias("std"),
+    )
+
+
+_DIM_STATS_ORACLE = """
+WITH e AS (
+  SELECT g.i - 1 AS dim,
+         CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1e9) AS HUGEINT) AS nano
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+),
+agg AS (
+  SELECT dim, count(*) AS n, sum(nano) AS s, sum(nano * nano) AS ss
+  FROM e GROUP BY 1
+)
+SELECT CAST(dim AS INT) AS dim, CAST(n AS BIGINT) AS n,
+       round(s::DOUBLE / n::DOUBLE / 1e9, 6) + 0.0 AS mean,
+       round(sqrt(n::DOUBLE * ss::DOUBLE - s::DOUBLE * s::DOUBLE)
+             / n::DOUBLE / 1e9, 6) + 0.0 AS std
+FROM agg ORDER BY 1
+"""
+
+
+@register("emb_dim_stats", oracle=_DIM_STATS_ORACLE)
+def q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension mean/std profile of the embeddings table (exact
+    integer-nano sufficient statistics, 64 output rows)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dim_stats(emb).orderBy("dim")

@@ -65,6 +65,9 @@ DOUBLE_OUTPUT_ALLOWLIST = {
     "w12_mom_pct_change": ["pct_change"],
     "ml_corr_matrix": ["corr"],
     "text_shingle_novelty": ["novelty"],
+    "j16_asof_tolerance_join": ["prev_order_price"],  # as j10
+    "dedup_minhash_calibration": ["exact_j", "est_j", "abs_err"],
+    "emb_dim_stats": ["mean", "std"],
     "dedup_source_overlap": ["jaccard"],
     "diag_key_skew": ["share", "x_avg"],
     "emb_centroid_drift": ["cos_drift", "l2_shift"],

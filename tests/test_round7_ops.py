@@ -221,3 +221,75 @@ def test_shingle_novelty_planted(spark):
     assert (got[2]["n_shingles"], got[2]["n_novel"]) == (5, 2)
     assert got[2]["novelty"] == 0.4
     assert got[3]["novelty"] == 1.0
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """Matches older than the tolerance are nulled as if absent; fresh
+    matches are untouched; no-match rows stay null."""
+    import datetime as dt
+
+    from machine_learning_with_spark_streaming_spark.operators.joins import asof_join
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "k", t(10)), (2, "k", t(20)), (3, "k", t(2)), (4, "x", t(5))],
+        "lid long, k string, lt timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", t(8), 80.0), ("k", t(1), 10.0)],
+        "k string, rt timestamp, val double",
+    )
+    out = {
+        r["lid"]: r["prev_val"]
+        for r in asof_join(
+            left, right, on=["k"], left_time="lt", right_time="rt",
+            value_cols={"val": "prev_val"},
+            tolerance_seconds=5 * 86400,
+        ).collect()
+    }
+    assert out[1] == 80.0        # 2 days old: fresh
+    assert out[2] is None        # best match (day 8) is 12 days old: stale
+    assert out[3] == 10.0        # 1 day old: fresh
+    assert out[4] is None        # key never seen
+    # without tolerance the stale match comes back
+    out2 = {
+        r["lid"]: r["prev_val"]
+        for r in asof_join(
+            left, right, on=["k"], left_time="lt", right_time="rt",
+            value_cols={"val": "prev_val"},
+        ).collect()
+    }
+    assert out2[2] == 80.0
+
+
+def test_minhash_calibration_exact_copy_agrees_fully(spark):
+    """An exact copy agrees on every signature component (est 1.0,
+    abs_err 0 against exact Jaccard 1.0); estimates are k_agree/16."""
+    from machine_learning_with_spark_streaming_spark.operators.dedup import (
+        minhash_calibration,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, base)], "doc_id long, text string"
+    )
+    rows = minhash_calibration(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["exact_j"] == 1.0 and r["k_agree"] == 16
+    assert r["est_j"] == 1.0 and r["abs_err"] == 0.0
+
+
+def test_embedding_dim_stats_planted(spark):
+    from machine_learning_with_spark_streaming_spark.operators.similarity import (
+        embedding_dim_stats,
+    )
+
+    # dim0 constant 2.0 (std 0), dim1 = +/-1 (mean 0, std 1)
+    df = spark.createDataFrame(
+        [([2.0, 1.0],), ([2.0, -1.0],)], "embedding array<double>"
+    )
+    got = {r["dim"]: r for r in embedding_dim_stats(df).collect()}
+    assert got[0]["n"] == 2 and got[0]["mean"] == 2.0 and got[0]["std"] == 0.0
+    assert got[1]["mean"] == 0.0 and got[1]["std"] == 1.0

@@ -106,6 +106,9 @@ QUERIES = [
     "a18_cube_grouping",
     # round-7 additions
     "dedup_semantic_k32",
+    "text_shingle_novelty",
+    "dedup_minhash_calibration",
+    "ml_corr_matrix",
 ]
 
 
