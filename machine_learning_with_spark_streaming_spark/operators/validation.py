@@ -1576,6 +1576,14 @@ def benford_digits(df: DataFrame, amount_col: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_obs")
     )
     n = base.count()
+    if n == 0:
+        # no nonzero amounts: emit the 9 expected rows with zero
+        # observations instead of dividing by zero
+        return df.sparkSession.createDataFrame(
+            [(dd, 0, 0, p, p) for dd, p in sorted(BENFORD_PPM.items())],
+            "digit int, n_obs long, obs_ppm long, benford_ppm long, "
+            "abs_delta_ppm long",
+        )
     exp = df.sparkSession.createDataFrame(
         sorted(BENFORD_PPM.items()), "digit int, benford_ppm long"
     )

@@ -293,3 +293,15 @@ def test_embedding_dim_stats_planted(spark):
     got = {r["dim"]: r for r in embedding_dim_stats(df).collect()}
     assert got[0]["n"] == 2 and got[0]["mean"] == 2.0 and got[0]["std"] == 0.0
     assert got[1]["mean"] == 0.0 and got[1]["std"] == 1.0
+
+
+def test_benford_digits_empty_input(spark):
+    from machine_learning_with_spark_streaming_spark.operators.validation import (
+        benford_digits,
+    )
+
+    empty = spark.createDataFrame([(0.0,), (None,)], "amt double")
+    rows = {r["digit"]: r for r in benford_digits(empty, "amt").collect()}
+    assert set(rows) == set(range(1, 10))
+    assert all(r["n_obs"] == 0 and r["obs_ppm"] == 0 for r in rows.values())
+    assert rows[1]["abs_delta_ppm"] == 301030
