@@ -184,6 +184,9 @@ EXTENDED += [
     "j16_asof_tolerance_join",
     "dedup_minhash_calibration",
     "emb_dim_stats",
+    "a19_share_of_total",
+    "v22_time_gap_report",
+    "graph_triangle_count",
 ]
 
 

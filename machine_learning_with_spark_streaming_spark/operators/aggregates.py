@@ -17,7 +17,7 @@ from __future__ import annotations
 from functools import reduce
 from operator import add
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from machine_learning_with_spark_streaming_spark.registry import register
@@ -516,3 +516,70 @@ def q_cube_grouping(spark, sf_dir):
         )
         .orderBy("g_seg", "g_nat", "c_mktsegment", "c_nationkey")
     )
+
+
+# --------------- A19: share-of-parent / share-of-total (DAX ALL parity)
+
+def share_of_total(
+    df: DataFrame, group: str, sub: str, amount_cents: "F.Column"
+) -> DataFrame:
+    """Percent-of-parent and percent-of-grand-total in one pass — the
+    DAX ``DIVIDE(SUM(x), CALCULATE(SUM(x), ALL(...)))`` /
+    ``ALLEXCEPT`` measure family (the reference's Power BI reports lean
+    on these shapes; myDAXExtracts re-expressed them as ratios over
+    rollups). One aggregate to the (group, sub) grain, then two window
+    sums over that SMALL result — never a second scan of the fact, and
+    the windows partition by group (or nothing) over rollup-sized rows,
+    so the single-partition window on the grand total is over
+    |groups x subs| rows, not the corpus.
+
+    Integer cents until the two final rounded ratios. The grand total
+    joins back as a broadcast 1-row aggregate rather than an
+    empty-partition window (a SinglePartition window is the plan
+    audit's canonical reject, even over rollup-sized input)."""
+    g = df.groupBy(F.col(group).alias("grp"), F.col(sub).alias("sub")).agg(
+        F.sum(amount_cents).alias("cents")
+    )
+    w_grp = Window.partitionBy("grp")
+    total = g.agg(F.sum("cents").alias("__total"))
+    return g.crossJoin(F.broadcast(total)).select(
+        "grp",
+        "sub",
+        "cents",
+        (
+            F.round(F.col("cents") / F.sum("cents").over(w_grp), 6)
+            + F.lit(0.0)
+        ).alias("share_of_group"),
+        (
+            F.round(F.col("cents") / F.col("__total"), 6) + F.lit(0.0)
+        ).alias("share_of_total"),
+    )
+
+
+_A19_ORACLE = """
+WITH g AS (
+  SELECT o_orderpriority AS grp, o_orderstatus AS sub,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT grp, sub, cents,
+       round(cents / (1.0 * sum(cents) OVER (PARTITION BY grp)), 6) + 0.0
+         AS share_of_group,
+       round(cents / (1.0 * sum(cents) OVER ()), 6) + 0.0 AS share_of_total
+FROM g ORDER BY 1, 2
+"""
+
+
+@register("a19_share_of_total", oracle=_A19_ORACLE)
+def q_share_of_total(spark, sf_dir):
+    """Revenue share of each order status within its priority, and of
+    the grand total (exact-cents rollup, two window sums over the
+    15-row result)."""
+    od = load_table(spark, sf_dir, "orders")
+    return share_of_total(
+        od,
+        "o_orderpriority",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+    ).orderBy("grp", "sub")

@@ -349,3 +349,120 @@ def q_cluster_stats(spark, sf_dir):
         )
         .orderBy("cluster_size")
     )
+
+
+# ------------------- triangle counting (degree-ordered orientation)
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact triangle count over an undirected edge table (``a < b``
+    per row, no duplicates) — the clustering-coefficient numerator and
+    the classic community-density signal over co-occurrence graphs.
+
+    Algorithm: degree-ordered orientation (the MapReduce-era standard —
+    Suri & Vassilvitskii 2011 "Counting triangles and the curse of the
+    last reducer"). Every edge is directed from its (degree, id)-lexico
+    smaller endpoint to the larger; each triangle then has exactly ONE
+    vertex with two out-edges, so counting wedges u→v, u→w (v < w) and
+    probing the undirected edge set for (v, w) counts each triangle
+    once. The wedge intermediate is Σ outdeg(u)² with outdeg bounded by
+    O(sqrt(m)) — the orientation exists precisely to cap the hub
+    blow-up a naive Σ deg² self-join suffers (the "last reducer"). All
+    joins are equi-joins on vertex ids; AQE handles residual skew.
+
+    Returns one row: (n_nodes, n_edges, n_triangles)."""
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    lower_is_a = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("w"),
+        )
+    )
+    o1 = oriented.select(F.col("u"), F.col("w").alias("x"))
+    o2 = oriented.select(F.col("u"), F.col("w").alias("y"))
+    wedges = o1.join(o2, "u").filter(F.col("x") < F.col("y"))
+    closing = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tri = wedges.join(closing, ["x", "y"])
+    return (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes"))))
+        .crossJoin(
+            F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+        )
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+        )
+    )
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Distinct co-purchase part pairs (same order, ``a < b``) — the
+    market-basket graph. The pair join is per-order (bounded by order
+    size², ~7 lines max in TPC-H-shaped data), never cross-order."""
+    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("pa"), li.alias("pb")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa.l_partkey") < F.col("pb.l_partkey"))
+        .select(
+            F.col("pa.l_partkey").alias("a"), F.col("pb.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+
+
+_TRIANGLE_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT pa.l_partkey AS a, pb.l_partkey AS b
+  FROM li pa JOIN li pb
+    ON pa.l_orderkey = pb.l_orderkey AND pa.l_partkey < pb.l_partkey
+),
+deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+  ) GROUP BY 1
+),
+oriented AS (
+  SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS u,
+         CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS w
+  FROM edges e
+  JOIN deg da ON da.v = e.a
+  JOIN deg db ON db.v = e.b
+),
+wedges AS (
+  SELECT o1.u, o1.w AS x, o2.w AS y
+  FROM oriented o1 JOIN oriented o2 ON o1.u = o2.u AND o1.w < o2.w
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM wedges t JOIN edges e ON e.a = t.x AND e.b = t.y
+)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST(n_triangles AS BIGINT) AS n_triangles
+FROM tri
+"""
+
+
+@register("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
+def q_triangle_count(spark, sf_dir):
+    """Triangle count of the part co-purchase graph (degree-ordered
+    orientation — each triangle counted exactly once)."""
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return triangle_count(copurchase_edges(li))

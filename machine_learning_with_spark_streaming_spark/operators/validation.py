@@ -1633,3 +1633,68 @@ def q_benford_digits(spark, sf_dir):
     heads, all-ppm integer report)."""
     od = load_table(spark, sf_dir, "orders")
     return benford_digits(od, "o_totalprice").orderBy("digit")
+
+
+# ---------------- V22: time-series continuity gap report (missing days)
+
+def time_gap_report(
+    df: DataFrame, key: str, ts_col: str
+) -> DataFrame:
+    """Missing-day gaps per key — the continuity audit run BEFORE
+    gap-filling ops (r5 LOCF / r6 interpolation) decide what to fill,
+    and the ingestion-health check that catches a feed that silently
+    skipped days. One distinct-days aggregate, then a lead() window per
+    key over day-level rows (≤ span-days per key, never raw events);
+    each output row is one contiguous hole: (gap_start, gap_end,
+    n_missing_days). All dates and integer day counts — bit-exact."""
+    days = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(F.col(key).alias("k"), F.col(ts_col).cast("date").alias("d"))
+        .distinct()
+    )
+    nxt = F.lead("d").over(Window.partitionBy("k").orderBy("d"))
+    return (
+        days.withColumn("__next", nxt)
+        .filter(F.datediff("__next", F.col("d")) > 1)
+        .select(
+            F.col("k").alias(key),
+            F.date_add(F.col("d"), 1).alias("gap_start"),
+            F.date_sub(F.col("__next"), 1).alias("gap_end"),
+            (F.datediff("__next", F.col("d")) - 1)
+            .cast("long")
+            .alias("n_missing_days"),
+        )
+    )
+
+
+_V22_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS d
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND user_id % 29 = 0
+),
+g AS (
+  SELECT k, d, lead(d) OVER (PARTITION BY k ORDER BY d) AS nxt
+  FROM days
+)
+SELECT CAST(k AS BIGINT) AS user_id,
+       CAST(d + INTERVAL 1 DAY AS DATE) AS gap_start,
+       CAST(nxt - INTERVAL 1 DAY AS DATE) AS gap_end,
+       CAST(datediff('day', d, nxt) - 1 AS BIGINT) AS n_missing_days
+FROM g
+WHERE datediff('day', d, nxt) > 1
+ORDER BY 1, 2
+"""
+
+
+@register("v22_time_gap_report", oracle=_V22_ORACLE)
+def q_time_gap_report(spark, sf_dir):
+    """Per-USER activity-gap report (users are the naturally sparse
+    key — per-event-type days are gapless at every SF): each row is one
+    contiguous run of missing days in a user's activity. A fixed
+    user_id % 29 slice keeps the report inspection-sized while both
+    engines see the identical feed."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & (F.col("user_id") % 29 == 0)
+    )
+    return time_gap_report(ev, "user_id", "ts").orderBy("user_id", "gap_start")

@@ -68,6 +68,7 @@ DOUBLE_OUTPUT_ALLOWLIST = {
     "j16_asof_tolerance_join": ["prev_order_price"],  # as j10
     "dedup_minhash_calibration": ["exact_j", "est_j", "abs_err"],
     "emb_dim_stats": ["mean", "std"],
+    "a19_share_of_total": ["share_of_group", "share_of_total"],
     "dedup_source_overlap": ["jaccard"],
     "diag_key_skew": ["share", "x_avg"],
     "emb_centroid_drift": ["cos_drift", "l2_shift"],

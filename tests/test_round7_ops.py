@@ -305,3 +305,58 @@ def test_benford_digits_empty_input(spark):
     assert set(rows) == set(range(1, 10))
     assert all(r["n_obs"] == 0 and r["obs_ppm"] == 0 for r in rows.values())
     assert rows[1]["abs_delta_ppm"] == 301030
+
+
+def test_share_of_total_planted(spark):
+    from machine_learning_with_spark_streaming_spark.operators.aggregates import (
+        share_of_total,
+    )
+
+    rows = [("A", "x", 1.0), ("A", "y", 3.0), ("B", "x", 4.0)]
+    df = spark.createDataFrame(rows, "g string, s string, amt double")
+    got = {
+        (r["grp"], r["sub"]): r
+        for r in share_of_total(
+            df, "g", "s", F.round(F.col("amt") * 100).cast("long")
+        ).collect()
+    }
+    assert got[("A", "x")]["share_of_group"] == 0.25
+    assert got[("A", "y")]["share_of_group"] == 0.75
+    assert got[("B", "x")]["share_of_group"] == 1.0
+    assert got[("A", "x")]["share_of_total"] == 0.125
+    assert got[("B", "x")]["share_of_total"] == 0.5
+    # shares partition: per-group sums to 1, total sums to 1
+    assert round(sum(r["share_of_total"] for r in got.values()), 6) == 1.0
+
+
+def test_time_gap_report_planted(spark):
+    import datetime as dt
+
+    from machine_learning_with_spark_streaming_spark.operators.validation import (
+        time_gap_report,
+    )
+
+    t = lambda d: dt.datetime(2024, 3, d, 12)  # noqa: E731
+    rows = [(1, t(1)), (1, t(2)), (1, t(5)), (1, t(5)), (2, t(1))]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp")
+    got = time_gap_report(df, "uid", "ts").collect()
+    assert len(got) == 1  # one hole; duplicate days collapse; key 2 has none
+    r = got[0]
+    assert r["uid"] == 1
+    assert str(r["gap_start"]) == "2024-03-03"
+    assert str(r["gap_end"]) == "2024-03-04"
+    assert r["n_missing_days"] == 2
+
+
+def test_triangle_count_planted(spark):
+    from machine_learning_with_spark_streaming_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} has 4 triangles; pendant edge (4,5) adds none
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(k4 + [(4, 5)], "a long, b long")
+    r = triangle_count(edges).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (5, 7, 4)
+
+    # no edges between components -> zero triangles
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a long, b long")
+    assert triangle_count(path).collect()[0]["n_triangles"] == 0

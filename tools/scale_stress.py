@@ -109,6 +109,7 @@ QUERIES = [
     "text_shingle_novelty",
     "dedup_minhash_calibration",
     "ml_corr_matrix",
+    "graph_triangle_count",
 ]
 
 
