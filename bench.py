@@ -187,6 +187,8 @@ EXTENDED += [
     "a19_share_of_total",
     "v22_time_gap_report",
     "graph_triangle_count",
+    "emb_whiten_frozen",
+    "pipeline_drift_monitor",
 ]
 
 

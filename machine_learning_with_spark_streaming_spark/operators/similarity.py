@@ -1515,3 +1515,77 @@ def q_embedding_dim_stats(spark, sf_dir):
     integer-nano sufficient statistics, 64 output rows)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_dim_stats(emb).orderBy("dim")
+
+
+# ------------------- frozen whitening (standardize on committed stats)
+
+def whiten_frozen(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension standardization ``(x - mean) / std`` against the
+    FROZEN corpus statistics (tools/freeze_whiten.py — computed with the
+    certified ``emb_dim_stats`` integer-nano sums, committed as
+    literals). Whitening is the preprocessing step that makes euclidean
+    ANN and PCA behave when dimensions carry wildly different variance;
+    freezing the stats is the production contract — the serving path
+    must standardize with the TRAINING-time statistics, not the current
+    batch's (train/serve skew otherwise). Completes the embedding
+    preprocessing ladder: l2-normalize, PCA, int8, PQ, matryoshka,
+    1-bit — and now whiten.
+
+    Map-only (two zip_with against literal arrays); the certified
+    outputs are each vector's whitened component-sum and norm via the
+    same sequential fold the cosine family certifies (list_dot_product
+    mirror)."""
+    from machine_learning_with_spark_streaming_spark.functions.vectors import dot
+    from machine_learning_with_spark_streaming_spark.functions.whiten_artifacts import (
+        WHITEN_MEAN,
+        WHITEN_STD,
+    )
+
+    m = F.array(*[F.lit(float(v)) for v in WHITEN_MEAN])
+    s = F.array(*[F.lit(float(v)) for v in WHITEN_STD])
+    w = F.zip_with(
+        F.zip_with(as_double_array(vec_col), m, lambda x, mu: x - mu),
+        s,
+        lambda v, sd: v / sd,
+    )
+    ones = F.array(*[F.lit(1.0) for _ in WHITEN_MEAN])
+    return df.select(
+        "vec_id",
+        (F.round(dot(w, ones), 6) + F.lit(0.0)).alias("w_sum"),
+        (F.round(F.sqrt(dot(w, w)), 6) + F.lit(0.0)).alias("w_norm"),
+    )
+
+
+def _whiten_oracle() -> str:
+    from machine_learning_with_spark_streaming_spark.functions.whiten_artifacts import (
+        WHITEN_MEAN,
+        WHITEN_STD,
+    )
+
+    dim = len(WHITEN_MEAN)
+    m = "[" + ", ".join(repr(x) for x in WHITEN_MEAN) + "]"
+    s = "[" + ", ".join(repr(x) for x in WHITEN_STD) + "]"
+    ones = "[" + ", ".join("1.0" for _ in WHITEN_MEAN) + "]"
+    return f"""
+WITH consts AS (
+  SELECT CAST({m} AS DOUBLE[]) AS m, CAST({s} AS DOUBLE[]) AS s
+),
+w AS (
+  SELECT vec_id,
+         list_transform(range(1, {dim + 1}),
+           i -> (CAST(embedding[i] AS DOUBLE) - m[i]) / s[i]) AS wv
+  FROM embeddings, consts
+)
+SELECT vec_id,
+       round(list_dot_product(wv, CAST({ones} AS DOUBLE[])), 6) + 0.0 AS w_sum,
+       round(sqrt(list_dot_product(wv, wv)), 6) + 0.0 AS w_norm
+FROM w ORDER BY 1
+"""
+
+
+@register("emb_whiten_frozen", oracle=_whiten_oracle())
+def q_whiten_frozen(spark, sf_dir):
+    """Whitened-embedding summary per vector against the frozen
+    training-time statistics (map-only; fold-certified sums)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return whiten_frozen(emb).orderBy("vec_id")

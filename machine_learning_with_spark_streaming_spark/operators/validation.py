@@ -1698,3 +1698,129 @@ def q_time_gap_report(spark, sf_dir):
         F.col("user_id").isNotNull() & (F.col("user_id") % 29 == 0)
     )
     return time_gap_report(ev, "user_id", "ts").orderBy("user_id", "gap_start")
+
+
+# ---------------- drift monitor: KS + PSI + L1 on one split, one report
+
+DRIFT_KS_ALARM = 0.1
+DRIFT_PSI_ALARM = 0.25
+DRIFT_L1_PPM_ALARM = 200000
+
+
+def drift_monitor(
+    df: DataFrame, value_col: str, old_cond: "F.Column"
+) -> DataFrame:
+    """One drift verdict table from the three certified gates run on the
+    SAME baseline/current split: KS (binning-free max ECDF gap — most
+    sensitive to location shifts), PSI (log-weighted share movement —
+    the industry gate with standard thresholds), and the L1 histogram
+    distance in ppm (the blunt total-variation bound). Monitoring runs
+    all three because they disagree usefully: KS fires on a median
+    shift PSI smooths over; PSI fires on tail mass L1 underweights.
+
+    Each gate's statistic is computed by the SAME code path its
+    standalone certification covers (`ks_drift`, `psi_drift`; L1 derives
+    from psi_drift's own bin counts) — the composition adds thresholds
+    and the union, nothing numeric. Output: (gate, value, alarm)."""
+    ks = ks_drift(df, value_col, old_cond).select(
+        F.lit("ks_d").alias("gate"),
+        F.col("ks_d").alias("value"),
+        (F.col("ks_d") > DRIFT_KS_ALARM).cast("int").alias("alarm"),
+    )
+    psi_rows = psi_drift(df, value_col, old_cond)
+    psi = psi_rows.filter(F.col("bin") == -1).select(
+        F.lit("psi").alias("gate"),
+        F.col("psi_term").alias("value"),
+        (F.col("psi_term") > DRIFT_PSI_ALARM).cast("int").alias("alarm"),
+    )
+    bins = psi_rows.filter(F.col("bin") >= 0)
+    tot = bins.agg(
+        F.sum("c_old").alias("t_old"), F.sum("c_new").alias("t_new")
+    )
+    l1 = (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            F.abs(
+                F.expr("c_new * 1000000L div t_new")
+                - F.expr("c_old * 1000000L div t_old")
+            ).alias("__d")
+        )
+        .agg(
+            F.lit("l1_ppm").alias("gate"),
+            F.sum("__d").cast("double").alias("value"),
+        )
+        .select(
+            "gate",
+            "value",
+            (F.col("value") > DRIFT_L1_PPM_ALARM).cast("int").alias("alarm"),
+        )
+    )
+    return ks.unionByName(psi).unionByName(l1)
+
+
+def _drift_monitor_oracle() -> str:
+    # shares the v17/v20 CTE math on the identical split; the composition
+    # re-derives each statistic the way its standalone oracle does
+    return f"""
+WITH base AS (
+  SELECT value AS v, CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS is_old
+  FROM events WHERE value IS NOT NULL
+),
+g AS (
+  SELECT v, CAST(sum(is_old) AS BIGINT) AS c_old,
+         CAST(count(*) - sum(is_old) AS BIGINT) AS c_new
+  FROM base GROUP BY 1
+),
+tot AS (SELECT sum(c_old) AS n_old, sum(c_new) AS n_new FROM g),
+c AS (
+  SELECT CAST(sum(c_old) OVER (ORDER BY v) AS BIGINT) AS cum_old,
+         CAST(sum(c_new) OVER (ORDER BY v) AS BIGINT) AS cum_new
+  FROM g
+),
+ks AS (
+  SELECT round(max(abs(cum_old * n_new - cum_new * n_old))
+               / (1.0 * n_old * n_new), 6) + 0.0 AS ks_d
+  FROM c, tot GROUP BY n_old, n_new
+),
+ext AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
+counts AS (
+  SELECT CAST(least({PSI_BINS - 1},
+              floor((v - lo) / (CASE WHEN (hi - lo) / {PSI_BINS} = 0
+                                     THEN 1.0 ELSE (hi - lo) / {PSI_BINS} END)))
+         AS INT) AS bin,
+         CAST(sum(is_old) AS BIGINT) AS c_old,
+         CAST(count(*) - sum(is_old) AS BIGINT) AS c_new
+  FROM base, ext GROUP BY 1
+),
+ctot AS (SELECT sum(c_old) AS n_old, sum(c_new) AS n_new FROM counts),
+terms AS (
+  SELECT round(((c_new + 1) / (n_new + {PSI_BINS}.0)
+                - (c_old + 1) / (n_old + {PSI_BINS}.0))
+               * ln(((c_new + 1) / (n_new + {PSI_BINS}.0))
+                    / ((c_old + 1) / (n_old + {PSI_BINS}.0))), 6) AS t,
+         abs((c_new * 1000000) // n_new - (c_old * 1000000) // n_old) AS d
+  FROM counts, ctot
+),
+psi AS (SELECT round(sum(t), 6) + 0.0 AS psi FROM terms),
+l1 AS (SELECT CAST(sum(d) AS DOUBLE) + 0.0 AS l1 FROM terms)
+SELECT 'ks_d' AS gate, ks_d AS value,
+       CAST(CASE WHEN ks_d > {DRIFT_KS_ALARM} THEN 1 ELSE 0 END AS INT)
+         AS alarm FROM ks
+UNION ALL
+SELECT 'psi', psi,
+       CAST(CASE WHEN psi > {DRIFT_PSI_ALARM} THEN 1 ELSE 0 END AS INT)
+FROM psi
+UNION ALL
+SELECT 'l1_ppm', l1,
+       CAST(CASE WHEN l1 > {DRIFT_L1_PPM_ALARM} THEN 1 ELSE 0 END AS INT)
+FROM l1
+ORDER BY 1
+"""
+
+
+@register("pipeline_drift_monitor", oracle=_drift_monitor_oracle())
+def q_drift_monitor(spark, sf_dir):
+    """The three drift gates (KS, PSI, L1-ppm) on the first-vs-second
+    half-of-month event-value split, as one thresholded verdict table."""
+    ev = load_table(spark, sf_dir, "events")
+    return drift_monitor(ev, "value", F.dayofmonth("ts") <= 15).orderBy("gate")

@@ -69,6 +69,8 @@ DOUBLE_OUTPUT_ALLOWLIST = {
     "dedup_minhash_calibration": ["exact_j", "est_j", "abs_err"],
     "emb_dim_stats": ["mean", "std"],
     "a19_share_of_total": ["share_of_group", "share_of_total"],
+    "emb_whiten_frozen": ["w_sum", "w_norm"],
+    "pipeline_drift_monitor": ["value"],
     "dedup_source_overlap": ["jaccard"],
     "diag_key_skew": ["share", "x_avg"],
     "emb_centroid_drift": ["cos_drift", "l2_shift"],

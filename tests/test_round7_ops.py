@@ -360,3 +360,61 @@ def test_triangle_count_planted(spark):
     # no edges between components -> zero triangles
     path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a long, b long")
     assert triangle_count(path).collect()[0]["n_triangles"] == 0
+
+
+def test_whiten_frozen_standardizes(spark):
+    """Whitening with the frozen stats: a vector equal to the frozen
+    MEAN whitens to all-zeros (w_sum = w_norm = 0); mean + 1*std
+    whitens to all-ones (w_sum = 64, w_norm = 8)."""
+    from machine_learning_with_spark_streaming_spark.functions.whiten_artifacts import (
+        WHITEN_MEAN,
+        WHITEN_STD,
+    )
+    from machine_learning_with_spark_streaming_spark.operators.similarity import (
+        whiten_frozen,
+    )
+
+    rows = [
+        (0, [float(m) for m in WHITEN_MEAN]),
+        (1, [float(m + s) for m, s in zip(WHITEN_MEAN, WHITEN_STD)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in whiten_frozen(df).collect()}
+    assert got[0]["w_sum"] == 0.0 and got[0]["w_norm"] == 0.0
+    assert got[1]["w_sum"] == 64.0 and got[1]["w_norm"] == 8.0
+
+
+def test_drift_monitor_gates_and_thresholds(spark):
+    import datetime as dt
+
+    from machine_learning_with_spark_streaming_spark.operators.validation import (
+        drift_monitor,
+    )
+
+    # disjoint halves -> every gate alarms
+    rows = [(float(v), dt.datetime(2024, 6, 1)) for v in range(100)] + [
+        (float(v) + 1000, dt.datetime(2024, 6, 20)) for v in range(100)
+    ]
+    df = spark.createDataFrame(rows, "value double, ts timestamp")
+    got = {
+        r["gate"]: r
+        for r in drift_monitor(df, "value", F.dayofmonth("ts") <= 15).collect()
+    }
+    assert set(got) == {"ks_d", "psi", "l1_ppm"}
+    assert got["ks_d"]["value"] == 1.0 and got["ks_d"]["alarm"] == 1
+    assert got["psi"]["alarm"] == 1 and got["l1_ppm"]["alarm"] == 1
+
+    # identical halves -> no gate alarms
+    same = spark.createDataFrame(
+        [
+            (float(v % 50), dt.datetime(2024, 6, 1 if v < 100 else 20))
+            for v in range(200)
+        ],
+        "value double, ts timestamp",
+    )
+    got2 = {
+        r["gate"]: r
+        for r in drift_monitor(same, "value", F.dayofmonth("ts") <= 15).collect()
+    }
+    assert all(r["alarm"] == 0 for r in got2.values())
+    assert got2["ks_d"]["value"] == 0.0
