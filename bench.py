@@ -189,6 +189,7 @@ EXTENDED += [
     "graph_triangle_count",
     "emb_whiten_frozen",
     "pipeline_drift_monitor",
+    "ml_tree_score",
 ]
 
 

@@ -467,3 +467,70 @@ def q_corr_matrix(spark, sf_dir):
     measures (integer-exact sufficient statistics, one aggregate pass)."""
     li = load_table(spark, sf_dir, "lineitem")
     return corr_matrix_exact(li).orderBy("m_a", "m_b")
+
+
+# ---------------- frozen-tree scoring: model-to-SQL compilation
+
+def tree_score_column(x: "F.Column") -> "F.Column":
+    """Compile the frozen decision tree (functions/tree_artifacts.py)
+    into ONE nested when/otherwise expression over a double-array
+    column — in-database model serving (the feature-store trick of
+    shipping small trees as SQL so scoring rides the scan, no model
+    runtime, no UDF, full whole-stage codegen). Routing is MLlib's
+    ``x[feature] <= threshold -> left``; the oracle compiles the SAME
+    committed node table to a nested CASE, so the entire decision
+    surface is hash-certified — any mistranslated threshold or swapped
+    branch flips predictions and fails the gate."""
+    from machine_learning_with_spark_streaming_spark.functions.tree_artifacts import TREE_NODES
+
+    def compile_node(nid: int) -> "F.Column":
+        _nid, feat, thr, left, right, pred = TREE_NODES[nid]
+        if feat == -1:
+            return F.lit(int(pred))
+        return F.when(
+            F.element_at(x, feat + 1) <= F.lit(float(thr)), compile_node(left)
+        ).otherwise(compile_node(right))
+
+    return compile_node(0)
+
+
+def _tree_case_sql(x: str) -> str:
+    from machine_learning_with_spark_streaming_spark.functions.tree_artifacts import TREE_NODES
+
+    def compile_node(nid: int) -> str:
+        _nid, feat, thr, left, right, pred = TREE_NODES[nid]
+        if feat == -1:
+            return str(int(pred))
+        return (
+            f"CASE WHEN CAST({x}[{feat + 1}] AS DOUBLE) <= {thr!r} "
+            f"THEN {compile_node(left)} ELSE {compile_node(right)} END"
+        )
+
+    return compile_node(0)
+
+
+def _tree_oracle() -> str:
+    return f"""
+SELECT vec_id, CAST(label AS INT) AS label,
+       CAST({_tree_case_sql('embedding')} AS INT) AS pred,
+       CAST(CASE WHEN {_tree_case_sql('embedding')} = label
+                 THEN 1 ELSE 0 END AS INT) AS correct
+FROM embeddings ORDER BY 1
+"""
+
+
+@register("ml_tree_score", oracle=_tree_oracle())
+def q_tree_score(spark, sf_dir):
+    """Frozen decision tree scored as one compiled when-chain over the
+    embeddings table (29-node maxDepth-4 artifact; per-row prediction +
+    correctness flag, whole decision surface hash-certified)."""
+    from machine_learning_with_spark_streaming_spark.functions.vectors import as_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = tree_score_column(as_double_array("embedding"))
+    return emb.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        pred.cast("int").alias("pred"),
+        (pred == F.col("label")).cast("int").alias("correct"),
+    ).orderBy("vec_id")

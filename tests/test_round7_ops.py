@@ -418,3 +418,33 @@ def test_drift_monitor_gates_and_thresholds(spark):
     }
     assert all(r["alarm"] == 0 for r in got2.values())
     assert got2["ks_d"]["value"] == 0.0
+
+
+def test_tree_score_compilation_faithful_to_mllib(spark, sf_dir):
+    """The compiled when-chain must route exactly like the artifact's
+    node table: replay the tree in plain Python per row and compare."""
+    from machine_learning_with_spark_streaming_spark.functions.tree_artifacts import TREE_NODES
+    from machine_learning_with_spark_streaming_spark.functions.vectors import as_double_array
+    from machine_learning_with_spark_streaming_spark.ml.examples import tree_score_column
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    def py_score(vec):
+        nid = 0
+        while True:
+            _n, feat, thr, left, right, pred = TREE_NODES[nid]
+            if feat == -1:
+                return pred
+            nid = left if float(vec[feat]) <= thr else right
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    rows = emb.select(
+        "vec_id", "embedding",
+        tree_score_column(as_double_array("embedding")).alias("pred"),
+    ).collect()
+    assert len(rows) == 200
+    for r in rows:
+        assert r["pred"] == py_score(r["embedding"]), r["vec_id"]
+    # structural sanity of the frozen artifact
+    leaves = [n for n in TREE_NODES if n[1] == -1]
+    assert len(TREE_NODES) == 2 * len(leaves) - 1  # proper binary tree
+    assert {n[0] for n in TREE_NODES} == set(range(len(TREE_NODES)))
