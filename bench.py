@@ -207,7 +207,13 @@ def run_query(df) -> None:
 
 
 def main() -> None:
-    spark = get_session("machine-learning-with-spark-streaming-bench")
+    # progress-bar rendering costs ~0.1 s of wall time per timed query
+    # (measured r7: 14-query headline 13.6 s with the bar vs 12.05
+    # without, same plans) — terminal I/O, not query work; exclude it
+    spark = get_session(
+        "machine-learning-with-spark-streaming-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     queries = entry_mod.queries()
     names = [n for n in HEADLINE + EXTENDED if n in queries]
 
