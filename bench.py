@@ -190,6 +190,7 @@ EXTENDED += [
     "emb_whiten_frozen",
     "pipeline_drift_monitor",
     "ml_tree_score",
+    "sample_balanced_classes",
 ]
 
 

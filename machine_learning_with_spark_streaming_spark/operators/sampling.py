@@ -1541,3 +1541,74 @@ def q_eval_holdout(spark, sf_dir):
         .unionByName(summarize(bench, "eval"))
         .orderBy("split")
     )
+
+
+# ------------- exact class rebalancing (downsample to minority count)
+
+def balanced_downsample(
+    df: DataFrame, label_col: str, id_col: str = "vec_id", seed: int = 0
+) -> DataFrame:
+    """Deterministic per-class downsampling to the MINORITY class count —
+    the classifier-training rebalance (imbalanced labels make accuracy a
+    lie; exact balancing is the blunt, reproducible fix, and the
+    deterministic md5 rank makes the kept set a pure function of
+    (id, seed): re-runs, retries, and the DuckDB oracle all select the
+    byte-identical sample — the property `F.sampleBy` cannot give).
+
+    Scale shape: one count-per-label aggregate (broadcast, |labels|
+    rows), then a rank window PARTITIONED BY LABEL over md5(id#seed) —
+    per-label sorts, never a global one; a hot label is one partition's
+    sort, the map-side md5 is the only per-row work. Returns the kept
+    rows as (label, id, rk) — downstream joins fetch payloads by id, so
+    the shuffle moves 16-byte rows."""
+    keyed = df.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("id"),
+        md5_hash60(
+            F.concat(F.col(id_col).cast("string"), F.lit(f"#bal{seed}"))
+        ).alias("__h"),
+    )
+    n_min = F.broadcast(
+        keyed.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.min("__n").alias("__n_min"))
+    )
+    w = Window.partitionBy("label").orderBy("__h", "id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .crossJoin(n_min)
+        .filter(F.col("rk") <= F.col("__n_min"))
+        .select("label", "id", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+_BALANCED_ORACLE = """
+WITH keyed AS (
+  SELECT label, vec_id AS id,
+         ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#bal0'), 1, 15))::BIGINT
+           AS h
+  FROM embeddings
+),
+n_min AS (
+  SELECT min(n) AS n_min FROM (
+    SELECT count(*) AS n FROM keyed GROUP BY label
+  )
+),
+ranked AS (
+  SELECT label, id,
+         row_number() OVER (PARTITION BY label ORDER BY h, id) AS rk
+  FROM keyed
+)
+SELECT CAST(label AS INT) AS label, CAST(id AS BIGINT) AS id,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked, n_min WHERE rk <= n_min
+ORDER BY 1, 3
+"""
+
+
+@register("sample_balanced_classes", oracle=_BALANCED_ORACLE)
+def q_balanced_downsample(spark, sf_dir):
+    """Exact per-label downsample of the embeddings corpus to the
+    minority class count (md5-ranked, byte-identical cross-engine)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return balanced_downsample(emb, "label").orderBy("label", "rk")

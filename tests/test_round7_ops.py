@@ -448,3 +448,29 @@ def test_tree_score_compilation_faithful_to_mllib(spark, sf_dir):
     leaves = [n for n in TREE_NODES if n[1] == -1]
     assert len(TREE_NODES) == 2 * len(leaves) - 1  # proper binary tree
     assert {n[0] for n in TREE_NODES} == set(range(len(TREE_NODES)))
+
+
+def test_balanced_downsample_exact_counts_and_determinism(spark):
+    from machine_learning_with_spark_streaming_spark.operators.sampling import (
+        balanced_downsample,
+    )
+
+    rows = [(i, i % 3 if i < 90 else 0) for i in range(120)]  # label 0 hot
+    df = spark.createDataFrame(rows, "vec_id long, label int")
+    out = balanced_downsample(df, "label").collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["label"], []).append(r["id"])
+    # every class downsampled to the minority count (30 each for 1,2)
+    assert {k: len(v) for k, v in by_label.items()} == {0: 30, 1: 30, 2: 30}
+    # deterministic: second run selects the identical ids
+    out2 = balanced_downsample(df, "label").collect()
+    assert {(r["label"], r["id"]) for r in out} == {
+        (r["label"], r["id"]) for r in out2
+    }
+    # a different seed selects a different (but equally sized) sample
+    out3 = balanced_downsample(df, "label", seed=1).collect()
+    assert len(out3) == len(out)
+    assert {(r["label"], r["id"]) for r in out3} != {
+        (r["label"], r["id"]) for r in out
+    }
