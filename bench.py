@@ -191,6 +191,7 @@ EXTENDED += [
     "pipeline_drift_monitor",
     "ml_tree_score",
     "sample_balanced_classes",
+    "s11_drift_monitor_stream",
 ]
 
 

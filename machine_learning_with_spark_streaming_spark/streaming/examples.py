@@ -1209,3 +1209,177 @@ def q_jdbc_upsert_stream(spark, sf_dir):
     )
     shutil.rmtree(work, ignore_errors=True)
     return final
+
+
+# ------------- streaming drift monitor (per-batch PSI vs frozen baseline)
+
+_DRIFT_STREAM_BINS = 16
+
+_DRIFT_STREAM_ORACLE = f"""
+WITH base AS (
+  SELECT value AS v FROM events WHERE value IS NOT NULL AND day(ts) <= 15
+),
+ext AS (
+  SELECT min(v) AS lo, max(v) AS hi,
+         CASE WHEN (max(v) - min(v)) / {_DRIFT_STREAM_BINS} = 0 THEN 1.0
+              ELSE (max(v) - min(v)) / {_DRIFT_STREAM_BINS} END AS w
+  FROM base
+),
+nb AS (SELECT count(*) AS n_base FROM base),
+bc AS (
+  SELECT CAST(greatest(0, least({_DRIFT_STREAM_BINS - 1},
+              floor((v - lo) / w))) AS INT) AS bin,
+         count(*) AS c
+  FROM base, ext GROUP BY 1
+),
+cur AS (
+  SELECT CASE WHEN day(ts) <= 20 THEN 0
+              WHEN day(ts) <= 25 THEN 1 ELSE 2 END AS batch_idx,
+         value AS v
+  FROM events WHERE value IS NOT NULL AND day(ts) >= 16
+),
+cc AS (
+  SELECT batch_idx,
+         CAST(greatest(0, least({_DRIFT_STREAM_BINS - 1},
+              floor((v - lo) / w))) AS INT) AS bin,
+         count(*) AS c
+  FROM cur, ext GROUP BY 1, 2
+),
+nn AS (SELECT batch_idx, sum(c) AS n_batch FROM cc GROUP BY 1),
+grid AS (
+  SELECT b.batch_idx, g.bin
+  FROM (SELECT DISTINCT batch_idx FROM cc) b,
+       (SELECT unnest(range({_DRIFT_STREAM_BINS})) AS bin) g
+),
+terms AS (
+  SELECT grid.batch_idx,
+         round(((coalesce(cc.c, 0) + 1) / (nn.n_batch + {_DRIFT_STREAM_BINS}.0)
+                - (coalesce(bc.c, 0) + 1) / (nb.n_base + {_DRIFT_STREAM_BINS}.0))
+               * ln(((coalesce(cc.c, 0) + 1) / (nn.n_batch + {_DRIFT_STREAM_BINS}.0))
+                    / ((coalesce(bc.c, 0) + 1) / (nb.n_base + {_DRIFT_STREAM_BINS}.0))),
+               6) AS t
+  FROM grid
+  LEFT JOIN cc ON cc.batch_idx = grid.batch_idx AND cc.bin = grid.bin
+  LEFT JOIN bc ON bc.bin = grid.bin
+  JOIN nn ON nn.batch_idx = grid.batch_idx
+  CROSS JOIN nb
+)
+SELECT CAST(t.batch_idx AS BIGINT) AS batch_idx,
+       CAST(nn.n_batch AS BIGINT) AS n_rows,
+       round(sum(t.t), 6) + 0.0 AS psi
+FROM terms t JOIN nn ON nn.batch_idx = t.batch_idx
+GROUP BY 1, nn.n_batch ORDER BY 1
+"""
+
+
+@register("s11_drift_monitor_stream", oracle=_DRIFT_STREAM_ORACLE)
+def q_drift_monitor_stream(spark, sf_dir):
+    """Training-serving drift monitoring on a stream: a REAL
+    3-micro-batch run where each arriving batch's value distribution is
+    scored (PSI, Laplace-smoothed, 6-dp-rounded terms) against a FROZEN
+    baseline — bin edges and bin counts from the first half of the
+    month, exactly the production contract where the baseline comes
+    from training time and never moves with the traffic. Batches are
+    the second half staged as three day-range files (ordered ingest),
+    so the per-batch verdicts are whole-input-reproducible and the
+    oracle recomputes them from the same day buckets.
+
+    Retry idempotence: per-batch dynamic-partition overwrite keyed by
+    batch_id (the foreach_batch_append_idempotent pattern), and the
+    baseline rides into the sink as plain literal rows — no outer-
+    session DataFrames in the closure."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.filter(F.dayofmonth("ts") <= 15).select(F.col("value").alias("v"))
+    lo, hi = base.agg(F.min("v"), F.max("v")).collect()[0]
+    width = (hi - lo) / _DRIFT_STREAM_BINS or 1.0
+    bin_col = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(_DRIFT_STREAM_BINS - 1),
+            F.floor((F.col("v") - F.lit(lo)) / F.lit(width)),
+        ),
+    ).cast("int")
+    base_counts = {
+        r["bin"]: r["c"]
+        for r in base.groupBy(bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }  # bounded: <= 16 rows
+    n_base = sum(base_counts.values())
+    baseline_rows = [
+        (b, int(base_counts.get(b, 0))) for b in range(_DRIFT_STREAM_BINS)
+    ]
+
+    work = tempfile.mkdtemp(prefix="mlwss_driftstream_")
+    stage, out_dir = f"{work}/stage", f"{work}/out"
+    cur = ev.filter(F.dayofmonth("ts") >= 16).select("ts", F.col("value"))
+    stage_ordered_files(
+        [
+            cur.filter(F.dayofmonth("ts") <= 20),
+            cur.filter((F.dayofmonth("ts") >= 21) & (F.dayofmonth("ts") <= 25)),
+            cur.filter(F.dayofmonth("ts") >= 26),
+        ],
+        stage,
+    )
+    spark.createDataFrame(
+        [], "n_rows long, psi double, batch_id long"
+    ).write.partitionBy("batch_id").parquet(out_dir)
+
+    nbins = _DRIFT_STREAM_BINS
+
+    def sink(batch_df, batch_id):
+        ss = batch_df.sparkSession
+        bgrid = ss.createDataFrame(baseline_rows, "bin int, bc long")
+        counts = (
+            batch_df.select(F.col("value").alias("v"))
+            .groupBy(bin_col.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        joined = F.broadcast(bgrid).join(counts, "bin", "left").select(
+            "bin", "bc", F.coalesce("c", F.lit(0)).alias("c")
+        )
+        n_batch = joined.agg(F.sum("c")).collect()[0][0]
+        p_b = (F.col("c") + 1) / F.lit(float(n_batch + nbins))
+        p_base = (F.col("bc") + 1) / F.lit(float(n_base + nbins))
+        verdict = (
+            joined.select(
+                F.round((p_b - p_base) * F.log(p_b / p_base), 6).alias("t")
+            )
+            .agg(
+                F.lit(int(n_batch)).cast("long").alias("n_rows"),
+                (F.round(F.sum("t"), 6) + F.lit(0.0)).alias("psi"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .localCheckpoint(eager=True)
+        )
+        prev = ss.conf.get("spark.sql.sources.partitionOverwriteMode")
+        ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            verdict.write.mode("overwrite").partitionBy("batch_id").parquet(
+                out_dir
+            )
+        finally:
+            ss.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    q = (
+        spark.readStream.schema("ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{work}/ckpt_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.read.schema("n_rows long, psi double, batch_id long")
+        .parquet(out_dir)
+        .select(F.col("batch_id").cast("long").alias("batch_idx"), "n_rows", "psi")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out.orderBy("batch_idx")

@@ -71,6 +71,7 @@ DOUBLE_OUTPUT_ALLOWLIST = {
     "a19_share_of_total": ["share_of_group", "share_of_total"],
     "emb_whiten_frozen": ["w_sum", "w_norm"],
     "pipeline_drift_monitor": ["value"],
+    "s11_drift_monitor_stream": ["psi"],
     "dedup_source_overlap": ["jaccard"],
     "diag_key_skew": ["share", "x_avg"],
     "emb_centroid_drift": ["cos_drift", "l2_shift"],

@@ -474,3 +474,22 @@ def test_balanced_downsample_exact_counts_and_determinism(spark):
     assert {(r["label"], r["id"]) for r in out3} != {
         (r["label"], r["id"]) for r in out
     }
+
+
+def test_drift_monitor_stream_real_batches(spark, sf_dir):
+    """The streaming drift monitor emits one verdict per staged
+    micro-batch, batch indices 0..2, with finite PSI and the batch row
+    counts reconciling to the second-half event count."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["s11_drift_monitor_stream"](spark, sf_dir).collect()
+    assert [r["batch_idx"] for r in rows] == [0, 1, 2]
+    assert all(r["psi"] is not None and r["psi"] >= 0.0 for r in rows)
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (F.dayofmonth("ts") >= 16))
+        .count()
+    )
+    assert sum(r["n_rows"] for r in rows) == expected
