@@ -192,6 +192,7 @@ EXTENDED += [
     "ml_tree_score",
     "sample_balanced_classes",
     "s11_drift_monitor_stream",
+    "graph_pagerank",
 ]
 
 

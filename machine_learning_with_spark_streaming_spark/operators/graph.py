@@ -466,3 +466,100 @@ def q_triangle_count(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem")
     return triangle_count(copurchase_edges(li))
+
+
+# -------------------- integer PageRank (fixed unrolled iterations)
+
+PAGERANK_SCALE = 1_000_000
+PAGERANK_ITERS = 3
+
+
+def pagerank_integer(
+    edges: DataFrame, iterations: int = PAGERANK_ITERS
+) -> DataFrame:
+    """PageRank over an undirected edge table (``a < b`` rows) with the
+    whole iteration in INTEGER micro-units — the repo's answer to "can
+    an iterative algorithm be hash-certified cross-engine": floats
+    accumulate in shuffle-dependent order, but ``r/deg`` as BIGINT floor
+    division and damping as ``150000 + (850000·Σ) div 1e6`` make every
+    iterate a pure integer function of the edge set. The floor
+    truncation loses < 1 micro-unit per incident edge per step — far
+    below ranking resolution — and buys bit-exactness.
+
+    Scale shape: each iteration is one equi-join (directed edges ⋈
+    ranks on the source) plus one groupBy(dst) partial-sum shuffle —
+    the standard Pregel-as-relational lowering; the plan unrolls
+    ``iterations`` times (fixed small k; for large k checkpoint per
+    round as connected-components does). Degrees broadcast-join when
+    small, AQE otherwise.
+
+    Returns (node, rank_micros) — Σ rank ≈ N·1e6 conserved up to the
+    documented floor loss."""
+    directed = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    deg = directed.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select(
+        "u", F.lit(PAGERANK_SCALE).cast("long").alias("r")
+    )
+    for _ in range(iterations):
+        contrib = (
+            directed.join(ranks, "u")
+            .join(deg, "u")
+            .select("v", F.expr("r div deg").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy(F.col("v").alias("u"))
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "u",
+                (
+                    F.lit(150000)
+                    + F.expr(f"(850000 * s) div {PAGERANK_SCALE}")
+                ).cast("long").alias("r"),
+            )
+        )
+    return ranks.select(F.col("u").alias("node"), F.col("r").alias("rank_micros"))
+
+
+def _pagerank_oracle() -> str:
+    steps = []
+    prev = "r0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        steps.append(f"""
+r{i} AS (
+  SELECT d.v AS u,
+         150000 + (850000 * sum({prev}.r // deg.deg)) // {PAGERANK_SCALE} AS r
+  FROM directed d
+  JOIN {prev} ON {prev}.u = d.u
+  JOIN deg ON deg.u = d.u
+  GROUP BY 1
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT pa.l_partkey AS a, pb.l_partkey AS b
+  FROM li pa JOIN li pb
+    ON pa.l_orderkey = pb.l_orderkey AND pa.l_partkey < pb.l_partkey
+),
+directed AS (
+  SELECT a AS u, b AS v FROM edges
+  UNION ALL SELECT b AS u, a AS v FROM edges
+),
+deg AS (SELECT u, count(*) AS deg FROM directed GROUP BY 1),
+r0 AS (SELECT u, CAST({PAGERANK_SCALE} AS BIGINT) AS r FROM deg),
+{",".join(steps)}
+SELECT CAST(u AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_micros
+FROM {prev} ORDER BY 1
+"""
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def q_pagerank(spark, sf_dir):
+    """3-iteration integer PageRank of the part co-purchase graph
+    (bit-exact iterative computation — every iterate is BIGINT)."""
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return pagerank_integer(copurchase_edges(li)).orderBy("node")

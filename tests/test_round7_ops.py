@@ -493,3 +493,25 @@ def test_drift_monitor_stream_real_batches(spark, sf_dir):
         .count()
     )
     assert sum(r["n_rows"] for r in rows) == expected
+
+
+def test_pagerank_integer_planted(spark):
+    """Star graph: the hub must outrank every leaf; symmetric leaves tie
+    exactly (integer arithmetic — no FP noise to break symmetry); a
+    second run is bit-identical."""
+    from machine_learning_with_spark_streaming_spark.operators.graph import pagerank_integer
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "a long, b long"
+    )
+    r = {x["node"]: x["rank_micros"] for x in pagerank_integer(star).collect()}
+    assert all(r[0] > r[i] for i in range(1, 6))
+    assert len({r[i] for i in range(1, 6)}) == 1  # exact leaf symmetry
+    r2 = {x["node"]: x["rank_micros"] for x in pagerank_integer(star).collect()}
+    assert r == r2
+    # regular graph (triangle): uniform degrees -> ranks stay equal and
+    # conserve mass up to the documented floor loss
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "a long, b long")
+    rt = {x["node"]: x["rank_micros"] for x in pagerank_integer(tri).collect()}
+    assert len(set(rt.values())) == 1
+    assert abs(sum(rt.values()) - 3_000_000) <= 18  # <=2 edges*3 iters floor loss
