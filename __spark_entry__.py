@@ -87,6 +87,13 @@ _STALE_CERTS: dict[str, int] = {
     # query (impl AND oracle — r6 judge item 2); pre-r7 green rows were
     # recorded for the uncut matrix.
     "dedup_source_overlap": 6,
+    # r8 made psi_drift score ALL 16 bins (full-grid left join, impl AND
+    # oracle — r7 ADVICE medium item): empty bins now contribute their
+    # Laplace-smoothed term, so the bin rows and the bin=-1 total both
+    # changed wherever a bin was empty (2 bins at sf0.01). The r7 green
+    # rows were recorded for the observed-bins-only statistic.
+    "v20_psi_drift": 7,
+    "pipeline_drift_monitor": 7,
 }
 
 

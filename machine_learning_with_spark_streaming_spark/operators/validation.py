@@ -1463,6 +1463,14 @@ def psi_drift(
     summation-order-dependent across engines, but a sum of 6-dp-rounded
     terms is ~1e-15 from a 6-dp lattice point and re-rounds identically.
 
+    ALL ``n_bins`` bins are scored, not just the observed ones: the
+    grouped counts are left-joined back onto a literal 0..n_bins-1 grid
+    (16 rows, broadcast) before terms are computed, because Laplace
+    smoothing gives an EMPTY bin a nonzero term whenever n_old != n_new
+    — omitting double-empty bins understates the statistic on
+    size-skewed splits (and would disagree with the streaming monitor,
+    which has always scored the full grid).
+
     Scale shape: one groupBy(bucket) after a broadcast (lo, hi) scalar —
     two scans, no window, no sort; output is n_bins+1 rows regardless
     of input size."""
@@ -1479,9 +1487,17 @@ def psi_drift(
     b = F.least(
         F.lit(n_bins - 1), F.floor((F.col("v") - F.lit(lo)) / F.lit(width))
     ).cast("int")
-    counts = base.groupBy(b.alias("bin")).agg(
+    observed = base.groupBy(b.alias("bin")).agg(
         F.sum("is_old").cast("long").alias("c_old"),
         (F.count(F.lit(1)) - F.sum("is_old")).cast("long").alias("c_new"),
+    )
+    grid = df.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    counts = grid.join(F.broadcast(observed), "bin", "left").select(
+        "bin",
+        F.coalesce("c_old", F.lit(0)).cast("long").alias("c_old"),
+        F.coalesce("c_new", F.lit(0)).cast("long").alias("c_new"),
     )
     n_old, n_new = counts.agg(F.sum("c_old"), F.sum("c_new")).collect()[0]
     p_old = (F.col("c_old") + 1) / F.lit(float(n_old + n_bins))
@@ -1509,7 +1525,7 @@ WITH base AS (
   FROM events WHERE value IS NOT NULL
 ),
 ext AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
-counts AS (
+observed AS (
   SELECT CAST(least({PSI_BINS - 1},
               floor((v - lo) / (CASE WHEN (hi - lo) / {PSI_BINS} = 0
                                      THEN 1.0 ELSE (hi - lo) / {PSI_BINS} END)))
@@ -1517,6 +1533,12 @@ counts AS (
          CAST(sum(is_old) AS BIGINT) AS c_old,
          CAST(count(*) - sum(is_old) AS BIGINT) AS c_new
   FROM base, ext GROUP BY 1
+),
+grid AS (SELECT CAST(range AS INT) AS bin FROM range({PSI_BINS})),
+counts AS (
+  SELECT g.bin, CAST(COALESCE(o.c_old, 0) AS BIGINT) AS c_old,
+         CAST(COALESCE(o.c_new, 0) AS BIGINT) AS c_new
+  FROM grid g LEFT JOIN observed o USING (bin)
 ),
 tot AS (SELECT sum(c_old) AS n_old, sum(c_new) AS n_new FROM counts),
 terms AS (
@@ -1783,7 +1805,7 @@ ks AS (
   FROM c, tot GROUP BY n_old, n_new
 ),
 ext AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
-counts AS (
+observed AS (
   SELECT CAST(least({PSI_BINS - 1},
               floor((v - lo) / (CASE WHEN (hi - lo) / {PSI_BINS} = 0
                                      THEN 1.0 ELSE (hi - lo) / {PSI_BINS} END)))
@@ -1791,6 +1813,12 @@ counts AS (
          CAST(sum(is_old) AS BIGINT) AS c_old,
          CAST(count(*) - sum(is_old) AS BIGINT) AS c_new
   FROM base, ext GROUP BY 1
+),
+grid AS (SELECT CAST(range AS INT) AS bin FROM range({PSI_BINS})),
+counts AS (
+  SELECT g.bin, CAST(COALESCE(o.c_old, 0) AS BIGINT) AS c_old,
+         CAST(COALESCE(o.c_new, 0) AS BIGINT) AS c_new
+  FROM grid g LEFT JOIN observed o USING (bin)
 ),
 ctot AS (SELECT sum(c_old) AS n_old, sum(c_new) AS n_new FROM counts),
 terms AS (

@@ -151,6 +151,33 @@ def test_psi_drift_planted(spark):
     assert psi_drift(empty, "value", F.col("old")).count() == 0
 
 
+def test_psi_drift_scores_empty_bins(spark):
+    """r8 (ADVICE): ALL 16 bins are scored. With data only in bins 0 and
+    15 and size-skewed populations (n_old != n_new), the 14 double-empty
+    bins each carry a nonzero Laplace-smoothed term — previously they
+    were silently omitted from the total."""
+    from machine_learning_with_spark_streaming_spark.operators.validation import (
+        PSI_BINS,
+        psi_drift,
+    )
+
+    # old side: 90 rows at v=0; new side: 10 rows at v=16 (bins 0 and 15
+    # only; every interior bin is empty on both sides)
+    df = spark.createDataFrame(
+        [(0.0, True)] * 90 + [(16.0, False)] * 10, "value double, old boolean"
+    )
+    rows = {r["bin"]: r for r in psi_drift(df, "value", F.col("old")).collect()}
+    assert set(rows) == set(range(PSI_BINS)) | {-1}  # full grid + total
+    mid = rows[7]
+    assert mid["c_old"] == mid["c_new"] == 0
+    # smoothed shares differ: 1/(90+16) vs 1/(10+16) -> nonzero term
+    assert abs(mid["psi_term"]) > 1e-4
+    per_bin_sum = round(
+        sum(r["psi_term"] for b, r in rows.items() if b >= 0), 6
+    )
+    assert abs(rows[-1]["psi_term"] - per_bin_sum) < 2e-6
+
+
 def test_benford_digits_planted(spark):
     from machine_learning_with_spark_streaming_spark.operators.validation import (
         benford_digits,
