@@ -124,7 +124,6 @@ EXTENDED += [
     "sim_ivfpq_topk",
     "sim_pq_codes",
     "sim_pq_adc_topk",
-    "dedup_semantic",
     "sim_ann_recall",
     "v13_mad_outliers",
     "v14_histogram_drift",

@@ -515,17 +515,28 @@ ORDER BY 1
 """
 
 
-@register("dedup_semantic", oracle=_semdedup_oracle())
-def q_semdedup(spark, sf_dir):
-    """SemDeDup over the duplicate-injected embedding corpus: frozen
-    4-centroid quantizer (committed artifact, mirrored as oracle
-    literals), within-cluster cosine ε-balls, keep-farthest-from-centroid."""
+def q_semdedup_fixed_k_demo(spark, sf_dir):
+    """SemDeDup with the fixed 4-centroid demo quantizer — DEREGISTERED
+    in r8 (was ``dedup_semantic``, hash-certified r3–r7). A fixed k
+    leaves the within-cluster pair join quadratic in the corpus
+    (builder's stress rows: 92–136 s where the k32 form is 18–22 s), so
+    the registry's only SemDeDup name is the scale-true
+    ``dedup_semantic_k32``. This form survives unregistered as the
+    measured anti-pattern contrast (tests/test_llm_data_ops.py pins the
+    keep policy on planted balls; EXPLAIN.md records the stress
+    numbers)."""
     from machine_learning_with_spark_streaming_spark.operators.similarity import (
         embeddings_with_duplicates,
     )
 
     corpus = embeddings_with_duplicates(spark, sf_dir)
     return semdedup(corpus).orderBy("vec_id")
+
+
+# DuckDB oracle for the demo form, kept for ad-hoc parity checks
+# (tools/verify_all.py can't reach it once deregistered; the k32 oracle
+# below is the certified one).
+Q_SEMDEDUP_FIXED_K_DEMO_ORACLE = _semdedup_oracle()
 
 
 def _semdedup_k32_oracle() -> str:

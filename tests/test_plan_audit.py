@@ -54,9 +54,9 @@ DOUBLE_OUTPUT_ALLOWLIST = {
     "dedup_incremental_minhash": ["jaccard"],
     "dedup_minhash_lsh": ["jaccard"],
     "dedup_ngram_jaccard": ["jaccard"],
-    "dedup_semantic": ["centroid_sim"],
-    # same rounded cosine as dedup_semantic, k=32 artifact; swept green
-    # at sf0.01 and sf0.1 --shuffle 5 (r7)
+    # rounded cosine vs the k=32 frozen artifact; swept green at sf0.01
+    # and sf0.1 --shuffle 5 (r7). The fixed-k demo form was deregistered
+    # in r8 (quadratic pair join — see ivf.py:q_semdedup_fixed_k_demo).
     "dedup_semantic_k32": ["centroid_sim"],
     # r7 additions, all swept at sf0.1 --shuffle 5: 6-dp-rounded terms
     # from exact-integer operands (PSI log-ratio terms; guarded MoM

@@ -64,7 +64,6 @@ QUERIES = [
     "dedup_containment",
     # late round-3 additions
     "text_dsir_weights",
-    "dedup_semantic",
     "dedup_segments_rewrite",
     "text_quality_classifier",
     "dedup_source_overlap",
