@@ -386,9 +386,9 @@ def q_group_percentiles(spark, sf_dir):
     """A14 (beyond the reference): exact interpolated percentiles per
     group — Spark's ``percentile`` aggregate (exact, SQL
     PERCENTILE_CONT semantics) against DuckDB ``quantile_cont``. The
-    exact form sorts each group's values; at 100 TB swap in
-    ``percentile_approx`` (t-digest sketch, mergeable map-side) and
-    a13's error-bound check pattern."""
+    exact form sorts each group's values; the 100 TB swap
+    (``percentile_approx``, mergeable map-side t-digest) is itself
+    certified as ``a14_group_percentiles_approx`` below."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -400,6 +400,74 @@ def q_group_percentiles(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+_A14_APPROX_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(0 AS INT) AS v50, CAST(0 AS INT) AS v90, CAST(0 AS INT) AS v99
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("a14_group_percentiles_approx", oracle=_A14_APPROX_ORACLE)
+def q_group_percentiles_approx(spark, sf_dir):
+    """The 100 TB form of a14, CERTIFIED (not just documented):
+    per-group t-digest quantiles via ``percentile_approx`` (mergeable
+    map-side sketch — no per-group sort), with the published rank-error
+    bound checked IN-ROW, a13-style. For each quantile q the sketch's
+    value occupies exact ranks (n_lt, n_le]; the contract holds iff
+    that range intersects [q*n - n/accuracy, q*n + n/accuracy] (+1
+    slack for interpolation). The emitted v50/v90/v99 violation flags
+    must all be 0; the oracle recomputes n_rows exactly and pins the
+    zero-violation contract (DuckDB cannot replay the t-digest, so the
+    hash certifies the bound, not the sketch internals — the
+    a13_sketch_error_bounds recipe).
+
+    Scale shape: one groupBy building the sketches, one broadcast join
+    back (group cardinality is tiny), one counting pass. The exact-rank
+    counting pass exists only for certification; production keeps the
+    first aggregate alone."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = [0.5, 0.9, 0.99]
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx(
+            "l_extendedprice", qs, APPROX_ACCURACY
+        ).alias("ap"),
+    )
+    probe = li.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(agg), "l_returnflag"
+    )
+    counts = probe.groupBy("l_returnflag", "n").agg(
+        *[
+            F.sum(
+                (F.col("l_extendedprice") < F.col("ap")[i]).cast("long")
+            ).alias(f"lt{i}")
+            for i in range(len(qs))
+        ],
+        *[
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("ap")[i]).cast("long")
+            ).alias(f"le{i}")
+            for i in range(len(qs))
+        ],
+    )
+    err = F.col("n") / APPROX_ACCURACY + 1
+
+    def violation(i: int, q: float):
+        return (
+            (F.col(f"lt{i}") > q * F.col("n") + err)
+            | (F.col(f"le{i}") < q * F.col("n") - err)
+        ).cast("int")
+
+    return counts.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        violation(0, 0.5).alias("v50"),
+        violation(1, 0.9).alias("v90"),
+        violation(2, 0.99).alias("v99"),
+    ).orderBy("l_returnflag")
 
 
 # ------------------------------------------------- equi-width histogram

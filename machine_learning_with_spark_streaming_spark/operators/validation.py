@@ -788,8 +788,9 @@ def column_profile(df: DataFrame, columns: list[str]) -> DataFrame:
     partials; adding a column adds expressions, not passes) — the same
     single-pass contract as ``constraint_report``. ``count(DISTINCT)``
     is exact here because the profile is a certification surface; the
-    100 TB variant swaps in ``approx_count_distinct`` (HLL++, already
-    certified via a13) per column with no shape change. Min/max render
+    100 TB variant (``approx_count_distinct`` per column, no shape
+    change) is itself certified as ``v10_column_profile_approx``
+    below. Min/max render
     as strings so heterogeneous column types share one report schema.
 
     The unpivot to rows happens on the single aggregate row."""
@@ -868,6 +869,83 @@ def q_column_profile(spark, sf_dir):
     """Single-pass profile of four heterogeneous lineitem columns."""
     li = load_table(spark, sf_dir, "lineitem")
     return column_profile(li, _PROFILE_COLS).orderBy("column")
+
+
+PROFILE_HLL_RSD = 0.02  # HLL++ relative standard deviation
+PROFILE_HLL_CHECK = 0.05  # bound checked at 2.5 sigma
+
+
+def column_profile_approx(df: DataFrame, columns: list[str]) -> DataFrame:
+    """The 100 TB form of ``column_profile``, CERTIFIED: per-column
+    distinct counts come from ``approx_count_distinct`` (HLL++, rsd 2%
+    — fixed-size mergeable registers instead of an exact-distinct
+    hash explosion per column), with the error bound checked IN-ROW at
+    5% = 2.5 sigma (the a13_sketch_error_bounds recipe). Output is the
+    exact profile columns (oracle-recomputable) plus ``nd_violation``,
+    which must be 0 everywhere; the exact ``count(DISTINCT)`` is
+    computed here ONLY to evaluate the bound — production at scale
+    keeps the sketch alone and drops the exact expression.
+
+    Still one aggregate scan: the sketch adds one expression per
+    column, not a pass."""
+    if not columns:
+        raise ValueError("column_profile_approx needs at least one column")
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.approx_count_distinct(F.col(c), rsd=PROFILE_HLL_RSD).alias(
+                f"__and_{c}"
+            ),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__null_{c}").alias("n_null"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_str"),
+                F.col(f"__max_{c}").alias("max_str"),
+                (
+                    F.abs(F.col(f"__and_{c}") - F.col(f"__nd_{c}"))
+                    > PROFILE_HLL_CHECK * F.col(f"__nd_{c}")
+                )
+                .cast("int")
+                .alias("nd_violation"),
+            )
+            for c in columns
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+_PROFILE_APPROX_ORACLE = _PROFILE_ORACLE.replace(
+    "min_rf AS min_str, max_rf AS max_str FROM agg",
+    "min_rf AS min_str, max_rf AS max_str, CAST(0 AS INT) AS nd_violation "
+    "FROM agg",
+).replace(
+    "CAST(nd_q AS BIGINT), min_q, max_q FROM agg",
+    "CAST(nd_q AS BIGINT), min_q, max_q, CAST(0 AS INT) FROM agg",
+).replace(
+    "CAST(nd_d AS BIGINT), min_d, max_d FROM agg",
+    "CAST(nd_d AS BIGINT), min_d, max_d, CAST(0 AS INT) FROM agg",
+).replace(
+    "CAST(nd_c AS BIGINT), min_c, max_c FROM agg",
+    "CAST(nd_c AS BIGINT), min_c, max_c, CAST(0 AS INT) FROM agg",
+)
+
+
+@register("v10_column_profile_approx", oracle=_PROFILE_APPROX_ORACLE)
+def q_column_profile_approx(spark, sf_dir):
+    """HLL++-backed profile of the same four lineitem columns, with the
+    2.5-sigma error bound as an in-row zero-violation contract."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return column_profile_approx(li, _PROFILE_COLS).orderBy("column")
 
 
 # --------------------------------- CDC log -> snapshot materialization
