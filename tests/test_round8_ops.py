@@ -83,3 +83,37 @@ def test_column_profile_approx_matches_exact_profile(spark, sf_dir):
     row = column_profile_approx(wide, ["k"]).collect()[0]
     assert row["nd_violation"] == 0
     assert row["n_rows"] == 50000
+
+
+def test_pagerank_checkpointed_equals_unrolled(spark):
+    """Checkpointing is a lineage cut, not a semantics change: at equal
+    k the checkpointed iterate is bit-identical to the unrolled plan on
+    a planted asymmetric graph, and at k=10 the hub still dominates."""
+    from machine_learning_with_spark_streaming_spark.operators.graph import (
+        PAGERANK_ITERS,
+        pagerank_integer,
+        pagerank_integer_checkpointed,
+    )
+
+    # star + a tail edge so degrees are non-uniform
+    g = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(5, 6)], "a long, b long"
+    )
+    unrolled = {
+        x["node"]: x["rank_micros"] for x in pagerank_integer(g).collect()
+    }
+    cp = {
+        x["node"]: x["rank_micros"]
+        for x in pagerank_integer_checkpointed(
+            g, iterations=PAGERANK_ITERS
+        ).collect()
+    }
+    assert cp == unrolled
+
+    deep = {
+        x["node"]: x["rank_micros"]
+        for x in pagerank_integer_checkpointed(g, iterations=10).collect()
+    }
+    assert deep[0] == max(deep.values())
+    # leaves 1..4 are symmetric at any depth
+    assert len({deep[i] for i in range(1, 5)}) == 1
