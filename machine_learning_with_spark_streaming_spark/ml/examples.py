@@ -365,9 +365,10 @@ _CORR_MEASURES = [
 
 def corr_matrix_exact(df: DataFrame, measures=None) -> DataFrame:
     """Pearson correlation matrix over fixed-point measure columns,
-    computed from EXACT integer sufficient statistics: every Σx, Σx²,
-    Σxy is summed as integers (decimal(38,0) — products of cents
-    overflow BIGINT at sf0.1 already), and only the final closed form
+    computed from EXACT integer sufficient statistics: operands are
+    cast to decimal(18,0), so products widen to decimal(37,0) and sums
+    cap at Spark's decimal(38,0) accumulator — products of cents
+    overflow BIGINT at sf0.1 already — and only the final closed form
 
         corr = (nΣxy - ΣxΣy) / sqrt((nΣx² - (Σx)²)(nΣy² - (Σy)²))
 
@@ -377,9 +378,13 @@ def corr_matrix_exact(df: DataFrame, measures=None) -> DataFrame:
     dependent) are not. The same trick as ml_linear_trend, upgraded
     from "plain double sums + rounding" to bit-exact integer sums.
 
-    Scale shape: ONE aggregate pass computes all (2m + m(m+1)/2 + 1)
-    sums with map-side partials — no shuffle of rows, no per-pair scan;
-    the m(m-1)/2-row matrix is assembled from the single result row."""
+    Scale shape: ONE aggregate pass computes all (m + m(m+1)/2 + 1)
+    sums with map-side partials — no shuffle of rows, no per-pair scan.
+    All m(m-1)/2 corr values are computed as COLUMNS of that single
+    result row and unpivoted to rows with ``stack`` — one plan branch,
+    so the full-table aggregate provably executes once (the earlier
+    6-way unionByName over the same aggregate relied on Catalyst
+    exchange reuse to avoid 6 scans)."""
     measures = measures or _CORR_MEASURES
     cols = {
         name: F.round(F.col(src) * scale).cast("long")
@@ -401,26 +406,28 @@ def corr_matrix_exact(df: DataFrame, measures=None) -> DataFrame:
     row = base.agg(*aggs)
     nD = F.col("n").cast("double")
     sD = lambda c: F.col(c).cast("double")  # noqa: E731
-    outs = []
+    pair_cols = []
+    pairs = []
     for i, a in enumerate(names):
         for b in names[i + 1 :]:
             num = nD * sD(f"s_{a}_{b}") - sD(f"s_{a}") * sD(f"s_{b}")
             var_a = nD * sD(f"s_{a}_{a}") - sD(f"s_{a}") * sD(f"s_{a}")
             var_b = nD * sD(f"s_{b}_{b}") - sD(f"s_{b}") * sD(f"s_{b}")
-            outs.append(
-                row.select(
-                    F.lit(a).alias("m_a"),
-                    F.lit(b).alias("m_b"),
-                    F.col("n").cast("long").alias("n"),
-                    (
-                        F.round(num / F.sqrt(var_a * var_b), 6) + F.lit(0.0)
-                    ).alias("corr"),
-                )
+            pair_cols.append(
+                (F.round(num / F.sqrt(var_a * var_b), 6) + F.lit(0.0))
+                .alias(f"c_{a}_{b}")
             )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionByName(o)
-    return res
+            pairs.append((a, b))
+    wide = row.select(F.col("n").cast("long").alias("n"), *pair_cols)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', c_{a}_{b}" for a, b in pairs
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) AS (m_a, m_b, corr)"
+        ),
+        "n",
+    ).select("m_a", "m_b", "n", "corr")
 
 
 def _corr_oracle() -> str:

@@ -860,6 +860,7 @@ def source_overlap_matrix(
     text_col: str = "text",
     n: int = SHINGLE_N,
     max_shingle_groups: int | None = None,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Corpus-level duplication analytics: shingle-set Jaccard between
     every pair of sources — "how much does crawl A overlap crawl B",
@@ -881,7 +882,15 @@ def source_overlap_matrix(
     ``n_common`` and the set sizes — hence Jaccard — are computed
     consistently over the informative-shingle universe. Boilerplate
     present everywhere carries no overlap signal; removing it is the
-    same estimate-sharpening trick as stop-word removal in IR."""
+    same estimate-sharpening trick as stop-word removal in IR.
+
+    ``persist_shingles`` caches the distinct shingle table
+    (MEMORY_AND_DISK) for its 3-5 consumer subtrees. The cache outlives
+    the returned (lazy) frame — long-lived sessions calling this
+    repeatedly should pass ``False`` or ``spark.catalog.clearCache()``
+    between calls (same contract as ``minhash_lsh_pairs``); on a
+    cluster pipeline, write the shingle table to scratch storage
+    instead."""
     from pyspark.storagelevel import StorageLevel
 
     sh = (
@@ -899,7 +908,8 @@ def source_overlap_matrix(
     # recomputation (not the pair join) dominated the 16x stress time
     # (cluster-scale analog: materialize the shingle table, as the LSH
     # index build does)
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist_shingles:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     if max_shingle_groups is not None:
         # sh is distinct (grp, h): count(*) per h IS the group-DF
         hot = (
@@ -1252,10 +1262,15 @@ def minhash_calibration(
     widen k BEFORE the fleet burns a corpus pass on a bad index.
 
     Scale shape: exact pairs come from the certified LSH path
-    (``minhash_lsh_pairs`` — output provably equals ``jaccard_pairs``,
-    but the band join bounds candidates where the raw inverted index
-    verifies every shingle-sharing pair: measured 2.2 s vs 11.5 s at
-    sf0.1); signatures are one aggregate over exploded shingles; the
+    (``minhash_lsh_pairs`` with ``max_band_bucket=50`` — the band join
+    bounds candidates where the raw inverted index verifies every
+    shingle-sharing pair: measured 2.2 s vs 11.5 s at sf0.1). That cap
+    carries minhash_lsh_pairs' recall caveat: a pair whose EVERY shared
+    band bucket exceeds 50 docs is dropped, so on boilerplate-heavy
+    corpora the calibration sample can lose rows vs the exhaustive pair
+    set (at test scale no bucket approaches 50, so the sample is
+    complete — the exhaustive-oracle cert holds only under that
+    condition); signatures are one aggregate over exploded shingles; the
     report join touches pair rows only. est = k_agree/num_hashes is an
     exact dyadic rational — bit-identical cross-engine; abs_err
     subtracts two identically rounded doubles."""
