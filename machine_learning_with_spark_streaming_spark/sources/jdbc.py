@@ -165,3 +165,97 @@ def coerce_to_table_schema(
     return coerce_to_schema(
         df, read_table_schema(spark, url, table, properties), strict=strict
     )
+
+
+def execute_transaction(
+    spark: SparkSession,
+    url: str,
+    statements: list[str],
+    driver: str | None = None,
+) -> None:
+    """Run raw SQL statements over JDBC in ONE transaction (autocommit
+    off, commit only after every statement succeeds; rollback + reraise
+    on any failure). Spark's DataFrame writer has no multi-statement
+    transaction surface, so sink patterns that need atomicity (the
+    stage-and-swap below) drop to ``java.sql`` via the running JVM —
+    still the public JDBC API, no extra client library."""
+    jvm = spark._jvm  # noqa: SLF001 - py4j gateway to java.sql
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        conn.setAutoCommit(False)
+        st = conn.createStatement()
+        try:
+            for sql in statements:
+                st.execute(sql)
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
+def staged_atomic_overwrite(
+    df: DataFrame,
+    url: str,
+    table: str,
+    stage_table: str | None = None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """K4 exactly-once half: replace ``table``'s contents with ``df``
+    ATOMICALLY. Spark's ``mode='overwrite'`` is a non-transactional
+    truncate+insert — a crash between the two loses every pre-crash row
+    (tests/test_jdbc_derby.py pins that loss). Here the parallel Spark
+    write lands in a STAGE table (crash there leaves the live table
+    untouched), then one server-side transaction does
+
+        DELETE FROM live; INSERT INTO live SELECT ... FROM stage;
+
+    A crash before the commit rolls back to the fully-old table; after
+    it, the table is fully-new — there is no observable intermediate
+    state, so a retried foreachBatch converges from ANY crash point.
+    Same shape at cluster scale: stage via parallel JDBC writers, swap
+    via one transactional statement (or RENAME/partition-exchange where
+    the engine offers it)."""
+    stage = stage_table or f"{table}_stage"
+    write_table(df, url, stage, mode="overwrite",
+                batch_size=batch_size, properties=properties)
+    # Spark's JDBC writer quotes column identifiers (case-preserving);
+    # match it or the unquoted names case-fold and miss
+    cols = ", ".join(f'"{c}"' for c in df.columns)
+    driver = (properties or {}).get("driver")
+    jvm = df.sparkSession._jvm  # noqa: SLF001
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        # first run: create the live table from the stage's shape (empty;
+        # idempotent via a metadata existence probe, so a crash between
+        # this DDL and the swap changes nothing observable)
+        if not conn.getMetaData().getTables(
+            None, None, table.upper(), None
+        ).next():
+            st = conn.createStatement()
+            try:
+                st.execute(
+                    f"CREATE TABLE {table} AS SELECT {cols} FROM {stage} "
+                    "WITH NO DATA"
+                )
+            finally:
+                st.close()
+    finally:
+        conn.close()
+    execute_transaction(
+        df.sparkSession,
+        url,
+        [
+            f"DELETE FROM {table}",
+            f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {stage}",
+        ],
+        driver=driver,
+    )

@@ -1134,24 +1134,29 @@ def q_jdbc_upsert_stream(spark, sf_dir):
     (mySQLClass.py:179-220), re-expressed as merge-and-overwrite.
 
     Per batch: read the target over JDBC, union the batch, keep one row
-    per user_id with the max (ts, event_id), overwrite. The maintained
-    table is a pure function of the SET of rows ever seen (max is
-    associative/commutative/idempotent), so the run is batch-order-
-    independent — hash-checkable against a whole-input oracle — and a
-    crash-retried batch rewrites the identical table, PROVIDED each
-    overwrite commits atomically: JDBC mode='overwrite' is a
-    non-transactional truncate+insert, so a crash *mid-overwrite* can
-    lose prior-batch rows the retried batch doesn't carry. On an engine
-    with transactional MERGE (or a stage-then-rename swap table) the
-    retry recovers from any crash point; full-rewrite is the portable
-    Derby stand-in, with that caveat, and the steady-state certified
-    semantics are identical."""
+    per user_id with the max (ts, event_id), replace the target via
+    ``staged_atomic_overwrite`` — Spark writes the merged state to a
+    stage table, then ONE server-side transaction swaps it into the
+    live table. The maintained table is a pure function of the SET of
+    rows ever seen (max is associative/commutative/idempotent), so the
+    run is batch-order-independent — hash-checkable against a
+    whole-input oracle — and because the swap is transactional, a
+    crash-retried batch converges from ANY crash point: the live table
+    is always fully-old or fully-new, never the truncated intermediate
+    that plain JDBC mode='overwrite' exposes
+    (tests/test_jdbc_derby.py::test_staged_swap_survives_crash pins
+    both halves: the plain sink provably loses rows, this one
+    recovers)."""
     import shutil
     import tempfile
 
     from pyspark.sql import Window
 
-    from machine_learning_with_spark_streaming_spark.sources.jdbc import read_table, write_table
+    from machine_learning_with_spark_streaming_spark.sources.jdbc import (
+        read_table,
+        staged_atomic_overwrite,
+        write_table,
+    )
 
     work = tempfile.mkdtemp(prefix="mlwss_jdbcup_")
     url = f"jdbc:derby:{work}/db;create=true"
@@ -1181,9 +1186,9 @@ def q_jdbc_upsert_stream(spark, sf_dir):
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
-            .localCheckpoint(eager=True)  # materialize BEFORE truncating
+            .localCheckpoint(eager=True)  # materialize BEFORE swapping
         )
-        write_table(merged, url, table, mode="overwrite", properties=props)
+        staged_atomic_overwrite(merged, url, table, properties=props)
 
     stage, ckpt = f"{work}/stage", f"{work}/ckpt"
     ev.repartition(4).write.parquet(stage)

@@ -227,3 +227,86 @@ def test_coerce_rejects_bad_values_loudly(spark, derby_url):
     )
     with pytest.raises((Py4JJavaError, NumberFormatException)):
         fixed.collect()
+
+
+def _merge_latest(spark, url, table, batch_df):
+    """The s11_jdbc_upsert_stream merge: read target, union batch, keep
+    max-(ts-free here: max event_id) row per user."""
+    from pyspark.sql import Window
+
+    target = read_table(spark, url, table, properties=DERBY_PROPS)
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        target.unionByName(batch_df)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .localCheckpoint(eager=True)
+    )
+
+
+def test_plain_overwrite_crash_loses_rows(spark, derby_url):
+    """Negative control for the staged sink: JDBC mode='overwrite' is
+    truncate+insert with an observable truncated-but-not-reloaded
+    intermediate state. If the writer dies there, the retried batch
+    merges against an empty target and every row only EARLIER batches
+    carried is gone — the loss mode the staged swap exists to close."""
+    from machine_learning_with_spark_streaming_spark.sources.jdbc import execute_transaction
+
+    table = "up_plain"
+    b0 = spark.createDataFrame([(1, 10, 1.0)], "user_id long, event_id long, value double")
+    b1 = spark.createDataFrame([(2, 20, 2.0)], "user_id long, event_id long, value double")
+    write_table(b0, derby_url, table, mode="overwrite", properties=DERBY_PROPS)
+    # batch 1 "crashes" after overwrite's truncate, before its insert:
+    merged = _merge_latest(spark, derby_url, table, b1)
+    assert merged.count() == 2  # the state the sink MEANT to write
+    execute_transaction(spark, derby_url, [f"DELETE FROM {table}"],
+                        driver=DERBY_PROPS["driver"])  # the truncate half ran
+    # retry of batch 1 sees the damaged target:
+    retried = _merge_latest(spark, derby_url, table, b1)
+    write_table(retried, derby_url, table, mode="overwrite", properties=DERBY_PROPS)
+    final = read_table(spark, derby_url, table, properties=DERBY_PROPS)
+    assert final.count() == 1  # user 1 is LOST — rows-only-from-b0 gone
+    assert [r["user_id"] for r in final.collect()] == [2]
+
+
+def test_staged_swap_survives_crash(spark, derby_url):
+    """The staged sink converges from every crash point: (a) death
+    after the stage write but before the swap leaves the live table
+    fully-old, and the retried batch recovers everything; (b) a failure
+    INSIDE the swap transaction rolls back — the DELETE half never
+    becomes visible on its own."""
+    from machine_learning_with_spark_streaming_spark.sources.jdbc import (
+        execute_transaction,
+        staged_atomic_overwrite,
+        write_table as _wt,
+    )
+
+    table = "up_staged"
+    b0 = spark.createDataFrame([(1, 10, 1.0)], "user_id long, event_id long, value double")
+    b1 = spark.createDataFrame([(2, 20, 2.0)], "user_id long, event_id long, value double")
+    staged_atomic_overwrite(b0, derby_url, table, properties=DERBY_PROPS)
+
+    # (a) crash point: stage written, swap never ran
+    merged = _merge_latest(spark, derby_url, table, b1)
+    _wt(merged, derby_url, f"{table}_stage", mode="overwrite", properties=DERBY_PROPS)
+    # ... process dies here; live table must be fully-old:
+    live = read_table(spark, derby_url, table, properties=DERBY_PROPS)
+    assert [r["user_id"] for r in live.collect()] == [1]
+    # retry from the checkpoint re-merges against the INTACT target:
+    retried = _merge_latest(spark, derby_url, table, b1)
+    staged_atomic_overwrite(retried, derby_url, table, properties=DERBY_PROPS)
+    final = read_table(spark, derby_url, table, properties=DERBY_PROPS)
+    assert sorted(r["user_id"] for r in final.collect()) == [1, 2]
+
+    # (b) crash point: inside the swap transaction — DELETE executed,
+    # then the transaction fails before commit. Atomicity = the DELETE
+    # is rolled back, not left as a truncated table.
+    with pytest.raises(Exception):
+        execute_transaction(
+            spark, derby_url,
+            [f"DELETE FROM {table}", "INSERT INTO no_such_table VALUES (1)"],
+            driver=DERBY_PROPS["driver"],
+        )
+    after = read_table(spark, derby_url, table, properties=DERBY_PROPS)
+    assert sorted(r["user_id"] for r in after.collect()) == [1, 2]
