@@ -1160,8 +1160,9 @@ def corpus_datasheet(
     mass, exact-duplicate rate, length percentiles) as a long-format
     (metric, value) table. One full-table aggregate + a ``stack``
     unpivot; the dup-rate reuses the 8-byte-hash dedup key, so nothing
-    here shuffles document text. Percentiles are exact here — swap to
-    ``percentile_approx`` at 100 TB (a14's documented trade)."""
+    here shuffles document text. Percentiles and distincts are exact
+    here; the 100 TB swap (HLL++ + t-digest, no shape change) is
+    itself certified as ``text_corpus_datasheet_approx`` below."""
     from machine_learning_with_spark_streaming_spark.operators.dedup import normalize_text
 
     ws_count = F.size(words(text_col)).cast("double")
@@ -1238,6 +1239,91 @@ def q_corpus_datasheet(spark, sf_dir):
     """Corpus summary datasheet over documents (long-format metrics)."""
     docs = load_table(spark, sf_dir, "documents")
     return corpus_datasheet(docs).orderBy("metric")
+
+
+_DATASHEET_APPROX_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(0 AS INT) AS v_langs,
+       CAST(0 AS INT) AS v_sources,
+       CAST(0 AS INT) AS v_uniq,
+       CAST(0 AS INT) AS v_p50,
+       CAST(0 AS INT) AS v_p90
+FROM documents
+"""
+
+
+@register("text_corpus_datasheet_approx", oracle=_DATASHEET_APPROX_ORACLE)
+def q_corpus_datasheet_approx(spark, sf_dir):
+    """The 100 TB datasheet, CERTIFIED (not just documented in
+    corpus_datasheet's docstring): every exact-distinct becomes HLL++
+    (``approx_count_distinct``, rsd 2%, checked in-row at 5% = 2.5
+    sigma against the exact count — the a13 recipe; the exact side
+    exists only on this certification surface) and the length
+    percentiles become ``percentile_approx`` t-digests with the
+    rank-error bound (<= n/accuracy, +1 slack) checked by one counting
+    pass. Oracle pins the exact scan metrics (n_docs, total_chars)
+    plus the zero-violation contract for all five sketches.
+
+    Scale shape: one mergeable-sketch aggregate + one counting probe —
+    no exact-distinct shuffle, no per-corpus sort; production keeps
+    the first aggregate alone."""
+    from machine_learning_with_spark_streaming_spark.operators.aggregates import (
+        APPROX_ACCURACY,
+    )
+    from machine_learning_with_spark_streaming_spark.operators.dedup import (
+        normalize_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.xxhash64(F.coalesce(normalize_text("text"), F.lit("")))
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.approx_count_distinct("lang", rsd=0.02).alias("a_langs"),
+        F.countDistinct("lang").alias("e_langs"),
+        F.approx_count_distinct("source", rsd=0.02).alias("a_sources"),
+        F.countDistinct("source").alias("e_sources"),
+        F.approx_count_distinct(fp, rsd=0.02).alias("a_uniq"),
+        F.countDistinct(fp).alias("e_uniq"),
+        F.percentile_approx(
+            F.length("text"), [0.5, 0.9], APPROX_ACCURACY
+        ).alias("ap"),
+    )
+    probe = docs.select(F.length("text").alias("len")).crossJoin(
+        F.broadcast(agg)
+    )
+    counts = probe.groupBy(
+        "n", "total_chars", "a_langs", "e_langs", "a_sources", "e_sources",
+        "a_uniq", "e_uniq",
+    ).agg(
+        F.sum((F.col("len") < F.col("ap")[0]).cast("long")).alias("lt0"),
+        F.sum((F.col("len") <= F.col("ap")[0]).cast("long")).alias("le0"),
+        F.sum((F.col("len") < F.col("ap")[1]).cast("long")).alias("lt1"),
+        F.sum((F.col("len") <= F.col("ap")[1]).cast("long")).alias("le1"),
+    )
+    err = F.col("n") / APPROX_ACCURACY + 1
+
+    def hll_viol(a: str, e: str):
+        return (
+            F.abs(F.col(a) - F.col(e)) > 0.05 * F.col(e)
+        ).cast("int")
+
+    def rank_viol(lt: str, le: str, q: float):
+        return (
+            (F.col(lt) > q * F.col("n") + err)
+            | (F.col(le) < q * F.col("n") - err)
+        ).cast("int")
+
+    return counts.select(
+        F.col("n").cast("long").alias("n_docs"),
+        "total_chars",
+        hll_viol("a_langs", "e_langs").alias("v_langs"),
+        hll_viol("a_sources", "e_sources").alias("v_sources"),
+        hll_viol("a_uniq", "e_uniq").alias("v_uniq"),
+        rank_viol("lt0", "le0", 0.5).alias("v_p50"),
+        rank_viol("lt1", "le1", 0.9).alias("v_p90"),
+    )
 
 
 # ------------------------------------------------ DSIR importance weights

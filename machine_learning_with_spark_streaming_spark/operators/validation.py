@@ -1044,8 +1044,9 @@ def mad_outlier_report(
 
     Two passes (median, then MAD of residuals) with the group medians
     re-entering as a broadcast join; the report aggregates back to one
-    row per group. Exact percentiles here; at 100 TB swap both to
-    ``percentile_approx`` (a14's documented trade) — the k*MAD gate is
+    row per group. Exact percentiles here; the 100 TB swap (both
+    passes on ``percentile_approx``) is itself certified as
+    ``v13_mad_outliers_approx`` below — the k*MAD gate is
     threshold-based, so sketch error only moves borderline rows."""
     med = df.groupBy(group_col).agg(
         F.percentile(value_col, F.lit(0.5)).alias("__med")
@@ -1110,6 +1111,77 @@ def q_mad_outliers(spark, sf_dir):
         mad_outlier_report(events, "value", "event_type")
         .orderBy("event_type")
     )
+
+
+_MAD_APPROX_ORACLE = """
+SELECT event_type,
+       CAST(count(value) AS BIGINT) AS n_rows,
+       CAST(0 AS INT) AS v_med, CAST(0 AS INT) AS v_mad
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("v13_mad_outliers_approx", oracle=_MAD_APPROX_ORACLE)
+def q_mad_outliers_approx(spark, sf_dir):
+    """The 100 TB form of the k*MAD gate, CERTIFIED (not just
+    documented in v13's docstring): both passes swap the exact
+    per-group sort for ``percentile_approx`` t-digests — the group
+    median, then the median of |value - median| residuals — and the
+    published rank-error bound (<= n/accuracy, +1 interpolation slack)
+    is checked IN-ROW for each sketch, the a13/a14 recipe. The second
+    sketch's bound is checked against residuals computed from the FIRST
+    sketch's output, which is exactly the quantity the gate thresholds
+    at 3*MAD, so a certified v_mad=0 means borderline-row movement is
+    bounded by the documented rank slack. Oracle pins exact non-null
+    group counts plus the zero-violation contract.
+
+    Scale shape: two mergeable-sketch aggregates + one counting probe
+    (certification only — production keeps the two aggregates), every
+    join a broadcast of group-cardinality rows."""
+    from machine_learning_with_spark_streaming_spark.operators.aggregates import (
+        APPROX_ACCURACY,
+    )
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    med = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("value", 0.5, APPROX_ACCURACY).alias("amed"),
+    )
+    res = ev.join(F.broadcast(med), "event_type").withColumn(
+        "r", F.abs(F.col("value") - F.col("amed"))
+    )
+    mad = res.groupBy("event_type").agg(
+        F.percentile_approx("r", 0.5, APPROX_ACCURACY).alias("amad")
+    )
+    counts = (
+        res.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.sum((F.col("value") < F.col("amed")).cast("long")).alias("lt_m"),
+            F.sum((F.col("value") <= F.col("amed")).cast("long")).alias("le_m"),
+            F.sum((F.col("r") < F.col("amad")).cast("long")).alias("lt_r"),
+            F.sum((F.col("r") <= F.col("amad")).cast("long")).alias("le_r"),
+        )
+    )
+    err = F.col("n") / APPROX_ACCURACY + 1
+
+    def viol(lt: str, le: str):
+        return (
+            (F.col(lt) > 0.5 * F.col("n") + err)
+            | (F.col(le) < 0.5 * F.col("n") - err)
+        ).cast("int")
+
+    return counts.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_rows"),
+        viol("lt_m", "le_m").alias("v_med"),
+        viol("lt_r", "le_r").alias("v_mad"),
+    ).orderBy("event_type")
 
 
 def observe_qc(

@@ -117,3 +117,42 @@ def test_pagerank_checkpointed_equals_unrolled(spark):
     assert deep[0] == max(deep.values())
     # leaves 1..4 are symmetric at any depth
     assert len({deep[i] for i in range(1, 5)}) == 1
+
+
+def test_mad_approx_matches_exact_counts_and_zero_flags(spark, sf_dir):
+    """The approx MAD gate's group counts equal the exact form's
+    non-null counts and both sketch bounds hold on real data."""
+    import __spark_entry__ as entry_mod
+
+    Q = entry_mod.queries()
+    rows = Q["v13_mad_outliers_approx"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["v_med"] == 0 and r["v_mad"] == 0 for r in rows)
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r["event_type"]: r["n_rows"] for r in rows} == exact
+
+
+def test_datasheet_approx_zero_violations_and_exact_scan_metrics(spark, sf_dir):
+    """The approx datasheet's exact-side metrics reconcile with the
+    exact datasheet, and all five sketch contracts hold."""
+    import __spark_entry__ as entry_mod
+
+    Q = entry_mod.queries()
+    row = Q["text_corpus_datasheet_approx"](spark, sf_dir).collect()[0]
+    for c in ("v_langs", "v_sources", "v_uniq", "v_p50", "v_p90"):
+        assert row[c] == 0
+    exact = {
+        r["metric"]: r["value"]
+        for r in Q["text_corpus_datasheet"](spark, sf_dir).collect()
+    }
+    assert row["n_docs"] == int(exact["n_docs"])
+    assert row["total_chars"] == int(exact["total_chars"])

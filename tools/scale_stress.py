@@ -117,6 +117,7 @@ def build(
     dst: str = DST,
     facts_mult: int = 8,
     docs_mult: int = 16,
+    shift_partkeys: bool = False,
 ) -> None:
     import duckdb
 
@@ -124,7 +125,7 @@ def build(
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part"]:
         shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
-    def shifted_copy(table: str, id_col: str, n: int) -> None:
+    def shifted_copy(table: str, id_col: str, n: int, also: tuple = ()) -> None:
         # introspect columns so a testdata regeneration that adds a
         # column can never be silently dropped from the replica
         cols = [
@@ -133,14 +134,27 @@ def build(
                 f"DESCRIBE SELECT * FROM read_parquet('{src}/{table}.parquet')"
             ).fetchall()
         ]
-        rest = ", ".join(c for c in cols if c != id_col)
+        shifted = {id_col: 100000000, **dict(also)}
+        rest = ", ".join(c for c in cols if c not in shifted)
+        lead = ", ".join(f"{c} + k.k*{s} AS {c}" for c, s in shifted.items())
         con.execute(f"""
 COPY (
-  SELECT {id_col} + k.k*100000000 AS {id_col}, {rest}
+  SELECT {lead}, {rest}
   FROM read_parquet('{src}/{table}.parquet'), (SELECT unnest(range({n})) AS k) k
 ) TO '{dst}/{table}.parquet' (FORMAT PARQUET)""")
 
-    shifted_copy("lineitem", "l_orderkey", facts_mult)
+    # --parts mode: shift l_partkey per replica too, so the co-purchase
+    # graph becomes a DISJOINT N-times union — edge count, wedge count
+    # and sum(outdeg^2) all genuinely grow (plain order-key replication
+    # leaves the graph constant: the distinct edge set collapses N
+    # replicas back to one, and graph stress then measures only the
+    # edge-extraction scan). Part-joining queries are out of scope in a
+    # parts dir (the part dim is NOT widened); graph queries only touch
+    # lineitem.
+    shifted_copy(
+        "lineitem", "l_orderkey", facts_mult,
+        also=(("l_partkey", 10000000),) if shift_partkeys else (),
+    )
     shifted_copy("orders", "o_orderkey", facts_mult)
     shifted_copy("events", "event_id", facts_mult)
     # vectors replicate id-shifted with their float arrays unchanged —
@@ -278,6 +292,8 @@ def main() -> None:
     # --facts=64 scales lineitem/orders/events/embeddings instead (docs
     # stay 16x) — the r7 64x check for the fact-table operator families.
     docs_mult, facts_mult, dst, runs = 16, 8, DST, 2
+    parts = False
+    names = QUERIES
     for a in sys.argv[1:]:
         if a.startswith("--docs="):
             docs_mult = int(a.split("=", 1)[1])
@@ -287,11 +303,23 @@ def main() -> None:
             facts_mult = int(a.split("=", 1)[1])
             if facts_mult != 8:
                 dst = f"{DST}f{facts_mult}"
+        if a.startswith("--parts="):
+            # grow-the-graph mode: N-times facts with part keys shifted
+            # per replica; defaults to timing just the graph queries
+            facts_mult = int(a.split("=", 1)[1])
+            parts = True
+            dst = f"{DST}p{facts_mult}"
+            names = [
+                "graph_triangle_count",
+                "graph_pagerank",
+                "graph_pagerank_k10",
+            ]
         if a.startswith("--runs="):
             runs = int(a.split("=", 1)[1])
     if not os.path.isdir(dst) or "--rebuild" in sys.argv:
         shutil.rmtree(dst, ignore_errors=True)
-        build(dst=dst, docs_mult=docs_mult, facts_mult=facts_mult)
+        build(dst=dst, docs_mult=docs_mult, facts_mult=facts_mult,
+              shift_partkeys=parts)
     if "--build" in sys.argv:
         print(json.dumps({"built": dst}))
         return
@@ -308,7 +336,6 @@ def main() -> None:
         return
 
     queries = entry_mod.queries()
-    names = QUERIES
     for a in sys.argv[1:]:  # --only=q1,q2 to re-time a subset
         if a.startswith("--only="):
             names = a.split("=", 1)[1].split(",")
