@@ -194,6 +194,16 @@ EXTENDED += [
     "graph_pagerank",
 ]
 
+# Added round 8 (first driver-recorded in BENCH_r08): the checkpointed
+# deep-k PageRank and the certified 100 TB approx-profiling forms.
+EXTENDED += [
+    "graph_pagerank_k10",
+    "a14_group_percentiles_approx",
+    "v10_column_profile_approx",
+    "v13_mad_outliers_approx",
+    "text_corpus_datasheet_approx",
+]
+
 
 def _sf_from_dir(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))

@@ -948,6 +948,114 @@ def q_column_profile_approx(spark, sf_dir):
     return column_profile_approx(li, _PROFILE_COLS).orderBy("column")
 
 
+# ------------------------------------------- candidate-key discovery
+
+
+def candidate_keys(
+    df: DataFrame, candidates: dict[str, list[str]]
+) -> DataFrame:
+    """Candidate-key discovery: for each named column set, ONE
+    aggregate scan emits ``(candidate, n_rows, n_distinct,
+    uniqueness_ppm, is_key, nd_violation)`` — the profiling step that
+    picks dedup keys, join keys, and partition/bucket columns before a
+    100 TB layout decision commits to them. Composite candidates are
+    evaluated over a '|'-joined string of their casts (cross-engine
+    canonical; count(DISTINCT a, b) null semantics differ between
+    engines, the concat form does not).
+
+    Both the exact distinct and the HLL++ sketch compute in the same
+    scan, v10-style: the sketch is the 100 TB form (mergeable
+    registers, no per-candidate hash explosion), the exact count
+    exists on this certification surface to evaluate the 2.5-sigma
+    bound (``nd_violation`` must be 0), and ``uniqueness_ppm`` /
+    ``is_key`` are integer-exact so the verdict cannot float-drift.
+    Adding a candidate adds expressions, never a pass."""
+    if not candidates:
+        raise ValueError("candidate_keys needs at least one candidate")
+
+    def expr_for(cols: list[str]):
+        if len(cols) == 1:
+            return F.col(cols[0]).cast("string")
+        return F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for name, cols in candidates.items():
+        e = expr_for(cols)
+        aggs += [
+            F.count_distinct(e).alias(f"__nd_{name}"),
+            F.approx_count_distinct(e, rsd=PROFILE_HLL_RSD).alias(
+                f"__and_{name}"
+            ),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("candidate"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nd_{name}").alias("n_distinct"),
+                F.expr(f"(__nd_{name} * 1000000) div __n").alias(
+                    "uniqueness_ppm"
+                ),
+                (F.col(f"__nd_{name}") == F.col("__n"))
+                .cast("int")
+                .alias("is_key"),
+                (
+                    F.abs(F.col(f"__and_{name}") - F.col(f"__nd_{name}"))
+                    > PROFILE_HLL_CHECK * F.col(f"__nd_{name}")
+                )
+                .cast("int")
+                .alias("nd_violation"),
+            )
+            for name in candidates
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+_CANDIDATES = {
+    "o_orderkey": ["o_orderkey"],
+    "o_custkey": ["o_custkey"],
+    "o_orderdate": ["o_orderdate"],
+    "custkey_orderdate": ["o_custkey", "o_orderdate"],
+}
+
+
+def _candidate_keys_oracle() -> str:
+    def sql_expr(cols):
+        if len(cols) == 1:
+            return f"CAST({cols[0]} AS VARCHAR)"
+        return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+
+    sums = ["count(*) AS n"] + [
+        f"count(DISTINCT {sql_expr(cols)}) AS nd_{name}"
+        for name, cols in _CANDIDATES.items()
+    ]
+    sels = [
+        f"""SELECT '{name}' AS candidate, CAST(n AS BIGINT) AS n_rows,
+       CAST(nd_{name} AS BIGINT) AS n_distinct,
+       CAST(nd_{name} * 1000000 // n AS BIGINT) AS uniqueness_ppm,
+       CAST(CASE WHEN nd_{name} = n THEN 1 ELSE 0 END AS INT) AS is_key,
+       CAST(0 AS INT) AS nd_violation FROM agg"""
+        for name in _CANDIDATES
+    ]
+    body = "\nUNION ALL\n".join(sels)
+    return (
+        f"WITH agg AS (SELECT {', '.join(sums)} FROM orders)\n{body}\n"
+        "ORDER BY 1"
+    )
+
+
+@register("v23_candidate_keys", oracle=_candidate_keys_oracle())
+def q_candidate_keys(spark, sf_dir):
+    """Key discovery over orders: the true key, two non-keys, and a
+    composite, with the HLL 100 TB form bound-certified in-row."""
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return candidate_keys(orders, _CANDIDATES).orderBy("candidate")
+
+
 # --------------------------------- CDC log -> snapshot materialization
 
 

@@ -156,3 +156,25 @@ def test_datasheet_approx_zero_violations_and_exact_scan_metrics(spark, sf_dir):
     }
     assert row["n_docs"] == int(exact["n_docs"])
     assert row["total_chars"] == int(exact["total_chars"])
+
+
+def test_candidate_keys_planted(spark):
+    """Planted frame: single-column key detected, non-key rejected, a
+    composite that is only jointly unique flagged as key, ppm exact."""
+    from machine_learning_with_spark_streaming_spark.operators.validation import candidate_keys
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 10), (4, "b", 20)],
+        "id long, g string, v long",
+    )
+    out = {
+        r["candidate"]: r
+        for r in candidate_keys(
+            df, {"id": ["id"], "g": ["g"], "g_v": ["g", "v"]}
+        ).collect()
+    }
+    assert out["id"]["is_key"] == 1 and out["id"]["uniqueness_ppm"] == 1000000
+    assert out["g"]["is_key"] == 0 and out["g"]["uniqueness_ppm"] == 500000
+    assert out["g_v"]["is_key"] == 1  # jointly unique, neither alone is
+    assert all(r["nd_violation"] == 0 for r in out.values())
+    assert all(r["n_rows"] == 4 for r in out.values())
