@@ -762,6 +762,116 @@ def q_ewma_smooth(spark, sf_dir):
     )
 
 
+# ------------- W13: Brown's double smoothing (level + trend forecast)
+
+
+def holt_brown_smooth(
+    df: DataFrame, key: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Brown's linear (double) exponential smoothing over the daily
+    series: the classic one-parameter level+trend forecaster. With
+    alpha = 1/2 (w11's 2^-j weights): S1 = EWMA(y), S2 = EWMA(S1),
+    level = 2*S1 - S2, trend = (alpha/(1-alpha))*(S1-S2) = S1 - S2,
+    next-day forecast = level + trend. The recursive form is
+    inherently sequential; both smoothings use w11's FIXED-window
+    truncation (8 trailing present terms, renormalized — max relative
+    tail error 2^-8), so the whole statistic is two window passes over
+    ONE key-partitioned sort (same partitioning and ordering: Catalyst
+    plans both Window operators behind a single exchange — verified
+    one shuffle in the plan).
+
+    Exactness: daily means from exact integer cents; S1 stays
+    UNROUNDED into the second pass so both engines run the identical
+    IEEE expression tree (w11's contract, applied twice); 6-dp round
+    at the output only."""
+    day = F.to_date(ts_col).alias("day")
+    daily = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.col(key), day)
+        .agg(
+            F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("__cents"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .withColumn("mean_value", F.col("__cents") / 100.0 / F.col("__n"))
+    )
+    w = Window.partitionBy(key).orderBy("day")
+
+    def trunc_ewma(col_name: str):
+        num, den = F.lit(0.0), F.lit(0.0)
+        for j in range(EWMA_LAGS):
+            term = F.lag(col_name, j).over(w)
+            wt = float(1 << (EWMA_LAGS - 1 - j))
+            num = num + F.coalesce(term, F.lit(0.0)) * wt
+            den = den + F.when(term.isNotNull(), wt).otherwise(0.0)
+        return num / den
+
+    s1 = daily.withColumn("__s1", trunc_ewma("mean_value"))
+    out = s1.withColumn("__s2", trunc_ewma("__s1"))
+    level = 2.0 * F.col("__s1") - F.col("__s2")
+    trend = F.col("__s1") - F.col("__s2")
+    return out.select(
+        F.col(key),
+        F.col("day"),
+        (F.round("mean_value", 6) + F.lit(0.0)).alias("mean_value"),
+        (F.round(level, 6) + F.lit(0.0)).alias("level"),
+        (F.round(trend, 6) + F.lit(0.0)).alias("trend"),
+        (F.round(level + trend, 6) + F.lit(0.0)).alias("forecast_next"),
+    )
+
+
+def _holt_terms_sql(col: str) -> tuple[str, str]:
+    nums, dens = [], []
+    for j in range(EWMA_LAGS):
+        wt = 1 << (EWMA_LAGS - 1 - j)
+        t = f"lag({col}, {j}) OVER w"
+        nums.append(f"coalesce({t}, 0.0) * {wt}.0")
+        dens.append(f"CASE WHEN {t} IS NOT NULL THEN {wt}.0 ELSE 0.0 END")
+    return " + ".join(nums), " + ".join(dens)
+
+
+_H1_NUM, _H1_DEN = _holt_terms_sql("mean_value")
+_H2_NUM, _H2_DEN = _holt_terms_sql("__s1")
+
+_W13_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+series AS (SELECT event_type, day, cents / 100.0 / n AS mean_value FROM daily),
+p1 AS (
+  SELECT event_type, day, mean_value,
+         ({_H1_NUM}) / ({_H1_DEN}) AS __s1
+  FROM series
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+p2 AS (
+  SELECT event_type, day, mean_value, __s1,
+         ({_H2_NUM}) / ({_H2_DEN}) AS __s2
+  FROM p1
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, day,
+       round(mean_value, 6) + 0.0 AS mean_value,
+       round(2.0 * __s1 - __s2, 6) + 0.0 AS level,
+       round(__s1 - __s2, 6) + 0.0 AS trend,
+       round((2.0 * __s1 - __s2) + (__s1 - __s2), 6) + 0.0 AS forecast_next
+FROM p2 ORDER BY 1, 2
+"""
+
+
+@register("w13_holt_brown", oracle=_W13_ORACLE)
+def q_holt_brown(spark, sf_dir):
+    """Brown's double exponential smoothing (level/trend/next-day
+    forecast) over daily mean event values per type."""
+    ev = load_table(spark, sf_dir, "events")
+    return holt_brown_smooth(ev, "event_type", "ts", "value").orderBy(
+        "event_type", "day"
+    )
+
+
 # --------------------- W12: month-over-month % change (time intelligence)
 
 def mom_pct_change(

@@ -178,3 +178,27 @@ def test_candidate_keys_planted(spark):
     assert out["g_v"]["is_key"] == 1  # jointly unique, neither alone is
     assert all(r["nd_violation"] == 0 for r in out.values())
     assert all(r["n_rows"] == 4 for r in out.values())
+
+
+def test_holt_brown_planted_series(spark):
+    """Constant series: level=c, trend=0, forecast=c exactly. Linear
+    ramp in steady state (>= 8 warmup days): trend ~= slope and the
+    next-day forecast ~= the true next value (truncation tail 2^-8)."""
+    import datetime as dt
+
+    from machine_learning_with_spark_streaming_spark.operators.windows import holt_brown_smooth
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("c", base + dt.timedelta(days=i), 5.0) for i in range(12)]
+    rows += [("r", base + dt.timedelta(days=i), 10.0 + 2.0 * i) for i in range(12)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {
+        (r["event_type"], str(r["day"])): r
+        for r in holt_brown_smooth(df, "event_type", "ts", "value").collect()
+    }
+    last_c = out[("c", "2024-01-12")]
+    assert last_c["level"] == 5.0 and last_c["trend"] == 0.0
+    assert last_c["forecast_next"] == 5.0
+    last_r = out[("r", "2024-01-12")]  # true y_11 = 32, slope 2
+    assert abs(last_r["trend"] - 2.0) < 0.1
+    assert abs(last_r["forecast_next"] - 34.0) < 0.2
