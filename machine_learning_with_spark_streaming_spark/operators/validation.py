@@ -1056,6 +1056,97 @@ def q_candidate_keys(spark, sf_dir):
     return candidate_keys(orders, _CANDIDATES).orderBy("candidate")
 
 
+# ------------------------------- functional-dependency discovery
+
+
+def fd_report(
+    df: DataFrame, fds: list[tuple[str, str]]
+) -> DataFrame:
+    """Functional-dependency audit: for each claimed ``det -> dep``,
+    one groupBy on the determinant emits how many determinant groups
+    exist, how many map to MORE than one dependent value (violations),
+    and the row mass inside violating groups — the profiling
+    complement to ``candidate_keys`` (keys are the FDs where the
+    determinant is unique; this audits the non-key dependencies that
+    normalization, dimension extraction, and dedup-canonicalization
+    rely on). All-integer output.
+
+    Scale shape: one hash aggregate per FD on its determinant (map-side
+    partials; the per-group state is a count + a distinct-set bounded
+    by the dependent's cardinality), then a 1-row-per-FD rollup,
+    unioned across FDs. FDs sharing a determinant could share the
+    shuffle; they are kept independent here for plan clarity."""
+    if not fds:
+        raise ValueError("fd_report needs at least one dependency")
+    outs = []
+    for det, dep in fds:
+        g = df.groupBy(det).agg(
+            F.count(F.lit(1)).alias("__rows"),
+            F.count_distinct(F.col(dep)).alias("__nd"),
+        )
+        outs.append(
+            g.agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum((F.col("__nd") > 1).cast("long")).alias(
+                    "n_violating_groups"
+                ),
+                F.sum(
+                    F.when(F.col("__nd") > 1, F.col("__rows")).otherwise(0)
+                ).alias("n_violating_rows"),
+            ).select(
+                F.lit(f"{det}->{dep}").alias("fd"),
+                F.col("n_groups").cast("long").alias("n_groups"),
+                F.col("n_violating_groups").cast("long").alias(
+                    "n_violating_groups"
+                ),
+                F.col("n_violating_rows").cast("long").alias(
+                    "n_violating_rows"
+                ),
+                (F.col("n_violating_groups") == 0).cast("int").alias("holds"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+_FD_LIST = [
+    ("o_orderkey", "o_custkey"),
+    ("o_custkey", "o_orderstatus"),
+    ("o_orderdate", "o_orderpriority"),
+]
+
+
+def _fd_oracle() -> str:
+    sels = []
+    for det, dep in _FD_LIST:
+        sels.append(f"""
+SELECT '{det}->{dep}' AS fd,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(sum(CASE WHEN nd > 1 THEN rows ELSE 0 END) AS BIGINT)
+         AS n_violating_rows,
+       CAST(CASE WHEN sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+            THEN 1 ELSE 0 END AS INT) AS holds
+FROM (
+  SELECT {det}, count(*) AS rows, count(DISTINCT {dep}) AS nd
+  FROM orders GROUP BY 1
+)""")
+    return "\nUNION ALL\n".join(sels) + "\nORDER BY 1"
+
+
+@register("v24_fd_report", oracle=_fd_oracle())
+def q_fd_report(spark, sf_dir):
+    """FD audit over orders: the key-implied dependency plus two
+    deliberately false claims, violation mass counted exactly."""
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return fd_report(orders, _FD_LIST).orderBy("fd")
+
+
 # --------------------------------- CDC log -> snapshot materialization
 
 

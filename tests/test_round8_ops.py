@@ -202,3 +202,23 @@ def test_holt_brown_planted_series(spark):
     last_r = out[("r", "2024-01-12")]  # true y_11 = 32, slope 2
     assert abs(last_r["trend"] - 2.0) < 0.1
     assert abs(last_r["forecast_next"] - 34.0) < 0.2
+
+
+def test_fd_report_planted(spark):
+    """Planted FDs: a holding dependency reports zero violations; a
+    violated one counts exactly the violating groups and their rows."""
+    from machine_learning_with_spark_streaming_spark.operators.validation import fd_report
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (1, "a", "y"), (2, "b", "x"), (3, "b", "x")],
+        "k long, g string, d string",
+    )
+    out = {r["fd"]: r for r in fd_report(df, [("k", "g"), ("k", "d"), ("g", "k")]).collect()}
+    assert out["k->g"]["holds"] == 1 and out["k->g"]["n_violating_rows"] == 0
+    # k=1 maps to {x,y}: 1 violating group carrying 2 rows
+    assert out["k->d"]["holds"] == 0
+    assert out["k->d"]["n_violating_groups"] == 1
+    assert out["k->d"]["n_violating_rows"] == 2
+    # g=b maps to {2,3}: violated with 2 rows
+    assert out["g->k"]["n_violating_groups"] == 1
+    assert out["g->k"]["n_violating_rows"] == 2
