@@ -109,6 +109,12 @@ QUERIES = [
     "dedup_minhash_calibration",
     "ml_corr_matrix",
     "graph_triangle_count",
+    # round-8 additions (graph queries also have dedicated --parts rows)
+    "v23_candidate_keys",
+    "v24_fd_report",
+    "w13_holt_brown",
+    "v13_mad_outliers_approx",
+    "text_corpus_datasheet_approx",
 ]
 
 
