@@ -963,13 +963,21 @@ def candidate_keys(
     canonical; count(DISTINCT a, b) null semantics differ between
     engines, the concat form does not).
 
-    Both the exact distinct and the HLL++ sketch compute in the same
-    scan, v10-style: the sketch is the 100 TB form (mergeable
-    registers, no per-candidate hash explosion), the exact count
-    exists on this certification surface to evaluate the 2.5-sigma
-    bound (``nd_violation`` must be 0), and ``uniqueness_ppm`` /
-    ``is_key`` are integer-exact so the verdict cannot float-drift.
-    Adding a candidate adds expressions, never a pass."""
+    The sketch is the 100 TB form (mergeable registers, no
+    per-candidate hash explosion); the exact count exists on this
+    certification surface to evaluate the 2.5-sigma bound
+    (``nd_violation`` must be 0), and ``uniqueness_ppm`` / ``is_key``
+    are integer-exact so the verdict cannot float-drift.
+
+    The exact and sketch sides run as TWO aggregates joined on their
+    single result rows — deliberately NOT one: Catalyst rewrites
+    multiple count(DISTINCT) via Expand×(k+1), and any regular
+    aggregate in the same operator (here: k HLL buffers of ~KBs each)
+    is then carried in EVERY expanded distinct-group's partial buffer —
+    measured 7.5 s for 150k rows before the split vs ~1 s after, and
+    the gap grows with group cardinality. Split, the sketch pass has k
+    buffers TOTAL and the distinct pass ships only counts. Adding a
+    candidate adds expressions, never a pass."""
     if not candidates:
         raise ValueError("candidate_keys needs at least one candidate")
 
@@ -978,16 +986,22 @@ def candidate_keys(
             return F.col(cols[0]).cast("string")
         return F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
 
-    aggs: list = [F.count(F.lit(1)).alias("__n")]
-    for name, cols in candidates.items():
-        e = expr_for(cols)
-        aggs += [
-            F.count_distinct(e).alias(f"__nd_{name}"),
-            F.approx_count_distinct(e, rsd=PROFILE_HLL_RSD).alias(
-                f"__and_{name}"
-            ),
+    exact = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.count_distinct(expr_for(cols)).alias(f"__nd_{name}")
+            for name, cols in candidates.items()
+        ],
+    )
+    sketch = df.agg(
+        *[
+            F.approx_count_distinct(
+                expr_for(cols), rsd=PROFILE_HLL_RSD
+            ).alias(f"__and_{name}")
+            for name, cols in candidates.items()
         ]
-    one = df.agg(*aggs)
+    )
+    one = exact.crossJoin(F.broadcast(sketch))
     rows = F.array(
         *[
             F.struct(
