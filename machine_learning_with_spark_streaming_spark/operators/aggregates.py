@@ -316,12 +316,24 @@ def sketch_distinct_and_median(
 ) -> DataFrame:
     """Per-group HLL++ distinct count + KLL-style approx median next to
     their exact counterparts — the 100 TB path for distinct/quantile
-    (one pass, bounded memory, no exact-distinct shuffle explosion)."""
-    return df.groupBy(key).agg(
+    (one pass, bounded memory, no exact-distinct shuffle explosion).
+
+    The exact countDistinct (certification-only) runs as its OWN
+    aggregate joined back per group: fused with the sketches, Catalyst's
+    distinct rewrite buffers the HLL + t-digest state per
+    (group, distinct-value) partial group — measured 6.4 s vs ~1.5 s
+    split at sf0.1 (the candidate_keys trap). Production keeps only
+    the sketch aggregate."""
+    sk = df.groupBy(key).agg(
         F.approx_count_distinct(dist_col, rsd=0.02).alias("approx_users"),
-        F.countDistinct(dist_col).alias("exact_users"),
         F.percentile_approx(val_col, 0.5, APPROX_ACCURACY).alias("approx_p50"),
         F.count(F.lit(1)).alias("n"),
+    )
+    nd = df.groupBy(key).agg(
+        F.countDistinct(dist_col).alias("exact_users")
+    )
+    return sk.join(F.broadcast(nd), key).select(
+        key, "approx_users", "exact_users", "approx_p50", "n"
     )
 
 
