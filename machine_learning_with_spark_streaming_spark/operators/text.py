@@ -1158,20 +1158,32 @@ def corpus_datasheet(
     """One-pass corpus "datasheet": the summary battery a curation run
     publishes next to its output (docs/langs/sources, char and token
     mass, exact-duplicate rate, length percentiles) as a long-format
-    (metric, value) table. One full-table aggregate + a ``stack``
-    unpivot; the dup-rate reuses the 8-byte-hash dedup key, so nothing
-    here shuffles document text. Percentiles and distincts are exact
-    here; the 100 TB swap (HLL++ + t-digest, no shape change) is
-    itself certified as ``text_corpus_datasheet_approx`` below."""
+    (metric, value) table, assembled from TWO aggregate scans joined
+    on their single rows (distincts in one, sums + exact percentiles
+    in the other — fused, the 3-way count-distinct Expand would buffer
+    the percentile value lists per distinct-value group, the
+    candidate_keys trap) + a ``stack`` unpivot; the dup-rate reuses
+    the 8-byte-hash dedup key, so nothing here shuffles document text.
+    Percentiles and distincts are exact here; the 100 TB swap (HLL++ +
+    t-digest, no shape change) is itself certified as
+    ``text_corpus_datasheet_approx`` below."""
     from machine_learning_with_spark_streaming_spark.operators.dedup import normalize_text
 
     ws_count = F.size(words(text_col)).cast("double")
-    agg = docs.agg(
+    plain = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.countDistinct("lang").cast("double").alias("n_langs"),
-        F.countDistinct("source").cast("double").alias("n_sources"),
         F.sum(F.length(text_col)).cast("double").alias("total_chars"),
         F.sum(ws_count).alias("total_ws_tokens"),
+        F.round(F.percentile(F.length(text_col), F.lit(0.5)), 4).alias(
+            "p50_chars"
+        ),
+        F.round(F.percentile(F.length(text_col), F.lit(0.9)), 4).alias(
+            "p90_chars"
+        ),
+    )
+    nd = docs.agg(
+        F.countDistinct("lang").cast("double").alias("n_langs"),
+        F.countDistinct("source").cast("double").alias("n_sources"),
         # NULL text coalesces to '' BEFORE hashing: Spark xxhash64
         # never returns NULL (a NULL input hashes to the seed), so an
         # uncoalesced NULL doc would count as a real fingerprint here
@@ -1181,13 +1193,8 @@ def corpus_datasheet(
         )
         .cast("double")
         .alias("__n_uniq"),
-        F.round(F.percentile(F.length(text_col), F.lit(0.5)), 4).alias(
-            "p50_chars"
-        ),
-        F.round(F.percentile(F.length(text_col), F.lit(0.9)), 4).alias(
-            "p90_chars"
-        ),
-    ).withColumn(
+    )
+    agg = plain.crossJoin(F.broadcast(nd)).withColumn(
         "exact_dup_rate",
         F.round(F.lit(1.0) - F.col("__n_uniq") / F.col("n_docs"), 6),
     )
