@@ -177,6 +177,9 @@ DOUBLE_OUTPUT_ALLOWLIST = {
     # raw parquet double round-tripped through Derby, no arithmetic
     "s11_jdbc_upsert_stream": ["last_value"],
     "w11_ewma_smooth": ["ewma", "mean_value"],
+    # swept sf0.1 --shuffle 5 green on registration day (r8): one IEEE
+    # expression tree in both engines, 6-dp rounded at output only
+    "w13_holt_brown": ["forecast_next", "level", "mean_value", "trend"],
     "text_langid_confusion": ["share"],
 }
 
