@@ -202,6 +202,9 @@ EXTENDED += [
     "v10_column_profile_approx",
     "v13_mad_outliers_approx",
     "text_corpus_datasheet_approx",
+    "v23_candidate_keys",
+    "v24_fd_report",
+    "w13_holt_brown",
 ]
 
 
