@@ -663,3 +663,88 @@ def q_share_of_total(spark, sf_dir):
         "o_orderstatus",
         F.round(F.col("o_totalprice") * 100).cast("long"),
     ).orderBy("grp", "sub")
+
+
+# ----------------------- A20: exact weighted quantiles (all-integer)
+
+WEIGHTED_QS = (5, 9)  # tenths: q = 0.5, 0.9
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: "Column",
+    weight_col: "Column",
+) -> DataFrame:
+    """Exact weighted quantiles per group — the statistic behind
+    "median price weighted by units sold" / "length percentile
+    weighted by token count" that no engine ships built-in. Definition
+    (lower weighted quantile, no interpolation): the smallest value v
+    whose cumulative weight reaches q * W. Everything stays INTEGER:
+    values are expected pre-scaled (cents/micros), weights integral,
+    and the threshold test is ``10 * cum_w >= q10 * W`` with q10 in
+    tenths — no float crosses an engine boundary, so ties and
+    boundaries are bit-deterministic.
+
+    Scale shape: pre-aggregate to one row per (group, value) — the
+    tie-collapse that also bounds the sort — then one window cumsum
+    over the group-partitioned value order, then a single min-filter
+    aggregate per quantile. One shuffle on the group key after the
+    pre-aggregate's own; never a global sort."""
+    per_v = df.groupBy(F.col(group_col).alias("g"), value_col.alias("v")).agg(
+        F.sum(weight_col).cast("long").alias("w")
+    )
+    win = Window.partitionBy("g").orderBy("v")
+    tot = Window.partitionBy("g")
+    cum = per_v.select(
+        "g",
+        "v",
+        F.sum("w").over(win).alias("cw"),
+        F.sum("w").over(tot).alias("W"),
+    )
+    aggs = [F.max("W").cast("long").alias("total_w")]
+    for q10 in WEIGHTED_QS:
+        aggs.append(
+            F.min(
+                F.when(10 * F.col("cw") >= q10 * F.col("W"), F.col("v"))
+            ).cast("long").alias(f"wq{q10}0")
+        )
+    return cum.groupBy("g").agg(*aggs)
+
+
+_A20_ORACLE = f"""
+WITH per_v AS (
+  SELECT l_returnflag AS g,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, v,
+         sum(w) OVER (PARTITION BY g ORDER BY v) AS cw,
+         sum(w) OVER (PARTITION BY g) AS W
+  FROM per_v
+)
+SELECT g AS l_returnflag,
+       CAST(max(W) AS BIGINT) AS total_w,
+       {", ".join(
+           f"CAST(min(CASE WHEN 10 * cw >= {q10} * W THEN v END) AS BIGINT)"
+           f" AS wq{q10}0" for q10 in WEIGHTED_QS
+       )}
+FROM cum GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("a20_weighted_quantiles", oracle=_A20_ORACLE)
+def q_weighted_quantiles(spark, sf_dir):
+    """Quantity-weighted price quantiles per returnflag: exact integer
+    cents, lower-quantile definition, zero float comparisons."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_quantiles(
+        li,
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+        F.col("l_quantity").cast("long"),
+    ).select(
+        F.col("g").alias("l_returnflag"), "total_w", "wq50", "wq90"
+    ).orderBy("l_returnflag")

@@ -222,3 +222,25 @@ def test_fd_report_planted(spark):
     # g=b maps to {2,3}: violated with 2 rows
     assert out["g->k"]["n_violating_groups"] == 1
     assert out["g->k"]["n_violating_rows"] == 2
+
+
+def test_weighted_quantiles_planted(spark):
+    """Hand-checkable weighted median: values 1,2,3 with weights
+    1,1,8 -> W=10, q50 threshold cw>=5 first reached at v=3; unweighted
+    (all weights 1) falls back to the ordinary lower median."""
+    from machine_learning_with_spark_streaming_spark.operators.aggregates import (
+        weighted_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 1), ("a", 3, 8), ("b", 1, 1), ("b", 2, 1)],
+        "g string, v long, w long",
+    )
+    out = {
+        r["g"]: r
+        for r in weighted_quantiles(df, "g", F.col("v"), F.col("w")).collect()
+    }
+    assert out["a"]["total_w"] == 10 and out["a"]["wq50"] == 3
+    assert out["a"]["wq90"] == 3
+    assert out["b"]["total_w"] == 2 and out["b"]["wq50"] == 1  # cw=1 >= 0.5*2
+    assert out["b"]["wq90"] == 2
