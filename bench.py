@@ -205,6 +205,8 @@ EXTENDED += [
     "v23_candidate_keys",
     "v24_fd_report",
     "w13_holt_brown",
+    "a20_weighted_quantiles",
+    "w14_forecast_backtest",
 ]
 
 

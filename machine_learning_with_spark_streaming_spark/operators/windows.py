@@ -872,6 +872,102 @@ def q_holt_brown(spark, sf_dir):
     )
 
 
+# ------------- W14: one-step forecast backtest (the w13 error report)
+
+
+def forecast_backtest(
+    df: DataFrame, key: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Backtest of w13's one-step-ahead forecast: pair each day's
+    ``forecast_next`` with the NEXT PRESENT day's actual mean (lead()
+    over the same key-partitioned order — gap days simply produce no
+    evaluation pair, they don't fake a miss), then report per key the
+    pair count, the mean absolute error, and the mean error (bias).
+    The report that decides whether the smoother is trustworthy enough
+    to alert on.
+
+    Cross-engine exactness: forecasts and actuals are the certified
+    6-dp-rounded doubles; each pair's |err| and err are floored to
+    integer MICRO-units before summation, so the aggregate never sums
+    raw doubles in engine-dependent order — mae/bias are integer-exact
+    micro-unit divisions."""
+    fc = holt_brown_smooth(df, key, ts_col, value_col)
+    w = Window.partitionBy(key).orderBy("day")
+    paired = fc.select(
+        F.col(key),
+        "forecast_next",
+        F.lead("mean_value", 1).over(w).alias("__actual"),
+    ).filter(F.col("__actual").isNotNull())
+    paired = paired.withColumn(
+        "__err",
+        F.round(
+            (F.col("__actual") - F.col("forecast_next")) * 1e6
+        ).cast("long"),
+    )
+    return paired.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("sum(abs(__err)) div count(1)").alias("mae_micros"),
+        F.expr("sum(__err) div count(1)").alias("bias_micros"),
+    )
+
+
+_W14_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+series AS (SELECT event_type, day, cents / 100.0 / n AS mean_value FROM daily),
+p1 AS (
+  SELECT event_type, day, mean_value,
+         ({_H1_NUM}) / ({_H1_DEN}) AS __s1
+  FROM series
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+p2 AS (
+  SELECT event_type, day,
+         round(mean_value, 6) + 0.0 AS mean_value,
+         round((2.0 * __s1 - __s2) + (__s1 - __s2), 6) + 0.0
+           AS forecast_next
+  FROM (
+    SELECT event_type, day, mean_value, __s1,
+           ({_H2_NUM}) / ({_H2_DEN}) AS __s2
+    FROM p1
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+  )
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+paired AS (
+  SELECT event_type, forecast_next,
+         lead(mean_value, 1) OVER
+           (PARTITION BY event_type ORDER BY day) AS actual
+  FROM p2
+),
+errs AS (
+  SELECT event_type,
+         CAST(round((actual - forecast_next) * 1e6) AS BIGINT) AS e
+  FROM paired WHERE actual IS NOT NULL
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(abs(e)) // count(*) AS BIGINT) AS mae_micros,
+       CAST(sum(e) // count(*) AS BIGINT) AS bias_micros
+FROM errs GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("w14_forecast_backtest", oracle=_W14_ORACLE)
+def q_forecast_backtest(spark, sf_dir):
+    """Per-event-type MAE/bias of the w13 one-step forecast against
+    the next present day's actual (integer micro-unit report)."""
+    ev = load_table(spark, sf_dir, "events")
+    return forecast_backtest(ev, "event_type", "ts", "value").orderBy(
+        "event_type"
+    )
+
+
 # --------------------- W12: month-over-month % change (time intelligence)
 
 def mom_pct_change(

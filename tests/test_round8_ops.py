@@ -244,3 +244,23 @@ def test_weighted_quantiles_planted(spark):
     assert out["a"]["wq90"] == 3
     assert out["b"]["total_w"] == 2 and out["b"]["wq50"] == 1  # cw=1 >= 0.5*2
     assert out["b"]["wq90"] == 2
+
+
+def test_forecast_backtest_planted(spark):
+    """A perfectly linear series forecasts itself in steady state: MAE
+    is tiny (truncation tail) and, on a constant series, exactly 0."""
+    import datetime as dt
+
+    from machine_learning_with_spark_streaming_spark.operators.windows import forecast_backtest
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("c", base + dt.timedelta(days=i), 7.0) for i in range(15)]
+    rows += [("r", base + dt.timedelta(days=i), 10.0 + 3.0 * i) for i in range(15)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {r["event_type"]: r for r in forecast_backtest(df, "event_type", "ts", "value").collect()}
+    assert out["c"]["n_pairs"] == 14 and out["c"]["mae_micros"] == 0
+    assert out["c"]["bias_micros"] == 0
+    # ramp: early warmup pairs carry error; steady-state pairs ~0, so
+    # the mean error stays well under one unit (3.0 slope = 3e6 micros)
+    assert out["r"]["n_pairs"] == 14
+    assert abs(out["r"]["mae_micros"]) < 1_500_000

@@ -115,6 +115,8 @@ QUERIES = [
     "w13_holt_brown",
     "v13_mad_outliers_approx",
     "text_corpus_datasheet_approx",
+    "a20_weighted_quantiles",
+    "w14_forecast_backtest",
 ]
 
 
