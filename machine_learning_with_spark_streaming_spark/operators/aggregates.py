@@ -329,11 +329,14 @@ def sketch_distinct_and_median(
         F.percentile_approx(val_col, 0.5, APPROX_ACCURACY).alias("approx_p50"),
         F.count(F.lit(1)).alias("n"),
     )
-    nd = df.groupBy(key).agg(
+    nd = df.groupBy(F.col(key).alias("__k")).agg(
         F.countDistinct(dist_col).alias("exact_users")
     )
-    return sk.join(F.broadcast(nd), key).select(
-        key, "approx_users", "exact_users", "approx_p50", "n"
+    # null-safe join key: a NULL group (both sides emit one) must not
+    # be dropped by inner-equi NULL != NULL semantics
+    return (
+        sk.join(F.broadcast(nd), sk[key].eqNullSafe(nd["__k"]))
+        .select(key, "approx_users", "exact_users", "approx_p50", "n")
     )
 
 
@@ -444,6 +447,10 @@ def q_group_percentiles_approx(spark, sf_dir):
     qs = [0.5, 0.9, 0.99]
     agg = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
+        # the sketch only sees non-NULL values: the rank bound must be
+        # checked against this count (equal to n on this non-null
+        # measure, but the contract must not depend on that)
+        F.count("l_extendedprice").alias("n_val"),
         F.percentile_approx(
             "l_extendedprice", qs, APPROX_ACCURACY
         ).alias("ap"),
@@ -451,7 +458,7 @@ def q_group_percentiles_approx(spark, sf_dir):
     probe = li.select("l_returnflag", "l_extendedprice").join(
         F.broadcast(agg), "l_returnflag"
     )
-    counts = probe.groupBy("l_returnflag", "n").agg(
+    counts = probe.groupBy("l_returnflag", "n", "n_val").agg(
         *[
             F.sum(
                 (F.col("l_extendedprice") < F.col("ap")[i]).cast("long")
@@ -465,12 +472,12 @@ def q_group_percentiles_approx(spark, sf_dir):
             for i in range(len(qs))
         ],
     )
-    err = F.col("n") / APPROX_ACCURACY + 1
+    err = F.col("n_val") / APPROX_ACCURACY + 1
 
     def violation(i: int, q: float):
         return (
-            (F.col(f"lt{i}") > q * F.col("n") + err)
-            | (F.col(f"le{i}") < q * F.col("n") - err)
+            (F.col(f"lt{i}") > q * F.col("n_val") + err)
+            | (F.col(f"le{i}") < q * F.col("n_val") - err)
         ).cast("int")
 
     return counts.select(

@@ -1291,6 +1291,11 @@ def q_corpus_datasheet_approx(spark, sf_dir):
     sk = docs.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.length("text")).cast("long").alias("total_chars"),
+        # the t-digest only sees non-NULL lengths; its rank bound must
+        # be checked against THIS count, not n — with m NULL docs the
+        # counting pass can never exceed n - m and n-based bounds would
+        # emit false violations
+        F.count(F.length("text")).alias("n_len"),
         F.approx_count_distinct("lang", rsd=0.02).alias("a_langs"),
         F.approx_count_distinct("source", rsd=0.02).alias("a_sources"),
         F.approx_count_distinct(fp, rsd=0.02).alias("a_uniq"),
@@ -1308,15 +1313,15 @@ def q_corpus_datasheet_approx(spark, sf_dir):
         F.broadcast(agg)
     )
     counts = probe.groupBy(
-        "n", "total_chars", "a_langs", "e_langs", "a_sources", "e_sources",
-        "a_uniq", "e_uniq",
+        "n", "n_len", "total_chars", "a_langs", "e_langs", "a_sources",
+        "e_sources", "a_uniq", "e_uniq",
     ).agg(
         F.sum((F.col("len") < F.col("ap")[0]).cast("long")).alias("lt0"),
         F.sum((F.col("len") <= F.col("ap")[0]).cast("long")).alias("le0"),
         F.sum((F.col("len") < F.col("ap")[1]).cast("long")).alias("lt1"),
         F.sum((F.col("len") <= F.col("ap")[1]).cast("long")).alias("le1"),
     )
-    err = F.col("n") / APPROX_ACCURACY + 1
+    err = F.col("n_len") / APPROX_ACCURACY + 1
 
     def hll_viol(a: str, e: str):
         return (
@@ -1325,8 +1330,8 @@ def q_corpus_datasheet_approx(spark, sf_dir):
 
     def rank_viol(lt: str, le: str, q: float):
         return (
-            (F.col(lt) > q * F.col("n") + err)
-            | (F.col(le) < q * F.col("n") - err)
+            (F.col(lt) > q * F.col("n_len") + err)
+            | (F.col(le) < q * F.col("n_len") - err)
         ).cast("int")
 
     return counts.select(

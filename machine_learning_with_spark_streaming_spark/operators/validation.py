@@ -973,9 +973,13 @@ def candidate_keys(
     uniqueness_ppm, is_key, nd_violation)`` — the profiling step that
     picks dedup keys, join keys, and partition/bucket columns before a
     100 TB layout decision commits to them. Composite candidates are
-    evaluated over a '|'-joined string of their casts (cross-engine
-    canonical; count(DISTINCT a, b) null semantics differ between
-    engines, the concat form does not).
+    evaluated over a STRUCT/ROW of the columns — null-safe (a struct
+    with a NULL member is itself non-NULL and grouping treats equal
+    members as equal in both engines, where string-concat forms either
+    drop NULL rows or collide on separator-bearing values) and
+    collision-free. Single-column candidates count the raw column:
+    both engines exclude NULL rows from count(DISTINCT), so a column
+    with any NULL can never report is_key=1 — the correct verdict.
 
     The sketch is the 100 TB form (mergeable registers, no
     per-candidate hash explosion); the exact count exists on this
@@ -997,8 +1001,8 @@ def candidate_keys(
 
     def expr_for(cols: list[str]):
         if len(cols) == 1:
-            return F.col(cols[0]).cast("string")
-        return F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+            return F.col(cols[0])
+        return F.struct(*[F.col(c) for c in cols])
 
     exact = df.agg(
         F.count(F.lit(1)).alias("__n"),
@@ -1052,8 +1056,8 @@ _CANDIDATES = {
 def _candidate_keys_oracle() -> str:
     def sql_expr(cols):
         if len(cols) == 1:
-            return f"CAST({cols[0]} AS VARCHAR)"
-        return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+            return cols[0]
+        return f"ROW({', '.join(cols)})"
 
     sums = ["count(*) AS n"] + [
         f"count(DISTINCT {sql_expr(cols)}) AS nd_{name}"

@@ -167,22 +167,42 @@ def coerce_to_table_schema(
     )
 
 
+def _jdbc_connect(spark: SparkSession, url: str, properties):
+    """Raw ``java.sql`` connection honoring the same ``properties``
+    dict Spark's reader/writer takes: ``driver`` loads the class, every
+    other entry (user, password, ssl, ...) is forwarded via
+    ``java.util.Properties`` — a bare ``getConnection(url)`` cannot
+    authenticate against any credentialed engine."""
+    jvm = spark._jvm  # noqa: SLF001 - py4j gateway to java.sql
+    props = dict(properties or {})
+    driver = props.pop("driver", None)
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    jprops = jvm.java.util.Properties()
+    for k, v in props.items():
+        jprops.setProperty(k, str(v))
+    return jvm.java.sql.DriverManager.getConnection(url, jprops)
+
+
 def execute_transaction(
     spark: SparkSession,
     url: str,
     statements: list[str],
     driver: str | None = None,
+    properties: dict[str, str] | None = None,
 ) -> None:
     """Run raw SQL statements over JDBC in ONE transaction (autocommit
     off, commit only after every statement succeeds; rollback + reraise
     on any failure). Spark's DataFrame writer has no multi-statement
     transaction surface, so sink patterns that need atomicity (the
     stage-and-swap below) drop to ``java.sql`` via the running JVM —
-    still the public JDBC API, no extra client library."""
-    jvm = spark._jvm  # noqa: SLF001 - py4j gateway to java.sql
+    still the public JDBC API, no extra client library. ``properties``
+    carries credentials exactly as ``read_table``/``write_table`` take
+    them; the legacy ``driver`` kwarg folds into it."""
+    props = dict(properties or {})
     if driver:
-        jvm.java.lang.Class.forName(driver)
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+        props.setdefault("driver", driver)
+    conn = _jdbc_connect(spark, url, props)
     try:
         conn.setAutoCommit(False)
         st = conn.createStatement()
@@ -228,18 +248,18 @@ def staged_atomic_overwrite(
     # Spark's JDBC writer quotes column identifiers (case-preserving);
     # match it or the unquoted names case-fold and miss
     cols = ", ".join(f'"{c}"' for c in df.columns)
-    driver = (properties or {}).get("driver")
-    jvm = df.sparkSession._jvm  # noqa: SLF001
-    if driver:
-        jvm.java.lang.Class.forName(driver)
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    conn = _jdbc_connect(df.sparkSession, url, properties)
     try:
         # first run: create the live table from the stage's shape (empty;
         # idempotent via a metadata existence probe, so a crash between
-        # this DDL and the swap changes nothing observable)
-        if not conn.getMetaData().getTables(
-            None, None, table.upper(), None
-        ).next():
+        # this DDL and the swap changes nothing observable). '_' is a
+        # JDBC LIKE wildcard in getTables patterns — escape it, or
+        # 'latest_events' also matches LATESTXEVENTS and the CREATE is
+        # wrongly skipped
+        md = conn.getMetaData()
+        esc = md.getSearchStringEscape()
+        pattern = table.upper().replace("_", f"{esc}_")
+        if not md.getTables(None, None, pattern, None).next():
             st = conn.createStatement()
             try:
                 st.execute(
@@ -257,5 +277,5 @@ def staged_atomic_overwrite(
             f"DELETE FROM {table}",
             f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {stage}",
         ],
-        driver=driver,
+        properties=properties,
     )

@@ -264,3 +264,69 @@ def test_forecast_backtest_planted(spark):
     # the mean error stays well under one unit (3.0 slope = 3e6 micros)
     assert out["r"]["n_pairs"] == 14
     assert abs(out["r"]["mae_micros"]) < 1_500_000
+
+
+def test_candidate_keys_null_members_and_separator_values(spark):
+    """The struct composite is null-safe and collision-free: rows with
+    a NULL member still count, and ('a|b','c') != ('a','b|c')."""
+    from machine_learning_with_spark_streaming_spark.operators.validation import candidate_keys
+
+    df = spark.createDataFrame(
+        [(1, "a|b", "c"), (2, "a", "b|c"), (3, None, "x"), (4, None, "x")],
+        "id long, p string, q string",
+    )
+    out = {
+        r["candidate"]: r
+        for r in candidate_keys(df, {"pq": ["p", "q"], "p": ["p"]}).collect()
+    }
+    # 3 distinct composites: (a|b,c), (a,b|c), (NULL,x) — rows 3 and 4
+    # share the NULL-member composite, and the two separator-bearing
+    # rows do NOT collide
+    assert out["pq"]["n_distinct"] == 3 and out["pq"]["is_key"] == 0
+    # single column: NULL rows are excluded from nd (both engines), so
+    # p can never be a key here
+    assert out["p"]["n_distinct"] == 2 and out["p"]["is_key"] == 0
+
+
+def test_sketch_distinct_keeps_null_key_group(spark):
+    """groupBy emits a NULL-key group; the split exact/sketch join must
+    not drop it (null-safe join key)."""
+    from machine_learning_with_spark_streaming_spark.operators.aggregates import (
+        sketch_distinct_and_median,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), (None, 3, 3.0), (None, 3, 4.0)],
+        "event_type string, user_id long, value double",
+    )
+    rows = {r["event_type"]: r for r in sketch_distinct_and_median(df).collect()}
+    assert set(rows) == {"a", None}
+    assert rows[None]["exact_users"] == 1 and rows[None]["n"] == 2
+
+
+def test_datasheet_approx_null_text_no_false_violation(spark):
+    """NULL-text docs must not fake a t-digest rank violation: the
+    bound is checked against the non-null length count."""
+    from machine_learning_with_spark_streaming_spark.operators.text import q_corpus_datasheet_approx
+    import machine_learning_with_spark_streaming_spark.schemas as schemas
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (10 + i), "en", "s") for i in range(50)]
+        + [(100 + i, None, "en", "s") for i in range(10)],
+        "doc_id long, text string, lang string, source string",
+    )
+    orig = schemas.load_table
+    try:
+        schemas.load_table = lambda sp, d, t: docs  # noqa: E731
+        import machine_learning_with_spark_streaming_spark.operators.text as T
+
+        orig_t = T.load_table
+        T.load_table = schemas.load_table
+        try:
+            row = q_corpus_datasheet_approx(spark, "ignored").collect()[0]
+        finally:
+            T.load_table = orig_t
+    finally:
+        schemas.load_table = orig
+    assert row["n_docs"] == 60
+    assert row["v_p50"] == 0 and row["v_p90"] == 0
