@@ -308,6 +308,27 @@ def q_grouping_sets(spark, sf_dir):
 # ------------------------------------------------- sketch aggregates
 
 APPROX_ACCURACY = 10000  # percentile_approx: rank error <= n / accuracy
+HLL_RSD = 0.02  # approx_count_distinct relative standard deviation
+HLL_CHECK_FRACTION = 0.05  # bound checked at 5% = 2.5 sigma
+
+
+def hll_bound_violation(approx: "Column", exact: "Column") -> "Column":
+    """The ONE definition of the HLL++ certification check (used by
+    a14/v10/v13/v23/datasheet approx certs): 1 iff the sketch strays
+    past 2.5 sigma of the exact count. Edit here, every cert moves."""
+    return (F.abs(approx - exact) > HLL_CHECK_FRACTION * exact).cast("int")
+
+
+def rank_bound_violation(
+    lt: "Column", le: "Column", q: float, n: "Column"
+) -> "Column":
+    """The ONE definition of the t-digest rank-error check: the sketch
+    value's exact rank bracket (n_lt, n_le] must intersect
+    [q*n - n/accuracy, q*n + n/accuracy] (+1 slack for interpolation),
+    where n is the NON-NULL count the sketch actually saw."""
+    err = n / APPROX_ACCURACY + 1
+    return ((lt > q * n + err) | (le < q * n - err)).cast("int")
+
 
 
 def sketch_distinct_and_median(
@@ -472,13 +493,10 @@ def q_group_percentiles_approx(spark, sf_dir):
             for i in range(len(qs))
         ],
     )
-    err = F.col("n_val") / APPROX_ACCURACY + 1
-
     def violation(i: int, q: float):
-        return (
-            (F.col(f"lt{i}") > q * F.col("n_val") + err)
-            | (F.col(f"le{i}") < q * F.col("n_val") - err)
-        ).cast("int")
+        return rank_bound_violation(
+            F.col(f"lt{i}"), F.col(f"le{i}"), q, F.col("n_val")
+        )
 
     return counts.select(
         "l_returnflag",

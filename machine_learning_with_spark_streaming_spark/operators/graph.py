@@ -475,7 +475,9 @@ PAGERANK_ITERS = 3
 
 
 def pagerank_integer(
-    edges: DataFrame, iterations: int = PAGERANK_ITERS
+    edges: DataFrame,
+    iterations: int = PAGERANK_ITERS,
+    checkpoint_each_round: bool = False,
 ) -> DataFrame:
     """PageRank over an undirected edge table (``a < b`` rows) with the
     whole iteration in INTEGER micro-units — the repo's answer to "can
@@ -494,11 +496,26 @@ def pagerank_integer(
     small, AQE otherwise.
 
     Returns (node, rank_micros) — Σ rank ≈ N·1e6 conserved up to the
-    documented floor loss."""
+    documented floor loss.
+
+    ``checkpoint_each_round`` selects WHERE the computation is cut,
+    never what it computes: False leaves one unrolled lazy plan (right
+    for small fixed k); True ends every round with an eager
+    ``localCheckpoint`` — iterate materialized, lineage cut, next
+    round's plan always one join + one partial-sum regardless of k (the
+    ``connected_components`` idiom, graph.py:43) — and persists
+    directed/deg across the k probes. ONE iteration body serves both
+    modes, so the bit-equality the k10 cert and
+    test_pagerank_checkpointed_equals_unrolled pin cannot desync."""
+    from pyspark.storagelevel import StorageLevel
+
     directed = edges.select(
         F.col("a").alias("u"), F.col("b").alias("v")
     ).unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
     deg = directed.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    if checkpoint_each_round:
+        directed = directed.persist(StorageLevel.MEMORY_AND_DISK)
+        deg = deg.persist(StorageLevel.MEMORY_AND_DISK)
     ranks = deg.select(
         "u", F.lit(PAGERANK_SCALE).cast("long").alias("r")
     )
@@ -519,6 +536,15 @@ def pagerank_integer(
                 ).cast("long").alias("r"),
             )
         )
+        if checkpoint_each_round:
+            # eager: materialize THIS round before cutting lineage; the
+            # previous round's checkpoint blocks become unreferenced and
+            # are reclaimed by the ContextCleaner
+            ranks = ranks.localCheckpoint(eager=True)
+    if checkpoint_each_round:
+        # the eager final checkpoint no longer references these
+        directed.unpersist()
+        deg.unpersist()
     return ranks.select(F.col("u").alias("node"), F.col("r").alias("rank_micros"))
 
 
@@ -572,56 +598,11 @@ def pagerank_integer_checkpointed(
     edges: DataFrame, iterations: int = PAGERANK_K10_ITERS
 ) -> DataFrame:
     """Deep-k integer PageRank with lineage truncation — the form that
-    certifies ITERATIVE DEPTH, not just plan unrolling. The 3-round
-    form above compiles all rounds into one plan; past a handful of
-    rounds that plan grows linearly in k (Catalyst analysis blows up,
-    and a lost executor recomputes the whole chain). Here every round
-    ends in an eager ``localCheckpoint``: the iterate is materialized,
-    its lineage cut, and the next round's plan is always one join + one
-    partial-sum shuffle regardless of k — the same idiom
-    ``connected_components`` uses for its pointer-jumping rounds
-    (graph.py:43). Per-iterate numbers are identical to
-    ``pagerank_integer`` at equal k: checkpointing changes WHERE the
-    computation is cut, never what it computes (pinned by test).
-
-    ``directed``/``deg`` persist across all k probes of the rank table
-    and are released after the final round's checkpoint materializes
-    (the eager checkpoint means the returned frame no longer references
-    them)."""
-    from pyspark.storagelevel import StorageLevel
-
-    directed = (
-        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    deg = directed.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    ranks = deg.select("u", F.lit(PAGERANK_SCALE).cast("long").alias("r"))
-    for _ in range(iterations):
-        contrib = (
-            directed.join(ranks, "u")
-            .join(deg, "u")
-            .select("v", F.expr("r div deg").alias("c"))
-        )
-        ranks = (
-            contrib.groupBy(F.col("v").alias("u"))
-            .agg(F.sum("c").alias("s"))
-            .select(
-                "u",
-                (
-                    F.lit(150000)
-                    + F.expr(f"(850000 * s) div {PAGERANK_SCALE}")
-                ).cast("long").alias("r"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    directed.unpersist()
-    deg.unpersist()
-    return ranks.select(
-        F.col("u").alias("node"), F.col("r").alias("rank_micros")
-    )
+    certifies ITERATIVE DEPTH, not just plan unrolling. A thin wrapper:
+    the iteration body is ``pagerank_integer``'s, with
+    ``checkpoint_each_round=True`` (see its docstring for the cut
+    semantics)."""
+    return pagerank_integer(edges, iterations, checkpoint_each_round=True)
 
 
 @register("graph_pagerank_k10", oracle=_pagerank_oracle(PAGERANK_K10_ITERS))

@@ -1277,6 +1277,8 @@ def q_corpus_datasheet_approx(spark, sf_dir):
     the first aggregate alone."""
     from machine_learning_with_spark_streaming_spark.operators.aggregates import (
         APPROX_ACCURACY,
+        hll_bound_violation,
+        rank_bound_violation,
     )
     from machine_learning_with_spark_streaming_spark.operators.dedup import (
         normalize_text,
@@ -1321,18 +1323,13 @@ def q_corpus_datasheet_approx(spark, sf_dir):
         F.sum((F.col("len") < F.col("ap")[1]).cast("long")).alias("lt1"),
         F.sum((F.col("len") <= F.col("ap")[1]).cast("long")).alias("le1"),
     )
-    err = F.col("n_len") / APPROX_ACCURACY + 1
-
     def hll_viol(a: str, e: str):
-        return (
-            F.abs(F.col(a) - F.col(e)) > 0.05 * F.col(e)
-        ).cast("int")
+        return hll_bound_violation(F.col(a), F.col(e))
 
     def rank_viol(lt: str, le: str, q: float):
-        return (
-            (F.col(lt) > q * F.col("n_len") + err)
-            | (F.col(le) < q * F.col("n_len") - err)
-        ).cast("int")
+        return rank_bound_violation(
+            F.col(lt), F.col(le), q, F.col("n_len")
+        )
 
     return counts.select(
         F.col("n").cast("long").alias("n_docs"),

@@ -880,7 +880,8 @@ def q_column_profile(spark, sf_dir):
 
 
 PROFILE_HLL_RSD = 0.02  # HLL++ relative standard deviation
-PROFILE_HLL_CHECK = 0.05  # bound checked at 2.5 sigma
+# the 2.5-sigma check itself lives in aggregates.hll_bound_violation
+# (one definition for every approx cert); only the rsd is configured here
 
 
 def column_profile_approx(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -900,6 +901,8 @@ def column_profile_approx(df: DataFrame, columns: list[str]) -> DataFrame:
     Expand distinct-value group (the candidate_keys trap: measured
     6.7 s fused vs ~1 s split on 600k rows). Production, which drops
     the exact side entirely, is the sketch scan alone."""
+    from machine_learning_with_spark_streaming_spark.operators.aggregates import hll_bound_violation
+
     if not columns:
         raise ValueError("column_profile_approx needs at least one column")
     aggs: list = [F.count(F.lit(1)).alias("__n")]
@@ -925,12 +928,9 @@ def column_profile_approx(df: DataFrame, columns: list[str]) -> DataFrame:
                 F.col(f"__nd_{c}").alias("n_distinct"),
                 F.col(f"__min_{c}").alias("min_str"),
                 F.col(f"__max_{c}").alias("max_str"),
-                (
-                    F.abs(F.col(f"__and_{c}") - F.col(f"__nd_{c}"))
-                    > PROFILE_HLL_CHECK * F.col(f"__nd_{c}")
-                )
-                .cast("int")
-                .alias("nd_violation"),
+                hll_bound_violation(
+                    F.col(f"__and_{c}"), F.col(f"__nd_{c}")
+                ).alias("nd_violation"),
             )
             for c in columns
         ]
@@ -996,6 +996,8 @@ def candidate_keys(
     the gap grows with group cardinality. Split, the sketch pass has k
     buffers TOTAL and the distinct pass ships only counts. Adding a
     candidate adds expressions, never a pass."""
+    from machine_learning_with_spark_streaming_spark.operators.aggregates import hll_bound_violation
+
     if not candidates:
         raise ValueError("candidate_keys needs at least one candidate")
 
@@ -1032,12 +1034,9 @@ def candidate_keys(
                 (F.col(f"__nd_{name}") == F.col("__n"))
                 .cast("int")
                 .alias("is_key"),
-                (
-                    F.abs(F.col(f"__and_{name}") - F.col(f"__nd_{name}"))
-                    > PROFILE_HLL_CHECK * F.col(f"__nd_{name}")
-                )
-                .cast("int")
-                .alias("nd_violation"),
+                hll_bound_violation(
+                    F.col(f"__and_{name}"), F.col(f"__nd_{name}")
+                ).alias("nd_violation"),
             )
             for name in candidates
         ]
@@ -1371,6 +1370,7 @@ def q_mad_outliers_approx(spark, sf_dir):
     join a broadcast of group-cardinality rows."""
     from machine_learning_with_spark_streaming_spark.operators.aggregates import (
         APPROX_ACCURACY,
+        rank_bound_violation,
     )
     from machine_learning_with_spark_streaming_spark.schemas import load_table
 
@@ -1399,13 +1399,8 @@ def q_mad_outliers_approx(spark, sf_dir):
             F.sum((F.col("r") <= F.col("amad")).cast("long")).alias("le_r"),
         )
     )
-    err = F.col("n") / APPROX_ACCURACY + 1
-
     def viol(lt: str, le: str):
-        return (
-            (F.col(lt) > 0.5 * F.col("n") + err)
-            | (F.col(le) < 0.5 * F.col("n") - err)
-        ).cast("int")
+        return rank_bound_violation(F.col(lt), F.col(le), 0.5, F.col("n"))
 
     return counts.select(
         "event_type",

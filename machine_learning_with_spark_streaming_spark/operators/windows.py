@@ -678,6 +678,37 @@ def q_percentile_normalize(spark, sf_dir):
 EWMA_LAGS = 8  # alpha = 1/2 over the trailing 8 observations
 
 
+def _daily_mean_series(
+    df: DataFrame, key: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Shared w11/w13/w14 input: per-(key, day) mean built from exact
+    integer cents and counts — the one place the daily-series recipe
+    lives, so the EWMA family cannot desync on it."""
+    day = F.to_date(ts_col).alias("day")
+    return (
+        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.col(key), day)
+        .agg(
+            F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("__cents"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .withColumn("mean_value", F.col("__cents") / 100.0 / F.col("__n"))
+    )
+
+
+def _trunc_ewma(col_name: str, w) -> "F.Column":
+    """The fixed-window truncated EWMA expression (weights 2^-j over
+    the trailing EWMA_LAGS present terms, renormalized) — shared by
+    w11 and both w13 smoothing passes; one definition, one IEEE tree."""
+    num, den = F.lit(0.0), F.lit(0.0)
+    for j in range(EWMA_LAGS):
+        term = F.lag(col_name, j).over(w)
+        wt = float(1 << (EWMA_LAGS - 1 - j))
+        num = num + F.coalesce(term, F.lit(0.0)) * wt
+        den = den + F.when(term.isNotNull(), wt).otherwise(0.0)
+    return num / den
+
+
 def ewma_smooth(
     df: DataFrame, key: str, ts_col: str, value_col: str
 ) -> DataFrame:
@@ -693,42 +724,29 @@ def ewma_smooth(
     counts, and the EWMA is a fixed expression tree over those
     doubles — identical IEEE ops in both engines, 6-dp rounded at the
     output only."""
-    day = F.to_date(ts_col).alias("day")
-    daily = (
-        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
-        .groupBy(F.col(key), day)
-        .agg(
-            F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("__cents"),
-            F.count(F.lit(1)).alias("__n"),
-        )
-        .withColumn("mean_value", F.col("__cents") / 100.0 / F.col("__n"))
-    )
+    daily = _daily_mean_series(df, key, ts_col, value_col)
     w = Window.partitionBy(key).orderBy("day")
-    num, den = F.lit(0.0), F.lit(0.0)
-    for j in range(EWMA_LAGS):
-        term = F.lag("mean_value", j).over(w)
-        wt = float(1 << (EWMA_LAGS - 1 - j))
-        num = num + F.coalesce(term, F.lit(0.0)) * wt
-        den = den + F.when(term.isNotNull(), wt).otherwise(0.0)
     return daily.select(
         F.col(key),
         F.col("day"),
         (F.round("mean_value", 6) + F.lit(0.0)).alias("mean_value"),
-        (F.round(num / den, 6) + F.lit(0.0)).alias("ewma"),
+        (F.round(_trunc_ewma("mean_value", w), 6) + F.lit(0.0)).alias("ewma"),
     )
 
 
-def _ewma_terms_sql() -> tuple[str, str]:
+def _trunc_ewma_sql(col: str) -> tuple[str, str]:
+    """SQL twin of ``_trunc_ewma`` — shared by the w11 and w13/w14
+    oracles so the oracle-side recipe has one definition too."""
     nums, dens = [], []
     for j in range(EWMA_LAGS):
         wt = 1 << (EWMA_LAGS - 1 - j)
-        t = f"lag(mean_value, {j}) OVER w"
+        t = f"lag({col}, {j}) OVER w"
         nums.append(f"coalesce({t}, 0.0) * {wt}.0")
         dens.append(f"CASE WHEN {t} IS NOT NULL THEN {wt}.0 ELSE 0.0 END")
     return " + ".join(nums), " + ".join(dens)
 
 
-_EWMA_NUM, _EWMA_DEN = _ewma_terms_sql()
+_EWMA_NUM, _EWMA_DEN = _trunc_ewma_sql("mean_value")
 
 _W11_ORACLE = f"""
 WITH daily AS (
@@ -783,30 +801,12 @@ def holt_brown_smooth(
     Exactness: daily means from exact integer cents; S1 stays
     UNROUNDED into the second pass so both engines run the identical
     IEEE expression tree (w11's contract, applied twice); 6-dp round
-    at the output only."""
-    day = F.to_date(ts_col).alias("day")
-    daily = (
-        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
-        .groupBy(F.col(key), day)
-        .agg(
-            F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("__cents"),
-            F.count(F.lit(1)).alias("__n"),
-        )
-        .withColumn("mean_value", F.col("__cents") / 100.0 / F.col("__n"))
-    )
+    at the output only. Daily series and the truncated-EWMA expression
+    are the SAME helpers w11 uses — one definition, no desync."""
+    daily = _daily_mean_series(df, key, ts_col, value_col)
     w = Window.partitionBy(key).orderBy("day")
-
-    def trunc_ewma(col_name: str):
-        num, den = F.lit(0.0), F.lit(0.0)
-        for j in range(EWMA_LAGS):
-            term = F.lag(col_name, j).over(w)
-            wt = float(1 << (EWMA_LAGS - 1 - j))
-            num = num + F.coalesce(term, F.lit(0.0)) * wt
-            den = den + F.when(term.isNotNull(), wt).otherwise(0.0)
-        return num / den
-
-    s1 = daily.withColumn("__s1", trunc_ewma("mean_value"))
-    out = s1.withColumn("__s2", trunc_ewma("__s1"))
+    s1 = daily.withColumn("__s1", _trunc_ewma("mean_value", w))
+    out = s1.withColumn("__s2", _trunc_ewma("__s1", w))
     level = 2.0 * F.col("__s1") - F.col("__s2")
     trend = F.col("__s1") - F.col("__s2")
     return out.select(
@@ -819,18 +819,8 @@ def holt_brown_smooth(
     )
 
 
-def _holt_terms_sql(col: str) -> tuple[str, str]:
-    nums, dens = [], []
-    for j in range(EWMA_LAGS):
-        wt = 1 << (EWMA_LAGS - 1 - j)
-        t = f"lag({col}, {j}) OVER w"
-        nums.append(f"coalesce({t}, 0.0) * {wt}.0")
-        dens.append(f"CASE WHEN {t} IS NOT NULL THEN {wt}.0 ELSE 0.0 END")
-    return " + ".join(nums), " + ".join(dens)
-
-
-_H1_NUM, _H1_DEN = _holt_terms_sql("mean_value")
-_H2_NUM, _H2_DEN = _holt_terms_sql("__s1")
+_H1_NUM, _H1_DEN = _trunc_ewma_sql("mean_value")
+_H2_NUM, _H2_DEN = _trunc_ewma_sql("__s1")
 
 _W13_ORACLE = f"""
 WITH daily AS (
