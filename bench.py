@@ -210,6 +210,18 @@ EXTENDED += [
 ]
 
 
+# Long-runner tier: wall-clock here is dominated by iteration count
+# (10 checkpointed PageRank rounds) or real micro-batch scheduling (a
+# 6-batch watermark run), not by per-row compute — the min-of-2 repeat
+# buys no regression signal on them while costing ~30 s of bench time
+# that drowns the cheap per-query signal on the other ~115 queries.
+# Timed min-of-1 after the same untimed warm-up; still in ``value_all``.
+LONG_RUNNERS = {
+    "graph_pagerank_k10",
+    "s11_late_data_stream",
+}
+
+
 def _sf_from_dir(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
     try:
@@ -241,7 +253,8 @@ def main() -> None:
         try:
             run_query(queries[name](spark, SF_DIR))  # untimed: codegen + JIT
             best = None
-            for _ in range(2):  # min-of-2: damps GC/scheduler noise
+            n_timed = 1 if name in LONG_RUNNERS else 2
+            for _ in range(n_timed):  # min-of-2: damps GC/scheduler noise
                 # clear BEFORE each timed run too: queries that persist
                 # intermediates (LSH shingle table) must not be timed
                 # against stacked stale copies from the warm-up

@@ -715,9 +715,16 @@ def weighted_quantiles(
     tie-collapse that also bounds the sort — then one window cumsum
     over the group-partitioned value order, then a single min-filter
     aggregate per quantile. One shuffle on the group key after the
-    pre-aggregate's own; never a global sort."""
-    per_v = df.groupBy(F.col(group_col).alias("g"), value_col.alias("v")).agg(
-        F.sum(weight_col).cast("long").alias("w")
+    pre-aggregate's own; never a global sort.
+
+    NULL values and NULL weights are excluded up front: a NULL value
+    group can never be selected as a quantile yet would inflate W (and
+    Spark's NULLS FIRST window default vs SQL engines' NULLS LAST
+    would shift every quantile engine-dependently)."""
+    per_v = (
+        df.filter(value_col.isNotNull() & weight_col.isNotNull())
+        .groupBy(F.col(group_col).alias("g"), value_col.alias("v"))
+        .agg(F.sum(weight_col).cast("long").alias("w"))
     )
     win = Window.partitionBy("g").orderBy("v")
     tot = Window.partitionBy("g")

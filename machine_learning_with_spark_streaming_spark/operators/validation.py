@@ -1347,7 +1347,8 @@ _MAD_APPROX_ORACLE = """
 SELECT event_type,
        CAST(count(value) AS BIGINT) AS n_rows,
        CAST(0 AS INT) AS v_med, CAST(0 AS INT) AS v_mad
-FROM events GROUP BY 1 ORDER BY 1
+FROM events WHERE value IS NOT NULL
+GROUP BY 1 ORDER BY 1
 """
 
 

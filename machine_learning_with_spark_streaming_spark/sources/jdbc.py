@@ -184,6 +184,17 @@ def _jdbc_connect(spark: SparkSession, url: str, properties):
     return jvm.java.sql.DriverManager.getConnection(url, jprops)
 
 
+def _to_jdbc_string_array(spark: SparkSession, items):
+    """py4j does not auto-convert Python lists to Java ``String[]`` —
+    ``DatabaseMetaData.getTables`` needs a real array for its ``types``
+    filter."""
+    gw = spark.sparkContext._gateway  # noqa: SLF001 - py4j array ctor
+    arr = gw.new_array(gw.jvm.java.lang.String, len(items))
+    for i, it in enumerate(items):
+        arr[i] = it
+    return arr
+
+
 def execute_transaction(
     spark: SparkSession,
     url: str,
@@ -258,8 +269,21 @@ def staged_atomic_overwrite(
         # wrongly skipped
         md = conn.getMetaData()
         esc = md.getSearchStringEscape()
-        pattern = table.upper().replace("_", f"{esc}_")
-        if not md.getTables(None, None, pattern, None).next():
+        # fold the probe name the way THIS engine stores unquoted
+        # identifiers (Derby/Oracle upper, Postgres lower, else as-is),
+        # scope it to the connection's current schema, and restrict to
+        # TABLE — a same-named VIEW or a table in another schema must
+        # not suppress the CREATE
+        if md.storesUpperCaseIdentifiers():
+            folded = table.upper()
+        elif md.storesLowerCaseIdentifiers():
+            folded = table.lower()
+        else:
+            folded = table
+        pattern = folded.replace("_", f"{esc}_")
+        schema = conn.getSchema()
+        types = _to_jdbc_string_array(df.sparkSession, ["TABLE"])
+        if not md.getTables(None, schema, pattern, types).next():
             st = conn.createStatement()
             try:
                 st.execute(

@@ -365,3 +365,52 @@ def test_idempotent_append_survives_batch_retry(spark, tmp_path):
     plain(b0, 0)
     plain(b0, 0)
     assert spark.read.parquet(plain_target).count() == 4  # at-least-once
+
+
+def test_upsert_latest_concurrent_writers_interleaved(spark, tmp_path):
+    """K4 under two WRITERS sharing one target — the first failure mode
+    a real multi-stream deployment hits. Two independent
+    ``foreach_batch_upsert_latest`` sinks (as two streaming queries
+    would hold) interleave serialized batches with overlapping keys;
+    because each merge is a pure function of the SET of rows ever seen
+    (max over a deterministic total order), the table converges to
+    latest-wins over the union regardless of which writer committed
+    last, and replays from either writer are no-ops. This pins the
+    SERIALIZED-interleaving contract; simultaneous overlapping
+    overwrites need a transactional table format (snapshot isolation)
+    that plain parquet cannot give — see EXPLAIN.md's Delta/Iceberg
+    mapping."""
+    from machine_learning_with_spark_streaming_spark.streaming.pipeline import (
+        foreach_batch_upsert_latest,
+    )
+
+    target = str(tmp_path / "shared")
+    schema = "id bigint, k string, ts bigint, v bigint"
+    sink_a = foreach_batch_upsert_latest(target, pk=["k"], order_cols=["ts", "id"])
+    sink_b = foreach_batch_upsert_latest(target, pk=["k"], order_cols=["ts", "id"])
+
+    a1 = spark.createDataFrame([(1, "x", 10, 100), (2, "y", 10, 200)], schema)
+    b1 = spark.createDataFrame([(3, "x", 12, 111), (4, "z", 10, 300)], schema)
+    a2 = spark.createDataFrame([(5, "x", 11, 555), (6, "z", 13, 333)], schema)
+    b2 = spark.createDataFrame([(7, "y", 9, 999), (8, "w", 10, 400)], schema)
+
+    # interleave: A, B, A, B — each writer's own batch ids are serial
+    sink_a(a1, 0)
+    sink_b(b1, 0)
+    sink_a(a2, 1)
+    sink_b(b2, 1)
+
+    rows = {r["k"]: r for r in spark.read.parquet(target).collect()}
+    assert rows["x"]["id"] == 3 and rows["x"]["v"] == 111  # B's ts=12 wins
+    assert rows["y"]["id"] == 2 and rows["y"]["v"] == 200  # B's ts=9 loses
+    assert rows["z"]["id"] == 6 and rows["z"]["v"] == 333  # A's ts=13 wins
+    assert rows["w"]["id"] == 8  # key only B wrote survives A's merges
+
+    # replay from EITHER writer (crash-retry of its last batch): no-op
+    before = {k: tuple(r) for k, r in rows.items()}
+    sink_a(a2, 2)
+    sink_b(b2, 2)
+    after = {
+        r["k"]: tuple(r) for r in spark.read.parquet(target).collect()
+    }
+    assert after == before

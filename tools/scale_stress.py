@@ -302,6 +302,13 @@ def main() -> None:
     docs_mult, facts_mult, dst, runs = 16, 8, DST, 2
     parts = False
     names = QUERIES
+    # --parts redefines facts_mult AND the dataset name; combined with
+    # --facts/--docs the last-writer-wins loop below would silently
+    # produce a mixed dst/multiplier — reject instead of guessing
+    if any(a.startswith("--parts=") for a in sys.argv[1:]) and any(
+        a.startswith(("--facts=", "--docs=")) for a in sys.argv[1:]
+    ):
+        raise SystemExit("--parts= cannot be combined with --facts=/--docs=")
     for a in sys.argv[1:]:
         if a.startswith("--docs="):
             docs_mult = int(a.split("=", 1)[1])
