@@ -94,6 +94,13 @@ _STALE_CERTS: dict[str, int] = {
     # rows were recorded for the observed-bins-only statistic.
     "v20_psi_drift": 7,
     "pipeline_drift_monitor": 7,
+    # r9 rebuilt triangle counting compact-forward (same result, new
+    # plan) and made v13's approx oracle + a20's null handling
+    # engine-symmetric; newest green rows are r8 — re-certify on the
+    # new shapes.
+    "graph_triangle_count": 8,
+    "v13_mad_outliers_approx": 8,
+    "a20_weighted_quantiles": 8,
 }
 
 

@@ -50,6 +50,9 @@ _QUERY_MODULES = [
     # driver certification, preserving the rotation's priority order
     "machine_learning_with_spark_streaming_spark.operators.pq",
     "machine_learning_with_spark_streaming_spark.operators.sketch",
+    # r9 additions — keep behind everything already queued
+    "machine_learning_with_spark_streaming_spark.operators.forecast",
+    "machine_learning_with_spark_streaming_spark.streaming.serving",
 ]
 
 
