@@ -136,7 +136,8 @@ def holt_alpha_grid(
         aggs.append(F.expr(f"sum(abs(__e_{p})) div count(1)").alias(f"__mae_{p}"))
         aggs.append(F.expr(f"sum(__e_{p}) div count(1)").alias(f"__bias_{p}"))
     stats = paired.groupBy(key).agg(*aggs)
-    best = F.least(*[F.col(f"__mae_{_permille(a)}") for a in alphas])
+    mae_cols = [F.col(f"__mae_{_permille(a)}") for a in alphas]
+    best = mae_cols[0] if len(mae_cols) == 1 else F.least(*mae_cols)
     alpha_pick = None
     bias_pick = None
     for a in alphas:
