@@ -53,6 +53,8 @@ _QUERY_MODULES = [
     # r9 additions — keep behind everything already queued
     "machine_learning_with_spark_streaming_spark.operators.forecast",
     "machine_learning_with_spark_streaming_spark.streaming.serving",
+    "machine_learning_with_spark_streaming_spark.operators.seasonal",
+    "machine_learning_with_spark_streaming_spark.operators.index_health",
 ]
 
 

@@ -111,3 +111,120 @@ def test_ivf_serving_stream_batches_and_recall_bounds(spark, sf_dir):
         assert r["recall_permille"] == (1000 * r["n_hits"]) // (
             r["n_queries"] * TOP_K
         )
+
+
+def test_seasonal_index_planted_weekdays(spark):
+    """2024-01-01 is a Monday: plant Monday=2.0 and Tuesday=4.0 events
+    (two each) -> overall mean 3.0, indices 2/3 and 4/3."""
+    import datetime as dt
+
+    from machine_learning_with_spark_streaming_spark.operators.seasonal import seasonal_index
+
+    mon, tue = dt.datetime(2024, 1, 1, 9), dt.datetime(2024, 1, 2, 9)
+    rows = [("a", mon, 2.0), ("a", mon, 2.0), ("a", tue, 4.0), ("a", tue, 4.0)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {r["dow"]: r for r in seasonal_index(df, "event_type", "ts", "value").collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n_events"] == 2 and out[0]["dow_mean"] == 2.0
+    assert out[1]["dow_mean"] == 4.0
+    assert out[0]["seasonal_index"] == round(2.0 / 3.0, 6)
+    assert out[1]["seasonal_index"] == round(4.0 / 3.0, 6)
+
+
+def test_seasonal_naive_backtest_planted(spark):
+    """Constant series: t-7 forecasts exactly (MAE 0). Linear ramp of
+    1/day: every pair errs by exactly 7 units = 7,000,000 micros."""
+    import datetime as dt
+
+    from machine_learning_with_spark_streaming_spark.operators.seasonal import (
+        seasonal_naive_backtest,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("c", base + dt.timedelta(days=i), 5.0) for i in range(14)]
+    rows += [("r", base + dt.timedelta(days=i), 1.0 * i) for i in range(14)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {
+        r["event_type"]: r
+        for r in seasonal_naive_backtest(df, "event_type", "ts", "value").collect()
+    }
+    assert out["c"]["n_pairs"] == 7 and out["c"]["mae_micros"] == 0
+    assert out["r"]["n_pairs"] == 7
+    assert out["r"]["mae_micros"] == 7_000_000
+    assert out["r"]["bias_micros"] == 7_000_000
+
+
+def test_seasonal_naive_skips_gap_days(spark):
+    """A day whose t-7 partner is missing contributes no pair."""
+    import datetime as dt
+
+    from machine_learning_with_spark_streaming_spark.operators.seasonal import (
+        seasonal_naive_backtest,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    days = [0, 7, 9]  # day 9's partner (day 2) is absent
+    rows = [("g", base + dt.timedelta(days=i), 1.0) for i in days]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = seasonal_naive_backtest(df, "event_type", "ts", "value").collect()
+    assert len(out) == 1 and out[0]["n_pairs"] == 1
+
+
+def test_ivf_cell_stats_partition_of_corpus(spark, sf_dir):
+    """The 16 cells partition the corpus: counts sum to the corpus
+    size, every cell appears exactly once, shares floor-sum to <=1000."""
+    from machine_learning_with_spark_streaming_spark.operators.index_health import (
+        ivf_cell_stats,
+    )
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = ivf_cell_stats(emb).collect()
+    assert sorted(r["cell"] for r in rows) == list(range(16))
+    assert sum(r["n_vectors"] for r in rows) == emb.count()
+    share = sum(r["share_permille"] for r in rows)
+    assert 1000 - 16 <= share <= 1000
+
+
+def test_centroid_outliers_planted_flip(spark):
+    """Three near-identical vectors plus one sign-flipped vector in the
+    same label: the flipped one is rank 1 with strongly negative cos."""
+    from machine_learning_with_spark_streaming_spark.operators.index_health import (
+        centroid_outliers,
+    )
+
+    rows = [
+        (0, 1, [1.0, 0.1]),
+        (0, 2, [1.0, 0.0]),
+        (0, 3, [0.9, 0.1]),
+        (0, 4, [-1.0, -0.1]),
+    ]
+    df = spark.createDataFrame(
+        rows, "label int, vec_id long, embedding array<float>"
+    )
+    out = centroid_outliers(df, k=2).collect()
+    assert [r["rank"] for r in out] == [1, 2]
+    assert out[0]["vec_id"] == 4 and out[0]["cos"] < -0.5
+    assert out[0]["cos"] <= out[1]["cos"]
+
+
+def test_centroid_outliers_k_per_label(spark, sf_dir):
+    """Real data: exactly k rows per label, ranked by ascending cosine
+    with ranks contiguous from 1."""
+    from machine_learning_with_spark_streaming_spark.operators.index_health import (
+        OUTLIER_K,
+        centroid_outliers,
+    )
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = centroid_outliers(emb).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r)
+    for label, rs in by_label.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == list(
+            range(1, OUTLIER_K + 1)
+        )
+        coss = [r["cos"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert coss == sorted(coss)
