@@ -73,6 +73,11 @@ DOUBLE_OUTPUT_ALLOWLIST = {
     "pipeline_drift_monitor": ["value"],
     "s11_drift_monitor_stream": ["psi"],
     "dedup_source_overlap": ["jaccard"],
+    # r9: 6-dp-rounded cosine to the own-label centroid, and the w16
+    # dow-mean/index ratios from exact integer-cent sums; both swept
+    # green at sf0.01 and sf0.1 --shuffle 5 (this round)
+    "emb_centroid_outliers": ["cos"],
+    "w16_seasonal_index": ["dow_mean", "seasonal_index"],
     "diag_key_skew": ["share", "x_avg"],
     "emb_centroid_drift": ["cos_drift", "l2_shift"],
     "emb_l2_normalize": ["l2_norm", "unit_checksum"],
