@@ -209,6 +209,15 @@ EXTENDED += [
     "w14_forecast_backtest",
 ]
 
+# Added round 9: the alpha-grid forecaster (two-Window one-exchange grid
+# plan) and the rewritten Arrow/numpy IVF assignment path. w16/w17 share
+# their plan shapes with already-benched cousins (w13/w14) and stay out
+# to keep bench wall-clock lean.
+EXTENDED += [
+    "w15_alpha_grid_forecast",
+    "sim_ivf_cell_stats",
+]
+
 
 # Long-runner tier: wall-clock here is dominated by iteration count
 # (10 checkpointed PageRank rounds) or real micro-batch scheduling (a
