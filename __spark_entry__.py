@@ -101,6 +101,14 @@ _STALE_CERTS: dict[str, int] = {
     "graph_triangle_count": 8,
     "v13_mad_outliers_approx": 8,
     "a20_weighted_quantiles": 8,
+    # r9 rewrote IVF cell assignment (crossJoin+window -> Arrow/numpy
+    # argmax; bit-identical cosines by dimension-order accumulation,
+    # verified green at sf0.01) — re-certify every consumer on the new
+    # plan anyway, per the triangle-count precedent.
+    "sim_topk_ivf": 8,
+    "sim_ann_recall": 8,
+    "sim_ivfpq_topk": 8,
+    "dedup_semantic_k32": 8,
 }
 
 

@@ -139,19 +139,18 @@ def pretrained_centroids(spark: SparkSession) -> DataFrame:
     )
 
 
-def assign_cells(
-    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+def argmax_assign(
+    corpus: DataFrame,
+    centroid_rows: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    sim_col: str | None = None,
 ) -> DataFrame:
-    """Assign every vector its nearest frozen centroid by cosine (argmax,
-    ties to the lowest cell id) — MAP-ONLY. The quantizer is frozen, so
-    the k cosines are k sibling literal-centroid expressions per row and
-    the argmax is ``greatest`` + a first-match CASE (ties naturally to
-    the lowest cell). No join, no window, no shuffle: at 100 TB this
-    runs at *write* time and the corpus is stored partitioned by cell.
-
-    (The original broadcast-crossJoin + row_number form shuffled k·|corpus|
-    rows on |corpus| keys just to take a per-row argmax — measured 35.8 s
-    vs map-only on the 64×-facts stress corpus.)
+    """Nearest-frozen-centroid assignment by cosine (argmax, ties to the
+    lowest index) as a MAP-ONLY Arrow/numpy stage: no join, no window,
+    no shuffle. At 100 TB this runs at *write* time and the corpus is
+    stored partitioned by cell.
 
     Why Arrow/numpy and not column expressions — all three JVM-side
     shapes were built and measured on the 64x-facts stress corpus
@@ -166,7 +165,7 @@ def assign_cells(
 
     Dense fixed-k linear algebra is exactly the shape Arrow-batched
     numpy exists for (the codecs/packing precedent): vectorized C
-    compute, zero shuffle, ~20x the best JVM form here.
+    compute, zero shuffle, ~20x the best JVM form here (3.08 s).
 
     Exactness contract: the accumulation loops run IN DIMENSION ORDER
     (``acc += x_i * c_i`` from i=0), so every dot, norm and cosine is
@@ -174,12 +173,15 @@ def assign_cells(
     fold AND the oracles' list_dot_product; ``argmax`` takes the first
     maximum, matching the oracles' row_number ORDER BY cos DESC, cell
     ASC tie rule. A row whose cosines are all undefined (zero vector)
-    assigns to cell 0 — the same cell the window form's NULL ordering
-    produced."""
+    assigns to cell 0 with a NULL similarity — same as the window
+    form's NULL ordering.
+
+    ``sim_col`` additionally emits the winning cosine (unrounded), for
+    consumers like SemDeDup that rank on centroid similarity."""
     import numpy as np
     import pandas as pd
 
-    cents = [[float(x) for x in c] for c in IVF_CENTROIDS]
+    cents = [[float(x) for x in c] for c in centroid_rows]
     dim, k = len(cents[0]), len(cents)
     c_by_dim = [[c[i] for c in cents] for i in range(dim)]  # dim x k
     c_norm = []
@@ -190,7 +192,9 @@ def assign_cells(
         c_norm.append(s**0.5)
 
     id_type = corpus.schema[id_col].dataType.simpleString()
-    out_schema = f"id {id_type}, v array<double>, cell int"
+    out_schema = f"id {id_type}, v array<double>, {cell_col} int"
+    if sim_col:
+        out_schema += f", {sim_col} double"
 
     def _assign(batches):
         cn = np.array(c_norm)
@@ -216,14 +220,27 @@ def assign_cells(
             denom = vn[:, None] * cn[None, :]
             ok = denom != 0.0
             sims = np.where(ok, dots / np.where(ok, denom, 1.0), -np.inf)
-            cell = np.where(
-                ok.any(axis=1), np.argmax(sims, axis=1), 0
-            ).astype("int32")
-            yield pd.DataFrame(
-                {"id": pdf[id_col], "v": list(V), "cell": cell}
+            any_ok = ok.any(axis=1)
+            cell = np.where(any_ok, np.argmax(sims, axis=1), 0).astype(
+                "int32"
             )
+            out = {"id": pdf[id_col], "v": list(V), cell_col: cell}
+            if sim_col:
+                best = sims[np.arange(n), cell]
+                out[sim_col] = (
+                    pd.Series(best).astype("Float64").mask(~any_ok, pd.NA)
+                )
+            yield pd.DataFrame(out)
 
     return corpus.select(id_col, vec_col).mapInPandas(_assign, out_schema)
+
+
+def assign_cells(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """IVF cell assignment against the frozen 16-centroid quantizer —
+    see ``argmax_assign`` for the shape and exactness contract."""
+    return argmax_assign(corpus, IVF_CENTROIDS, id_col, vec_col)
 
 
 def ivf_topk_pretrained(
@@ -437,7 +454,7 @@ def semdedup(
     threshold: float = SEMDEDUP_THRESHOLD,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    centroids: DataFrame | None = None,
+    centroids: DataFrame | list | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster embeddings
@@ -467,31 +484,41 @@ def semdedup(
         KMEANS_CENTROIDS,
     )
 
-    spark = corpus.sparkSession
-    # `centroids` (cluster int, centroid array<double>) overrides the
-    # frozen demo artifact — the production path, where k scales with
-    # the corpus (k ≈ n/10³-10⁴) to keep ball sizes bounded
-    cent = (
-        centroids
-        if centroids is not None
-        else spark.createDataFrame(
-            [(i, c) for i, c in enumerate(KMEANS_CENTROIDS)],
-            "cluster int, centroid array<double>",
+    # `centroids` overrides the frozen demo artifact — the production
+    # path, where k scales with the corpus (k ≈ n/10³-10⁴) to keep ball
+    # sizes bounded. Frozen-artifact centroids (a plain Python list, or
+    # the default) take the shared Arrow/numpy argmax (argmax_assign);
+    # a DataFrame of centroids keeps the broadcast crossJoin +
+    # row_number form because its rows are not plan literals.
+    if centroids is None or isinstance(centroids, (list, tuple)):
+        assigned = argmax_assign(
+            corpus,
+            KMEANS_CENTROIDS if centroids is None else list(centroids),
+            id_col,
+            vec_col,
+            cell_col="cluster",
+            sim_col="csim",
+        ).select("id", F.col("v").alias("__v"), "cluster", "csim")
+    else:
+        v = corpus.select(
+            F.col(id_col).alias("id"), as_double_array(vec_col).alias("__v")
         )
-    )
-    v = corpus.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("__v"))
-    assigned = (
-        v.crossJoin(F.broadcast(cent))
-        .withColumn("csim", cosine_similarity(F.col("__v"), F.col("centroid")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cluster"))
-            ),
+        assigned = (
+            v.crossJoin(F.broadcast(centroids))
+            .withColumn(
+                "csim", cosine_similarity(F.col("__v"), F.col("centroid"))
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy(
+                        F.desc("csim"), F.asc("cluster")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("id", "__v", "cluster", "csim")
         )
-        .filter(F.col("rn") == 1)
-        .select("id", "__v", "cluster", "csim")
-    )
     # three consumers (both sides of the pair join + the final annotate):
     # persist so the broadcast-argmax assignment scans the corpus once
     # (cluster-scale analog: materialize the assignment as a table
@@ -628,8 +655,4 @@ def q_semdedup_k32(spark, sf_dir):
     )
 
     corpus = embeddings_with_duplicates(spark, sf_dir)
-    cent = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(KMEANS32_CENTROIDS)],
-        "cluster int, centroid array<double>",
-    )
-    return semdedup(corpus, centroids=cent).orderBy("vec_id")
+    return semdedup(corpus, centroids=KMEANS32_CENTROIDS).orderBy("vec_id")
