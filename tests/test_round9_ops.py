@@ -228,3 +228,62 @@ def test_centroid_outliers_k_per_label(spark, sf_dir):
         )
         coss = [r["cos"] for r in sorted(rs, key=lambda r: r["rank"])]
         assert coss == sorted(coss)
+
+
+def test_argmax_assign_matches_jvm_reference(spark):
+    """The Arrow/numpy assignment is IEEE-identical to the JVM
+    crossJoin + row_number reference it replaced: same cell AND same
+    winning cosine for every row of a seeded random corpus (including
+    a zero vector, which assigns to cell 0 with NULL similarity)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.functions.vectors import (
+        as_double_array,
+        cosine_similarity,
+    )
+    from machine_learning_with_spark_streaming_spark.operators.ivf import argmax_assign
+
+    rng = random.Random(1234)
+    dim, k, n = 16, 5, 300
+    cents = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(k)]
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    rows.append((n, [0.0] * dim))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    fast = {
+        r["id"]: (r["cell"], r["csim"])
+        for r in argmax_assign(
+            df, cents, cell_col="cell", sim_col="csim"
+        ).collect()
+    }
+
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+    ref_rows = (
+        df.select(
+            F.col("vec_id").alias("id"), as_double_array("embedding").alias("v")
+        )
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("sim", cosine_similarity(F.col("v"), F.col("centroid")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    assert len(fast) == n + 1
+    for r in ref_rows:
+        cell, csim = fast[r["id"]]
+        assert cell == r["cell"], (r["id"], cell, r["cell"])
+        if r["sim"] is None:
+            assert csim is None and cell == 0
+        else:
+            assert csim == r["sim"], (r["id"], csim, r["sim"])  # bit-equal
