@@ -163,3 +163,129 @@ def q_seasonal_naive_backtest(spark, sf_dir):
     return seasonal_naive_backtest(ev, "event_type", "ts", "value").orderBy(
         "event_type"
     )
+
+
+CUSUM_H_MULT = 4
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    h_mult: int = CUSUM_H_MULT,
+) -> DataFrame:
+    """Per-key CUSUM level-shift report (Page 1954) over the daily
+    series: cusum_t = Σ_{s<=t} (daily_mean_s − key_mean), flagged where
+    |cusum_t| exceeds ``h_mult`` × the key's mean absolute deviation —
+    the demand-shift detector that tells a planner the w13/w15
+    smoothing assumptions broke.
+
+    Exactness: daily means quantize to integer micro-units per row
+    (pure function of the exact cents rollup), the reference mean and
+    MAD are integer div aggregates (both engines truncate toward
+    zero), and the cumulative sum is integer — nothing engine-ordered
+    crosses the hash.
+
+    Plan: the shared daily rollup shuffle, then everything rides ONE
+    key exchange — an unordered window pass for the reference mean, a
+    second window pass (same partitioning) for the running sum and the
+    MAD sum, and a final per-key partial agg. Key cardinality bounds
+    every shuffle after the rollup."""
+    from pyspark.sql import Window
+
+    daily = _daily_mean_series(df, key, ts_col, value_col).select(
+        key,
+        "day",
+        F.round(F.col("mean_value") * 1e6).cast("long").alias("__mv"),
+    )
+    w_all = Window.partitionBy(key)
+    w_ord = (
+        Window.partitionBy(key)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p1 = (
+        daily.select(
+            key,
+            "day",
+            "__mv",
+            F.count(F.lit(1)).over(w_all).alias("__n"),
+            F.sum("__mv").over(w_all).alias("__s"),
+        )
+        .withColumn("__ref", F.expr("__s div __n"))
+        .withColumn("__dev", F.col("__mv") - F.col("__ref"))
+    )
+    p2 = p1.select(
+        key,
+        "day",
+        "__n",
+        "__ref",
+        F.sum("__dev").over(w_ord).alias("__cusum"),
+        F.sum(F.abs(F.col("__dev"))).over(w_all).alias("__madsum"),
+    ).withColumn("__mad", F.expr("__madsum div __n"))
+    flagged = F.abs(F.col("__cusum")) > F.lit(h_mult) * F.col("__mad")
+    return p2.groupBy(key).agg(
+        F.first("__n").alias("n_days"),
+        F.first("__ref").alias("ref_micros"),
+        F.first("__mad").alias("mad_micros"),
+        F.max(F.abs(F.col("__cusum"))).alias("max_abs_cusum"),
+        F.sum(F.when(flagged, 1).otherwise(0)).cast("long").alias(
+            "n_changepoint_days"
+        ),
+        F.min(F.when(flagged, F.col("day"))).alias("first_changepoint_day"),
+    )
+
+
+def _cusum_oracle(h_mult: int = CUSUM_H_MULT) -> str:
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type, day,
+         CAST(round(cents / 100.0 / n * 1e6) AS BIGINT) AS mv
+  FROM daily
+),
+p1 AS (
+  SELECT event_type, day, mv,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(mv) OVER (PARTITION BY event_type)
+           // count(*) OVER (PARTITION BY event_type) AS ref
+  FROM series
+),
+p2 AS (
+  SELECT event_type, day, n, ref,
+         sum(mv - ref) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cusum,
+         sum(abs(mv - ref)) OVER (PARTITION BY event_type) // n AS mad
+  FROM p1
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_days,
+       CAST(max(ref) AS BIGINT) AS ref_micros,
+       CAST(max(mad) AS BIGINT) AS mad_micros,
+       CAST(max(abs(cusum)) AS BIGINT) AS max_abs_cusum,
+       CAST(sum(CASE WHEN abs(cusum) > {h_mult} * mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_changepoint_days,
+       min(CASE WHEN abs(cusum) > {h_mult} * mad THEN day END)
+         AS first_changepoint_day
+FROM p2 GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("w18_cusum_changepoint", oracle=_cusum_oracle())
+def q_cusum_changepoint(spark, sf_dir):
+    """Per-event-type CUSUM level-shift report: integer running sums of
+    daily-mean deviations, flagged past 4x the mean absolute deviation
+    — the monitor that says the forecaster's level assumption broke."""
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_changepoints(ev, "event_type", "ts", "value").orderBy(
+        "event_type"
+    )

@@ -287,3 +287,34 @@ def test_argmax_assign_matches_jvm_reference(spark):
             assert csim is None and cell == 0
         else:
             assert csim == r["sim"], (r["id"], csim, r["sim"])  # bit-equal
+
+
+def test_cusum_changepoint_planted_level_shift(spark):
+    """10 days at 10.0 then 10 days at 20.0: ref=15, dev=±5e6 micros,
+    cusum walks to -50e6 and back; with MAD=5e6 and h=4 the flagged
+    run is days 5..15 (|cusum| > 20e6), first flag 2024-01-05."""
+    import datetime as dt
+
+    from machine_learning_with_spark_streaming_spark.operators.seasonal import (
+        cusum_changepoints,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("s", base + dt.timedelta(days=i), 10.0) for i in range(10)]
+    rows += [("s", base + dt.timedelta(days=10 + i), 20.0) for i in range(10)]
+    rows += [("c", base + dt.timedelta(days=i), 7.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {
+        r["event_type"]: r
+        for r in cusum_changepoints(df, "event_type", "ts", "value").collect()
+    }
+    s = out["s"]
+    assert s["n_days"] == 20
+    assert s["ref_micros"] == 15_000_000
+    assert s["mad_micros"] == 5_000_000
+    assert s["max_abs_cusum"] == 50_000_000
+    assert s["n_changepoint_days"] == 11
+    assert str(s["first_changepoint_day"]) == "2024-01-05"
+    c = out["c"]
+    assert c["max_abs_cusum"] == 0 and c["n_changepoint_days"] == 0
+    assert c["first_changepoint_day"] is None
