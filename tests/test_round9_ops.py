@@ -318,3 +318,28 @@ def test_cusum_changepoint_planted_level_shift(spark):
     c = out["c"]
     assert c["max_abs_cusum"] == 0 and c["n_changepoint_days"] == 0
     assert c["first_changepoint_day"] is None
+
+
+def test_cell_partitioned_corpus_prunes_probe_reads(spark, sf_dir, tmp_path):
+    """The IVF scale story made concrete: the assigned corpus stored
+    partitioned by cell serves a probe of nprobe cells with partition
+    pruning (PartitionFilters in the scan, only the probed directories
+    read) — the layout a 100 TB deployment writes at ingest."""
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.ivf import assign_cells
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "corpus_by_cell")
+    assign_cells(emb).write.partitionBy("cell").parquet(path)
+
+    probed = spark.read.parquet(path).filter(F.col("cell").isin(3, 7))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    # the filter really prunes: only the two probed cells come back
+    cells = {r["cell"] for r in probed.select("cell").distinct().collect()}
+    assert cells <= {3, 7}
+    full = {r["cell"] for r in spark.read.parquet(path)
+            .select("cell").distinct().collect()}
+    assert len(full) == 16
