@@ -55,6 +55,7 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.streaming.serving",
     "machine_learning_with_spark_streaming_spark.operators.seasonal",
     "machine_learning_with_spark_streaming_spark.operators.index_health",
+    "machine_learning_with_spark_streaming_spark.streaming.monitor",
 ]
 
 

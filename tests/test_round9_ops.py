@@ -343,3 +343,39 @@ def test_cell_partitioned_corpus_prunes_probe_reads(spark, sf_dir, tmp_path):
     full = {r["cell"] for r in spark.read.parquet(path)
             .select("cell").distinct().collect()}
     assert len(full) == 16
+
+
+def test_cusum_monitor_stream_converges_to_batch_operator(spark, sf_dir):
+    """The streaming monitor's final cumulative position per key equals
+    the batch w18 report computed over the full series (same frozen
+    reference = full-series ref/MAD): days seen, alarm count. Rows per
+    key are strictly increasing in days seen — real state carry across
+    the 3 micro-batches, not a single-batch recomputation."""
+    from machine_learning_with_spark_streaming_spark.operators.seasonal import (
+        cusum_changepoints,
+    )
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+    from machine_learning_with_spark_streaming_spark.streaming.monitor import (
+        N_MONITOR_BATCHES,
+        q_cusum_monitor_stream,
+    )
+
+    rows = q_cusum_monitor_stream(spark, sf_dir).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["event_type"], []).append(r)
+
+    ev = load_table(spark, sf_dir, "events")
+    w18 = {
+        r["event_type"]: r
+        for r in cusum_changepoints(ev, "event_type", "ts", "value").collect()
+    }
+    assert set(by_key) == set(w18)
+    for k, rs in by_key.items():
+        rs = sorted(rs, key=lambda r: r["n_days_seen"])
+        assert 1 <= len(rs) <= N_MONITOR_BATCHES
+        seen = [r["n_days_seen"] for r in rs]
+        assert seen == sorted(set(seen))  # strictly increasing
+        final = rs[-1]
+        assert final["n_days_seen"] == w18[k]["n_days"]
+        assert final["n_flagged_total"] == w18[k]["n_changepoint_days"]
