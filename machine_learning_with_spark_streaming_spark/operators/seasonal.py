@@ -289,3 +289,119 @@ def q_cusum_changepoint(spark, sf_dir):
     return cusum_changepoints(ev, "event_type", "ts", "value").orderBy(
         "event_type"
     )
+
+
+def cusum_deseasonalized(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    h_mult: int = CUSUM_H_MULT,
+) -> DataFrame:
+    """w18's level-shift detector after removing weekly seasonality:
+    deviations are taken against the key's PER-DAY-OF-WEEK mean (w16's
+    factor table in integer micro-units) instead of one flat
+    reference, so a strong weekday pattern no longer reads as a
+    sequence of level shifts — the standard deseasonalize-then-monitor
+    composition.
+
+    Same exactness contract as w18 (integer micro devs, truncating
+    integer div on both engines, int64 cumulative sums); plan adds one
+    broadcast join against the |keys|x7 dow-mean table between the
+    daily rollup and the single key-exchange window chain."""
+    from pyspark.sql import Window
+
+    daily = _daily_mean_series(df, key, ts_col, value_col).select(
+        key,
+        "day",
+        F.weekday("day").alias("__dow"),
+        F.round(F.col("mean_value") * 1e6).cast("long").alias("__mv"),
+    )
+    dow_means = daily.groupBy(key, "__dow").agg(
+        F.expr("sum(__mv) div count(1)").alias("__dm")
+    )
+    dev = daily.join(F.broadcast(dow_means), [key, "__dow"]).select(
+        key, "day", (F.col("__mv") - F.col("__dm")).alias("__dev")
+    )
+    w_all = Window.partitionBy(key)
+    w_ord = (
+        Window.partitionBy(key)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = (
+        dev.select(
+            key,
+            "day",
+            F.count(F.lit(1)).over(w_all).alias("__n"),
+            F.sum("__dev").over(w_ord).alias("__cusum"),
+            F.sum(F.abs(F.col("__dev"))).over(w_all).alias("__madsum"),
+        )
+        .withColumn("__mad", F.expr("__madsum div __n"))
+    )
+    flagged = F.abs(F.col("__cusum")) > F.lit(h_mult) * F.col("__mad")
+    return p.groupBy(key).agg(
+        F.first("__n").alias("n_days"),
+        F.first("__mad").alias("mad_micros"),
+        F.max(F.abs(F.col("__cusum"))).alias("max_abs_cusum"),
+        F.sum(F.when(flagged, 1).otherwise(0)).cast("long").alias(
+            "n_changepoint_days"
+        ),
+        F.min(F.when(flagged, F.col("day"))).alias("first_changepoint_day"),
+    )
+
+
+def _cusum_deseason_oracle(h_mult: int = CUSUM_H_MULT) -> str:
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type, day, isodow(day) - 1 AS dow,
+         CAST(round(cents / 100.0 / n * 1e6) AS BIGINT) AS mv
+  FROM daily
+),
+dmeans AS (
+  SELECT event_type, dow, sum(mv) // count(*) AS dm
+  FROM series GROUP BY 1, 2
+),
+dev AS (
+  SELECT s.event_type, s.day, s.mv - d.dm AS dv
+  FROM series s JOIN dmeans d USING (event_type, dow)
+),
+p1 AS (
+  SELECT event_type, day,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(dv) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cusum,
+         sum(abs(dv)) OVER (PARTITION BY event_type) AS madsum
+  FROM dev
+),
+p2 AS (SELECT *, madsum // n AS mad FROM p1)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_days,
+       CAST(max(mad) AS BIGINT) AS mad_micros,
+       CAST(max(abs(cusum)) AS BIGINT) AS max_abs_cusum,
+       CAST(sum(CASE WHEN abs(cusum) > {h_mult} * mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_changepoint_days,
+       min(CASE WHEN abs(cusum) > {h_mult} * mad THEN day END)
+         AS first_changepoint_day
+FROM p2 GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("w19_cusum_deseasonalized", oracle=_cusum_deseason_oracle())
+def q_cusum_deseasonalized(spark, sf_dir):
+    """Deseasonalized CUSUM per event_type: deviations against the
+    per-day-of-week mean, so weekly rhythm stops masquerading as level
+    shifts."""
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_deseasonalized(ev, "event_type", "ts", "value").orderBy(
+        "event_type"
+    )

@@ -379,3 +379,36 @@ def test_cusum_monitor_stream_converges_to_batch_operator(spark, sf_dir):
         final = rs[-1]
         assert final["n_days_seen"] == w18[k]["n_days"]
         assert final["n_flagged_total"] == w18[k]["n_changepoint_days"]
+
+
+def test_cusum_deseasonalized_ignores_pure_weekly_pattern(spark):
+    """4 complete weeks of a pure weekday sawtooth deseasonalize to
+    exactly zero deviations (dow means are exact): no flags, zero MAD,
+    zero cusum. The same sawtooth with a +10 level shift from week 3
+    still alarms."""
+    import datetime as dt
+
+    from machine_learning_with_spark_streaming_spark.operators.seasonal import (
+        cusum_deseasonalized,
+    )
+
+    base = dt.datetime(2024, 1, 1)  # a Monday
+    saw = [70.0, 70.0, 70.0, 70.0, 70.0, 70.0, 0.0]  # strong dow pattern
+    rows = []
+    for i in range(28):
+        rows.append(("p", base + dt.timedelta(days=i), saw[i % 7]))
+        shift = 10.0 if i >= 14 else 0.0
+        rows.append(("s", base + dt.timedelta(days=i), saw[i % 7] + shift))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {
+        r["event_type"]: r
+        for r in cusum_deseasonalized(df, "event_type", "ts", "value").collect()
+    }
+    p = out["p"]
+    assert p["n_days"] == 28
+    assert p["mad_micros"] == 0 and p["max_abs_cusum"] == 0
+    assert p["n_changepoint_days"] == 0 and p["first_changepoint_day"] is None
+    s = out["s"]
+    assert s["mad_micros"] == 5_000_000  # dev is exactly +-5 units
+    assert s["n_changepoint_days"] > 0
+    assert s["max_abs_cusum"] == 70_000_000  # 14 days x 5e6 walk
