@@ -412,3 +412,80 @@ def test_cusum_deseasonalized_ignores_pure_weekly_pattern(spark):
     assert s["mad_micros"] == 5_000_000  # dev is exactly +-5 units
     assert s["n_changepoint_days"] > 0
     assert s["max_abs_cusum"] == 70_000_000  # 14 days x 5e6 walk
+
+
+def test_cusum_monitor_state_survives_query_restart(spark, tmp_path):
+    """The monitor's (cusum, days, alarms) state lives in the
+    checkpoint: a second life of the query (same checkpoint, new
+    staged days) CONTINUES the walk — days seen and alarms include the
+    first life's, not a rebuild from the new files alone."""
+    import datetime as dt
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from machine_learning_with_spark_streaming_spark.streaming.monitor import cusum_monitor
+
+    stage = str(tmp_path / "stage")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stage)
+    base = dt.date(2024, 1, 1)
+
+    def put(idx, day_offsets):
+        tbl = pa.table(
+            {
+                "event_type": pa.array(["k"] * len(day_offsets), pa.string()),
+                "day": pa.array(
+                    [base + dt.timedelta(days=o) for o in day_offsets],
+                    pa.date32(),
+                ),
+                "mv": pa.array([10_000_000] * len(day_offsets), pa.int64()),
+            }
+        )
+        p = os.path.join(stage, f"b{idx:03d}.parquet")
+        pq.write_table(tbl, p)
+        t = time.time() - 1000 + idx
+        os.utime(p, (t, t))
+
+    # ref 9.0, mad 1.0 units -> dev +1e6/day, threshold 4e6
+    ref_mad = {"k": (9_000_000, 1_000_000)}
+
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_type string, day date, mv long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            cusum_monitor(stream, ref_mad)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    put(0, range(0, 6))  # days 1..6: cusum 1e6..6e6, flags at 5e6,6e6
+    first = run_once()
+    assert len(first) == 1
+    assert first[0]["n_days_seen"] == 6
+    assert first[0]["cusum_end"] == 6_000_000
+    assert first[0]["n_flagged_total"] == 2
+
+    put(1, range(6, 10))  # days 7..10 arrive after a query restart
+    second = sorted(run_once(), key=lambda r: r["n_days_seen"])
+    assert len(second) == 2  # first life's batches not reprocessed
+    final = second[-1]
+    assert final["n_days_seen"] == 10  # state carried, not rebuilt
+    assert final["cusum_end"] == 10_000_000
+    assert final["n_flagged_total"] == 6
