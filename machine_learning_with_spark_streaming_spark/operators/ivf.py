@@ -146,6 +146,7 @@ def argmax_assign(
     vec_col: str = "embedding",
     cell_col: str = "cell",
     sim_col: str | None = None,
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Nearest-frozen-centroid assignment by cosine (argmax, ties to the
     lowest index) as a MAP-ONLY Arrow/numpy stage: no join, no window,
@@ -177,7 +178,18 @@ def argmax_assign(
     form's NULL ordering.
 
     ``sim_col`` additionally emits the winning cosine (unrounded), for
-    consumers like SemDeDup that rank on centroid similarity."""
+    consumers like SemDeDup that rank on centroid similarity.
+    ``norm_col`` emits the row's own L2 norm (the dim-order ``sqrt``
+    fold) — at 100 TB the norm is a write-time property stored next to
+    the cell id, so the probe's exact rescore never recomputes it
+    (see ``exact_rescore``).
+
+    A row containing a NULL/NaN element is treated exactly like the
+    zero vector (cell 0, NULL similarity, norm 0): the JVM fold turns
+    a NULL element into a NULL dot for every centroid, and the window
+    form then assigns NULL-ordered-last — without this mask numpy
+    would instead propagate NaN into ``sim_col``, a NaN-vs-NULL
+    cross-engine divergence."""
     import numpy as np
     import pandas as pd
 
@@ -195,6 +207,8 @@ def argmax_assign(
     out_schema = f"id {id_type}, v array<double>, {cell_col} int"
     if sim_col:
         out_schema += f", {sim_col} double"
+    if norm_col:
+        out_schema += f", {norm_col} double"
 
     def _assign(batches):
         cn = np.array(c_norm)
@@ -210,6 +224,9 @@ def argmax_assign(
                 ],
                 dtype=np.float64,
             )
+            bad = ~np.isfinite(V).all(axis=1)
+            if bad.any():  # NULL/NaN element -> zero-vector semantics
+                V[bad] = 0.0
             dots = np.zeros((n, k))
             vn = np.zeros(n)
             for i in range(dim):  # dim-order accumulation = the JVM fold
@@ -230,6 +247,8 @@ def argmax_assign(
                 out[sim_col] = (
                     pd.Series(best).astype("Float64").mask(~any_ok, pd.NA)
                 )
+            if norm_col:
+                out[norm_col] = vn
             yield pd.DataFrame(out)
 
     return corpus.select(id_col, vec_col).mapInPandas(_assign, out_schema)
@@ -491,14 +510,29 @@ def semdedup(
     # a DataFrame of centroids keeps the broadcast crossJoin +
     # row_number form because its rows are not plan literals.
     if centroids is None or isinstance(centroids, (list, tuple)):
-        assigned = argmax_assign(
-            corpus,
-            KMEANS_CENTROIDS if centroids is None else list(centroids),
-            id_col,
-            vec_col,
-            cell_col="cluster",
-            sim_col="csim",
-        ).select("id", F.col("v").alias("__v"), "cluster", "csim")
+        # Round-robin rebalance BEFORE the persist: the map-only Arrow
+        # assignment inherits the file scan's partitioning (often 1-2
+        # files at small SF), and the downstream pair join broadcasts
+        # its b-side — so without this the quadratic within-ball cosine
+        # filter would run on as few cores as the corpus has input
+        # files (measured: 3.9 s vs 2.3 s at sf0.1 on local[32]). The
+        # JVM-centroids branch below gets the same effect for free from
+        # its window exchange. Balanced round-robin beats hash-on-
+        # cluster here: the b-side is broadcast, so the a-side needs no
+        # co-location, and skewed balls can't pile onto one partition.
+        spark = corpus.sparkSession
+        assigned = (
+            argmax_assign(
+                corpus,
+                KMEANS_CENTROIDS if centroids is None else list(centroids),
+                id_col,
+                vec_col,
+                cell_col="cluster",
+                sim_col="csim",
+            )
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select("id", F.col("v").alias("__v"), "cluster", "csim")
+        )
     else:
         v = corpus.select(
             F.col(id_col).alias("id"), as_double_array(vec_col).alias("__v")
