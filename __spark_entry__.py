@@ -105,13 +105,19 @@ _STALE_CERTS: dict[str, int] = {
     # argmax; bit-identical cosines by dimension-order accumulation,
     # verified green at sf0.01) — re-certify every consumer on the new
     # plan anyway, per the triangle-count precedent.
-    "sim_topk_ivf": 8,
-    "sim_ann_recall": 8,
     "sim_ivfpq_topk": 8,
     # r10 rebalanced semdedup's assignment before the persist (repartition
     # only — values unchanged, plan changed; fixed the r9 1.5x regression:
     # the BHJ pair join had been inheriting the scan's 1-2 partitions).
     "dedup_semantic_k32": 9,
+    # r10 replaced the IVF exact-rescore per-candidate zip_with/aggregate
+    # fold with the Arrow exact_rescore stage (bit-identical by
+    # dimension-order accumulation; candidate norms precomputed at
+    # assignment). Values unchanged, plans changed — re-certify every
+    # consumer of ivf_topk_pretrained.
+    "sim_topk_ivf": 9,
+    "sim_ann_recall": 9,
+    "s11_ivf_serving_stream": 9,
 }
 
 

@@ -11,9 +11,12 @@ the same shape a cluster job has. Each query is executed once untimed
 (JVM JIT + whole-stage-codegen class compile for that plan shape — a
 per-plan constant of 4-12 s in a fresh local JVM that is noise at
 sf0.1 yet irrelevant on a cluster where the same compiled plan runs for
-minutes) and then twice timed, recording the min (damps GC/scheduler
-noise, measured ±15 percent run-to-run); ``value`` = total steady-state
-seconds across the fixed r1 headline set.
+minutes) and then timed: headline queries MEDIAN-of-3 (the cross-round
+metric — median bounds co-tenant noise without min's optimistic bias),
+extended queries min-of-2, long-runners min-of-1; ``value`` = total
+steady-state seconds across the fixed r1 headline set. Per-query noise
+floors are recorded in BASELINE.md — deltas inside them are drift, not
+regression.
 """
 
 from __future__ import annotations
@@ -218,6 +221,12 @@ EXTENDED += [
     "sim_ivf_cell_stats",
 ]
 
+# Added round 10: the stored cell-partitioned IVF serving path (static
+# partition pruning + Arrow exact rescore — the 100 TB read shape).
+EXTENDED += [
+    "sim_topk_ivf_stored",
+]
+
 
 # Long-runner tier: wall-clock here is dominated by iteration count
 # (10 checkpointed PageRank rounds) or real micro-batch scheduling (a
@@ -261,18 +270,33 @@ def main() -> None:
         # a single failing query must not wipe out the whole bench record
         try:
             run_query(queries[name](spark, SF_DIR))  # untimed: codegen + JIT
-            best = None
-            n_timed = 1 if name in LONG_RUNNERS else 2
-            for _ in range(n_timed):  # min-of-2: damps GC/scheduler noise
+            # Headline tier: MEDIAN of 3 timed runs — the headline number
+            # is the cross-round comparison metric, and a single driver
+            # run wanders ±13-20% under co-tenancy (three quiesced r9
+            # runs of identical code: 10.15/12.83/11.39 s); the median
+            # damps one-sided outliers without min's optimistic bias.
+            # Extended tier stays min-of-2 (regression signal per query,
+            # bench wall-clock bounded); long-runners min-of-1
+            # (iteration/stream scheduling dominates, repeats buy no
+            # signal).
+            runs: list[float] = []
+            if name in LONG_RUNNERS:
+                n_timed = 1
+            elif name in HEADLINE:
+                n_timed = 3
+            else:
+                n_timed = 2
+            for _ in range(n_timed):
                 # clear BEFORE each timed run too: queries that persist
                 # intermediates (LSH shingle table) must not be timed
                 # against stacked stale copies from the warm-up
                 spark.catalog.clearCache()
                 t0 = time.time()
                 run_query(queries[name](spark, SF_DIR))
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
+                runs.append(time.time() - t0)
+            runs.sort()
+            stat = runs[len(runs) // 2] if name in HEADLINE else runs[0]
+            timings[name] = round(stat, 3)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
         finally:
@@ -295,10 +319,12 @@ def main() -> None:
             "metric": "headline_total_sec",
             "unit": "sec",
             "value_all": round(sum(timings.values()), 3),
-            # each query is timed as min-of-2 post-warmup executions —
-            # co-tenant driver runs manufactured phantom 1.3-1.6x
-            # "regressions" in r6/r7 that quiesced re-measurement erased
-            "timing": "min_of_2",
+            # headline queries are timed as MEDIAN-of-3 post-warmup
+            # executions (extended tier min-of-2, long-runners min-of-1)
+            # — co-tenant driver runs manufactured phantom 1.3-1.6x
+            # "regressions" in r6/r7/r9 that quiesced re-measurement
+            # erased; the median bounds that noise structurally
+            "timing": "headline_median_of_3",
             "value": total,
             "sf": _sf_from_dir(SF_DIR),
         }

@@ -255,30 +255,114 @@ def argmax_assign(
 
 
 def assign_cells(
-    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    norm_col: str | None = None,
 ) -> DataFrame:
     """IVF cell assignment against the frozen 16-centroid quantizer —
     see ``argmax_assign`` for the shape and exactness contract."""
-    return argmax_assign(corpus, IVF_CENTROIDS, id_col, vec_col)
+    return argmax_assign(corpus, IVF_CENTROIDS, id_col, vec_col, norm_col=norm_col)
 
 
-def ivf_topk_pretrained(
-    corpus: DataFrame,
+def exact_rescore(
+    cand: DataFrame,
+    keep_cols: list,
+    dim: int,
+    q_col: str = "qv",
+    v_col: str = "v",
+    vnorm_col: str | None = None,
+    out_col: str = "cos",
+) -> DataFrame:
+    """Exact cosine over (query, candidate) pairs as a MAP-ONLY
+    Arrow/numpy stage — the scale-safe replacement for a per-candidate
+    ``zip_with``+``aggregate`` fold, which evaluates INTERPRETED per row
+    (the anti-pattern measured in ``argmax_assign``'s docstring) over a
+    candidate volume that grows linearly with the corpus.
+
+    Exactness contract (same as ``argmax_assign``): dots and norms
+    accumulate IN DIMENSION ORDER, so every value is IEEE-bit-identical
+    to the engine's sequential fold and the oracles' list_dot_product.
+    ``vnorm_col`` supplies the candidate-side norm precomputed at
+    assignment/write time (a write-time property of the stored corpus at
+    100 TB); the query-side norm is recomputed per pair — vectorized C,
+    and bit-equal to the fold either way. A pair with a missing/
+    wrong-length/non-finite vector, or a zero norm, yields NULL (the
+    engine-NULL contract the assignment stage documents).
+
+    Emits ``keep_cols`` + ``out_col`` only: vectors never leave the
+    stage, so nothing downstream shuffles embeddings."""
+    import numpy as np
+    import pandas as pd
+
+    fields = {f.name: f.dataType.simpleString() for f in cand.schema.fields}
+    out_schema = ", ".join(
+        [f"{c} {fields[c]}" for c in keep_cols] + [f"{out_col} double"]
+    )
+    sel_cols = list(keep_cols) + [q_col, v_col] + ([vnorm_col] if vnorm_col else [])
+
+    def _mat(series, n):
+        bad = np.zeros(n, dtype=bool)
+        rows = []
+        for j, r in enumerate(series):
+            if r is None or len(r) != dim:
+                bad[j] = True
+                rows.append([0.0] * dim)
+            else:
+                rows.append(r)
+        M = np.array(rows, dtype=np.float64)
+        bad |= ~np.isfinite(M).all(axis=1)
+        M[bad] = 0.0
+        return M, bad
+
+    def _rescore(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            Q, qbad = _mat(pdf[q_col], n)
+            V, vbad = _mat(pdf[v_col], n)
+            dots = np.zeros(n)
+            qn = np.zeros(n)
+            if vnorm_col:
+                vn = pdf[vnorm_col].to_numpy(dtype=np.float64, na_value=0.0)
+                for i in range(dim):  # dim-order accumulation = the fold
+                    qi = Q[:, i]
+                    qn += qi * qi
+                    dots += qi * V[:, i]
+            else:
+                vn = np.zeros(n)
+                for i in range(dim):
+                    qi, vi = Q[:, i], V[:, i]
+                    qn += qi * qi
+                    vn += vi * vi
+                    dots += qi * vi
+                vn = np.sqrt(vn)
+            qn = np.sqrt(qn)
+            denom = qn * vn
+            ok = (denom != 0.0) & ~qbad & ~vbad
+            cos = dots / np.where(ok, denom, 1.0)
+            out = {c: pdf[c] for c in keep_cols}
+            out[out_col] = pd.Series(cos).astype("Float64").mask(~ok, pd.NA)
+            yield pd.DataFrame(out)
+
+    return cand.select(*sel_cols).mapInPandas(_rescore, out_schema)
+
+
+def probe_cells_for(
     queries: DataFrame,
-    k: int = TOP_K,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = N_PROBE,
 ) -> DataFrame:
-    """ANN top-k against the frozen quantizer: probe the query's
-    ``nprobe`` nearest cells, rank candidates by exact cosine."""
-    assigned = assign_cells(corpus, id_col, vec_col)
-    spark = corpus.sparkSession
-    cent = pretrained_centroids(spark)
+    """Per query, its ``nprobe`` nearest frozen cells:
+    (query_id, qv, cell). A k-row broadcast cross join — the probe-side
+    planning step of IVF serving."""
+    cent = pretrained_centroids(queries.sparkSession)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
     )
-    qc = (
+    return (
         q.crossJoin(F.broadcast(cent))
         .withColumn("sim", cosine_similarity(F.col("qv"), F.col("centroid")))
         .withColumn(
@@ -290,14 +374,41 @@ def ivf_topk_pretrained(
         .filter(F.col("cr") <= nprobe)
         .select("query_id", "qv", "cell")
     )
-    scored = (
+
+
+def ivf_topk_pretrained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = N_PROBE,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """ANN top-k against the frozen quantizer: probe the query's
+    ``nprobe`` nearest cells, rank candidates by exact cosine.
+
+    ``assigned`` supplies a pre-assigned corpus (id, v, cell, vnorm) —
+    the stored cell-partitioned table a 100 TB deployment writes at
+    ingest (see ``ensure_cell_store``); by default assignment runs
+    inline. The exact rescore is the Arrow/numpy ``exact_rescore``
+    stage: the former per-candidate ``zip_with``+``aggregate`` cosine
+    evaluated interpreted per row and recomputed ``norm(qv)`` per
+    candidate (8.1x at 64x facts — the worst stress ratio recorded in
+    r9); candidate-side norms now ride precomputed from assignment."""
+    if assigned is None:
+        assigned = assign_cells(corpus, id_col, vec_col, norm_col="vnorm")
+    qc = probe_cells_for(queries, id_col, vec_col, nprobe)
+    cand = (
         assigned.join(qc, "cell")
         .filter(F.col("id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("id").alias("neighbor_id"),
-            cosine_similarity(F.col("qv"), F.col("v")).alias("cos"),
-        )
+        .select("query_id", F.col("id").alias("neighbor_id"), "qv", "v", "vnorm")
+    )
+    scored = exact_rescore(
+        cand,
+        keep_cols=["query_id", "neighbor_id"],
+        dim=len(IVF_CENTROIDS[0]),
+        vnorm_col="vnorm",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -385,6 +496,66 @@ def q_ivf_topk(spark, sf_dir):
     as literals in the oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk_pretrained(emb, emb.filter(F.col("vec_id") < N_QUERIES)).orderBy(
+        "query_id", "rank"
+    )
+
+
+# ------------------------------------- stored, cell-partitioned serving
+
+IVF_STORE_ROOT = "/tmp/mlwss_ivf_store"
+
+
+def ensure_cell_store(
+    spark: SparkSession,
+    sf_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Materialize (once) the embeddings table assigned and STORED
+    partitioned by cell, with the per-row norm as a write-time column —
+    the ingest-side layout the IVF serving path reads at 100 TB.
+    Rebuilds only when the source parquet is newer than the store
+    (assignment is a write-time property, not a query-time one)."""
+    import os
+
+    base = os.path.basename(sf_dir.rstrip("/")) or "default"
+    path = os.path.join(IVF_STORE_ROOT, base)
+    marker = os.path.join(path, "_BUILT")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    src_mtime = os.path.getmtime(src)
+    if os.path.isdir(src):
+        for f in os.listdir(src):
+            src_mtime = max(src_mtime, os.path.getmtime(os.path.join(src, f)))
+    if os.path.exists(marker) and os.path.getmtime(marker) >= src_mtime:
+        return path
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign_cells(emb, id_col, vec_col, norm_col="vnorm").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+    with open(marker, "w") as fh:
+        fh.write("built\n")
+    return path
+
+
+@register("sim_topk_ivf_stored", oracle=_IVF_ORACLE)
+def q_ivf_topk_stored(spark, sf_dir):
+    """The IVF serving path as a 100 TB deployment actually runs it:
+    the corpus is pre-assigned at WRITE time and stored partitioned by
+    cell with its norm column (``ensure_cell_store``); the query
+    computes its probe cells (a ≤ nprobe·|queries| driver-side list —
+    query planning, not data movement) and reads ONLY those partitions
+    (static PartitionFilters, plan-asserted in tests/test_round10_ops),
+    then ranks via the Arrow exact rescore. Same oracle as
+    ``sim_topk_ivf`` — identical results, pruned scan."""
+    path = ensure_cell_store(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    cells = sorted(
+        r["cell"]
+        for r in probe_cells_for(queries).select("cell").distinct().collect()
+    )
+    assigned = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    return ivf_topk_pretrained(emb, queries, assigned=assigned).orderBy(
         "query_id", "rank"
     )
 

@@ -1,0 +1,218 @@
+"""Round-10 additions: the Arrow exact-rescore stage for IVF serving,
+the stored cell-partitioned serving query (partition pruning
+plan-asserted), and the argmax_assign NULL-element contract."""
+
+from __future__ import annotations
+
+
+def test_exact_rescore_matches_jvm_fold(spark):
+    """The Arrow/numpy pair rescore is IEEE-identical to the JVM
+    ``zip_with``+``aggregate`` cosine fold it replaced, on a seeded
+    random pair table — including precomputed-vs-inline candidate
+    norms (both arms bit-equal)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.functions.vectors import (
+        as_double_array,
+        cosine_similarity,
+        norm,
+    )
+    from machine_learning_with_spark_streaming_spark.operators.ivf import exact_rescore
+
+    rng = random.Random(77)
+    dim, n = 16, 250
+    rows = [
+        (
+            i,
+            i + 1000,
+            [rng.uniform(-1, 1) for _ in range(dim)],
+            [rng.uniform(-1, 1) for _ in range(dim)],
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "query_id long, neighbor_id long, "
+        "qv array<float>, cv array<float>",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        as_double_array("qv").alias("qv"),
+        as_double_array("cv").alias("v"),
+    )
+
+    ref = {
+        r["query_id"]: r["cos"]
+        for r in df.select(
+            "query_id",
+            cosine_similarity(F.col("qv"), F.col("v")).alias("cos"),
+        ).collect()
+    }
+
+    inline = {
+        r["query_id"]: r["cos"]
+        for r in exact_rescore(
+            df, keep_cols=["query_id", "neighbor_id"], dim=dim
+        ).collect()
+    }
+    pre = {
+        r["query_id"]: r["cos"]
+        for r in exact_rescore(
+            df.withColumn("vnorm", norm(F.col("v"))),
+            keep_cols=["query_id", "neighbor_id"],
+            dim=dim,
+            vnorm_col="vnorm",
+        ).collect()
+    }
+    assert len(inline) == n and len(pre) == n
+    for qid, want in ref.items():
+        assert inline[qid] == want, (qid, inline[qid], want)  # bit-equal
+        assert pre[qid] == want, (qid, pre[qid], want)  # bit-equal
+
+
+def test_exact_rescore_null_contract(spark):
+    """Zero vectors, NULL vectors, wrong-length vectors and vectors
+    with a NULL element all rescore to NULL (the engine-NULL contract
+    shared with argmax_assign) — never NaN, never a crash."""
+    from machine_learning_with_spark_streaming_spark.operators.ivf import exact_rescore
+
+    dim = 4
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 0.0]),  # zero cand
+        (2, [1.0, 0.0, 0.0, 0.0], None),  # NULL cand
+        (3, [1.0, 0.0, 0.0, 0.0], [1.0, 2.0]),  # wrong length
+        (4, [1.0, 0.0, 0.0, 0.0], [1.0, None, 0.0, 0.0]),  # NULL element
+        (5, [0.0, 0.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0]),  # zero query
+        (6, [1.0, 0.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0]),  # clean pair
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, qv array<double>, v array<double>"
+    )
+    out = {
+        r["query_id"]: r["cos"]
+        for r in exact_rescore(df, keep_cols=["query_id"], dim=dim).collect()
+    }
+    assert out[6] == 1.0
+    for qid in (1, 2, 3, 4, 5):
+        assert out[qid] is None, (qid, out[qid])
+
+
+def test_argmax_assign_null_element_is_zero_vector(spark):
+    """A NULL element inside a correct-length embedding takes the
+    zero-vector path: cell 0, NULL similarity, norm 0 — matching the
+    JVM window form (NULL dot for every centroid) instead of numpy's
+    NaN propagation (r9 ADVICE item)."""
+    from machine_learning_with_spark_streaming_spark.operators.ivf import argmax_assign
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (0, [1.0, None]),
+        (1, [None, None]),
+        (2, [0.0, 0.0]),
+        (3, [3.0, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["id"]: r
+        for r in argmax_assign(
+            df, cents, cell_col="cell", sim_col="csim", norm_col="vnorm"
+        ).collect()
+    }
+    for vid in (0, 1, 2):
+        assert out[vid]["cell"] == 0 and out[vid]["csim"] is None
+        assert out[vid]["vnorm"] == 0.0
+    assert out[3]["cell"] == 1 and out[3]["csim"] == 0.8
+    assert out[3]["vnorm"] == 5.0
+
+
+def test_assign_norm_col_matches_jvm_norm(spark):
+    """The write-time norm column is bit-equal to the JVM sqrt-of-fold
+    ``norm()`` expression for a seeded random corpus."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.functions.vectors import (
+        as_double_array,
+        norm,
+    )
+    from machine_learning_with_spark_streaming_spark.operators.ivf import assign_cells
+
+    rng = random.Random(42)
+    dim, n = len(_ivf_dim_probe()), 200
+    rows = [(i, [rng.uniform(-2, 2) for _ in range(dim)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    fast = {
+        r["id"]: r["vnorm"]
+        for r in assign_cells(df, norm_col="vnorm").collect()
+    }
+    ref = {
+        r["vec_id"]: r["n"]
+        for r in df.select(
+            "vec_id", norm(as_double_array("embedding")).alias("n")
+        ).collect()
+    }
+    assert len(fast) == n
+    for vid, want in ref.items():
+        assert fast[vid] == want, (vid, fast[vid], want)  # bit-equal
+
+
+def _ivf_dim_probe():
+    from machine_learning_with_spark_streaming_spark.functions.artifacts import (
+        IVF_CENTROIDS,
+    )
+
+    return IVF_CENTROIDS[0]
+
+
+def test_stored_serving_query_prunes_partitions(spark, sf_dir):
+    """The registered ``sim_topk_ivf_stored`` reads the cell-partitioned
+    store with static PartitionFilters (the probed cells only) and
+    returns exactly what the inline-assignment form returns."""
+    from machine_learning_with_spark_streaming_spark.operators.ivf import (
+        q_ivf_topk,
+        q_ivf_topk_stored,
+    )
+
+    stored = q_ivf_topk_stored(spark, sf_dir)
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    # the pruning filter is static (in-list over probed cells), present
+    # in the scan line — not an unpruned full read
+    scan_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert any("cell" in ln and "[]" not in ln.split("PartitionFilters", 1)[1][:80]
+               for ln in scan_lines), scan_lines
+
+    inline_rows = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+        for r in q_ivf_topk(spark, sf_dir).collect()
+    }
+    stored_rows = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+        for r in stored.collect()
+    }
+    assert stored_rows == inline_rows and len(stored_rows) > 0
+
+
+def test_cell_store_builds_once(spark, sf_dir, tmp_path, monkeypatch):
+    """``ensure_cell_store`` materializes on first call and serves the
+    marker-guarded store afterwards (assignment is a write-time
+    property — the read path never re-assigns)."""
+    import os
+
+    from machine_learning_with_spark_streaming_spark.operators import ivf
+
+    monkeypatch.setattr(ivf, "IVF_STORE_ROOT", str(tmp_path / "store"))
+    p1 = ivf.ensure_cell_store(spark, sf_dir)
+    marker = os.path.join(p1, "_BUILT")
+    assert os.path.exists(marker)
+    mt = os.path.getmtime(marker)
+    p2 = ivf.ensure_cell_store(spark, sf_dir)
+    assert p2 == p1 and os.path.getmtime(marker) == mt  # no rebuild
+    # 16 cell directories exist (the partition layout)
+    cells = [d for d in os.listdir(p1) if d.startswith("cell=")]
+    assert len(cells) == 16
