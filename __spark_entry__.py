@@ -118,6 +118,11 @@ _STALE_CERTS: dict[str, int] = {
     "sim_topk_ivf": 9,
     "sim_ann_recall": 9,
     "s11_ivf_serving_stream": 9,
+    # r10 ADVICE fixes: cell-stats total derived from the counts agg
+    # (one corpus scan) and outlier ordering pinned NULLS LAST in both
+    # engines — values unchanged on certified data, plans changed.
+    "sim_ivf_cell_stats": 9,
+    "emb_centroid_outliers": 9,
 }
 
 

@@ -52,11 +52,15 @@ def ivf_cell_stats(
     """Occupancy of every frozen IVF cell: n_vectors and integer
     per-mille share of the corpus; cells no vector maps to appear with
     zeros (the refit signal). One assignment pass (broadcast argmax
-    against k literal centroids), one count aggregate, one broadcast
-    scalar for the total."""
+    against k literal centroids), one count aggregate; the total is
+    derived from the per-cell counts (a k-row re-aggregate), so the
+    corpus is scanned exactly once. On an EMPTY corpus the shares come
+    back NULL (sum over no rows) where the DuckDB oracle's ``// 0``
+    errors — the report is meaningless on an empty corpus either way,
+    and the certified inputs are never empty."""
     assigned = assign_cells(corpus, id_col, vec_col)
     counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
-    total = assigned.agg(F.count(F.lit(1)).alias("__t"))
+    total = counts.agg(F.sum("__n").alias("__t"))
     cells = pretrained_centroids(corpus.sparkSession).select("cell")
     return (
         cells.join(counts, "cell", "left")
@@ -101,7 +105,12 @@ def centroid_outliers(
         F.col(id_col),
         cosine_similarity(as_double_array(vec_col), F.col("__cv")).alias("__cos"),
     )
-    w = Window.partitionBy("label").orderBy(F.asc("__cos"), F.asc(id_col))
+    # NULLS LAST pinned explicitly: Spark's ASC default is nulls-first,
+    # DuckDB's is nulls-last — a zero-norm embedding (NULL cosine) must
+    # not rank as the #1 "outlier" in one engine and last in the other.
+    w = Window.partitionBy("label").orderBy(
+        F.asc_nulls_last("__cos"), F.asc(id_col)
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -176,7 +185,7 @@ SELECT CAST(label AS INT) AS label, CAST(rank AS INT) AS rank, vec_id,
 FROM (
   SELECT label, vec_id, cos,
          row_number() OVER (
-           PARTITION BY label ORDER BY cos ASC, vec_id
+           PARTITION BY label ORDER BY cos ASC NULLS LAST, vec_id
          ) AS rank
   FROM scored
 ) WHERE rank <= {OUTLIER_K}

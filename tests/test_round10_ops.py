@@ -216,3 +216,26 @@ def test_cell_store_builds_once(spark, sf_dir, tmp_path, monkeypatch):
     # 16 cell directories exist (the partition layout)
     cells = [d for d in os.listdir(p1) if d.startswith("cell=")]
     assert len(cells) == 16
+
+
+def test_centroid_outliers_null_cosine_ranks_last(spark):
+    """A zero-norm embedding (NULL cosine to its label centroid) must
+    NOT rank as the #1 outlier: ordering is pinned ASC NULLS LAST in
+    both engines (r9 ADVICE item)."""
+    from machine_learning_with_spark_streaming_spark.operators.index_health import (
+        centroid_outliers,
+    )
+
+    rows = [
+        (0, 7, [0.0, 0.0]),  # zero vector -> NULL cosine
+        (1, 7, [1.0, 0.0]),
+        (2, 7, [0.0, 1.0]),
+        (3, 7, [1.0, 1.0]),
+        (4, 7, [-1.0, -1.0]),  # the true outlier (negative cosine)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = centroid_outliers(df, k=5).orderBy("rank").collect()
+    assert out[0]["vec_id"] == 4 and out[0]["cos"] < 0
+    assert out[-1]["vec_id"] == 0 and out[-1]["cos"] is None
