@@ -81,13 +81,16 @@ def centroid_outliers(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = OUTLIER_K,
+    dim: int | None = None,
 ) -> DataFrame:
     """Per label, the k vectors with the lowest cosine to their own
     label centroid (ties to the lowest id). Centroids come from the
     certified ``group_centroids`` long form, rounded to 6 dp BEFORE the
     cosine so the only doubles crossing engines are already-stabilized
-    values; the cosine itself is a sequential index-order fold,
-    IEEE-identical across engines."""
+    values; the cosine is a sequential index-order fold, IEEE-identical
+    across engines — run as the Arrow ``exact_rescore`` stage when
+    ``dim`` is known (one cosine per corpus row: the interpreted JVM
+    fold was this operator's whole 64x stress cost), else the JVM fold."""
     cent = (
         group_centroids(df, label_col, vec_col)
         .groupBy("grp")
@@ -98,13 +101,33 @@ def centroid_outliers(
             ).alias("__cv")
         )
     )
-    scored = df.join(
+    paired = df.join(
         F.broadcast(cent), F.col(label_col) == F.col("grp")
     ).select(
         F.col(label_col).cast("int").alias("label"),
         F.col(id_col),
-        cosine_similarity(as_double_array(vec_col), F.col("__cv")).alias("__cos"),
+        as_double_array(vec_col).alias("__ev"),
+        F.col("__cv"),
     )
+    if dim is not None:
+        from machine_learning_with_spark_streaming_spark.operators.ivf import (
+            exact_rescore,
+        )
+
+        scored = exact_rescore(
+            paired,
+            keep_cols=["label", id_col],
+            dim=dim,
+            q_col="__ev",
+            v_col="__cv",
+            out_col="__cos",
+        )
+    else:
+        scored = paired.select(
+            "label",
+            id_col,
+            cosine_similarity(F.col("__ev"), F.col("__cv")).alias("__cos"),
+        )
     # NULLS LAST pinned explicitly: Spark's ASC default is nulls-first,
     # DuckDB's is nulls-last — a zero-norm embedding (NULL cosine) must
     # not rank as the #1 "outlier" in one engine and last in the other.
@@ -196,6 +219,10 @@ ORDER BY label, rank
 @register("emb_centroid_outliers", oracle=_OUTLIER_ORACLE)
 def q_centroid_outliers(spark, sf_dir):
     """Per label, the 3 vectors farthest from their own label centroid
-    — the mislabeled-example triage queue."""
+    — the mislabeled-example triage queue. ``dim`` comes from the
+    frozen quantizer artifact (fit on this table), routing the per-row
+    cosine through the Arrow rescore stage."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return centroid_outliers(emb).orderBy("label", "rank")
+    return centroid_outliers(emb, dim=len(IVF_CENTROIDS[0])).orderBy(
+        "label", "rank"
+    )
