@@ -56,6 +56,8 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.operators.seasonal",
     "machine_learning_with_spark_streaming_spark.operators.index_health",
     "machine_learning_with_spark_streaming_spark.streaming.monitor",
+    # r10 additions — keep behind everything already queued
+    "machine_learning_with_spark_streaming_spark.operators.refit",
 ]
 
 

@@ -239,3 +239,60 @@ def test_centroid_outliers_null_cosine_ranks_last(spark):
     out = centroid_outliers(df, k=5).orderBy("rank").collect()
     assert out[0]["vec_id"] == 4 and out[0]["cos"] < 0
     assert out[-1]["vec_id"] == 0 and out[-1]["cos"] is None
+
+
+def test_refit_step_recovers_drifted_centroids(spark):
+    """Two tight planted clusters, frozen centroids drifted off-center:
+    one Lloyd step moves each centroid to its cluster mean, occupancy
+    stays balanced, and the mean member-cosine rises for both cells.
+    An empty third cell keeps its frozen centroid (Lloyd's rule)."""
+    from machine_learning_with_spark_streaming_spark.operators.refit import (
+        ivf_refit_report,
+        refit_centroids,
+    )
+    from machine_learning_with_spark_streaming_spark.operators.ivf import argmax_assign
+
+    # clusters around (10, 0) and (0, 10); frozen centroids tilted
+    frozen = [[3.0, 1.0], [1.0, 3.0], [-5.0, -5.0]]
+    rows = [(i, [10.0 + (i % 3) * 0.1, float(i % 2)]) for i in range(20)]
+    rows += [(100 + i, [float(i % 2), 10.0 + (i % 3) * 0.1]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    rep = {r["cell"]: r for r in ivf_refit_report(df, frozen=frozen).collect()}
+    assert rep[0]["n_before"] == 20 and rep[1]["n_before"] == 20
+    assert rep[2]["n_before"] == 0 and rep[2]["mean_sim_before_e6"] is None
+    assert rep[0]["n_after"] == 20 and rep[1]["n_after"] == 20
+    for cell in (0, 1):
+        assert rep[cell]["mean_sim_after_e6"] > rep[cell]["mean_sim_before_e6"]
+        assert rep[cell]["mean_sim_after_e6"] > 990_000  # near-1 cosine
+
+    assigned = argmax_assign(df, frozen, sim_col="sim")
+    new_cents = refit_centroids(assigned, frozen, vec_col="v")
+    assert new_cents[2] == frozen[2]  # empty cell: frozen centroid kept
+    assert abs(new_cents[0][0] - 10.1) < 0.2 and abs(new_cents[0][1] - 0.5) < 0.2
+    assert abs(new_cents[1][1] - 10.1) < 0.2 and abs(new_cents[1][0] - 0.5) < 0.2
+
+
+def test_refit_step_improves_real_corpus_mean_sim(spark, sf_dir):
+    """On the real embeddings table the Lloyd step must not degrade the
+    corpus-wide quantization quality: occupancy-weighted mean cosine
+    after >= before (Lloyd monotonicity, integer-e6 metric)."""
+    from machine_learning_with_spark_streaming_spark.operators.refit import (
+        q_ivf_refit_step,
+    )
+
+    rows = q_ivf_refit_step(spark, sf_dir).collect()
+    tot_b = sum(r["n_before"] for r in rows)
+    tot_a = sum(r["n_after"] for r in rows)
+    assert tot_b == tot_a and tot_b > 0  # re-assignment loses no rows
+    wb = sum(
+        r["n_before"] * r["mean_sim_before_e6"]
+        for r in rows
+        if r["mean_sim_before_e6"] is not None
+    )
+    wa = sum(
+        r["n_after"] * r["mean_sim_after_e6"]
+        for r in rows
+        if r["mean_sim_after_e6"] is not None
+    )
+    assert wa >= wb
