@@ -583,56 +583,20 @@ def q_stream_static_join_stream(spark, sf_dir):
     return mem.orderBy("segment", "event_type")
 
 
-_LOJ_STREAM_ORACLE = """
-SELECT CAST(l.event_id AS BIGINT) AS click_id,
-       CAST(r.event_id AS BIGINT) AS error_id,
-       CAST(l.user_id AS BIGINT) AS user_id
-FROM (SELECT * FROM events WHERE event_type = 'click') l
-LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
-  ON l.user_id = r.user_id
- AND r.ts >= l.ts
- AND r.ts <= l.ts + INTERVAL 21600 SECONDS
-ORDER BY 1, 2
-"""
-
-
-@register("s11_left_outer_join_stream", oracle=_LOJ_STREAM_ORACLE)
-def q_left_outer_join_stream(spark, sf_dir):
-    """§2.10: stream-stream LEFT OUTER interval join as a REAL
-    multi-batch run — the hard half of outer joins on streams: a
-    null-extended row for an unmatched click may only be emitted once
-    the watermark PROVES no matching error can still arrive, so this
-    exercises watermark-driven state eviction end to end.
-
-    Determinism recipe: each side is staged as 3 time-bucketed files in
-    event-time order (so every batch's rows sit above the previous
-    batch's watermark — nothing is dropped as late, and a buffered
-    click is never evicted while a future file could still hold its
-    match), plus a key=-1 sentinel file per side whose timestamp pushes
-    the final watermark past every real row — without it, clicks inside
-    the last watermark window would never get their null verdict. The
-    closing no-data batch then flushes every remaining unmatched click.
-    Oracle = the identical stateless batch LEFT JOIN.
-    """
-    import glob
+def _stage_click_error_streams(spark, sf_dir, work, range_sec):
+    """Shared staging for the outer stream-stream join queries: clicks
+    and errors each staged as 3 time-bucketed files in event-time order
+    (so no batch's rows fall behind the running watermark) plus a
+    key=-1 sentinel file per side whose timestamp pushes the final
+    watermark past every real row + the join range — the flush that
+    lets buffered unmatched rows receive their null verdict. Returns
+    (click_stream, error_stream), one file per micro-batch."""
     import os
-    import shutil
-    import tempfile
-    import uuid
     from datetime import timedelta
-
-    from machine_learning_with_spark_streaming_spark.streaming.pipeline import (
-        stream_stream_interval_join,
-    )
-
-    range_sec = 21600  # 6h match window
-    wm = "1 hour"
 
     events = load_table(spark, sf_dir, "events")
     lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
     span = (hi - lo) / 3
-
-    work = tempfile.mkdtemp(prefix="mlwss_lojstream_")
     clicks = events.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
         "user_id",
@@ -666,7 +630,6 @@ def q_left_outer_join_stream(spark, sf_dir):
 
     l_dir = stage(clicks, "click_ts", "l")
     r_dir = stage(errors, "error_ts", "r")
-
     l_stream = (
         spark.readStream.schema("click_id bigint, user_id bigint, click_ts timestamp")
         .option("maxFilesPerTrigger", 1)
@@ -677,6 +640,54 @@ def q_left_outer_join_stream(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(r_dir)
     )
+    return l_stream, r_stream
+
+
+_LOJ_STREAM_ORACLE = """
+SELECT CAST(l.event_id AS BIGINT) AS click_id,
+       CAST(r.event_id AS BIGINT) AS error_id,
+       CAST(l.user_id AS BIGINT) AS user_id
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts
+ AND r.ts <= l.ts + INTERVAL 21600 SECONDS
+ORDER BY 1, 2
+"""
+
+
+@register("s11_left_outer_join_stream", oracle=_LOJ_STREAM_ORACLE)
+def q_left_outer_join_stream(spark, sf_dir):
+    """§2.10: stream-stream LEFT OUTER interval join as a REAL
+    multi-batch run — the hard half of outer joins on streams: a
+    null-extended row for an unmatched click may only be emitted once
+    the watermark PROVES no matching error can still arrive, so this
+    exercises watermark-driven state eviction end to end.
+
+    Determinism recipe: each side is staged as 3 time-bucketed files in
+    event-time order (so every batch's rows sit above the previous
+    batch's watermark — nothing is dropped as late, and a buffered
+    click is never evicted while a future file could still hold its
+    match), plus a key=-1 sentinel file per side whose timestamp pushes
+    the final watermark past every real row — without it, clicks inside
+    the last watermark window would never get their null verdict. The
+    closing no-data batch then flushes every remaining unmatched click.
+    Oracle = the identical stateless batch LEFT JOIN.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from machine_learning_with_spark_streaming_spark.streaming.pipeline import (
+        stream_stream_interval_join,
+    )
+
+    range_sec = 21600  # 6h match window
+    wm = "1 hour"
+
+    work = tempfile.mkdtemp(prefix="mlwss_lojstream_")
+    l_stream, r_stream = _stage_click_error_streams(spark, sf_dir, work, range_sec)
     joined = stream_stream_interval_join(
         l_stream,
         r_stream,
@@ -689,6 +700,75 @@ def q_left_outer_join_stream(spark, sf_dir):
         how="left_outer",
     )
     sink = f"loj_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.select("click_id", "error_id", "user_id")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    mem = spark.table(sink).filter(F.col("user_id") >= 0).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    shutil.rmtree(work, ignore_errors=True)
+    return mem.orderBy("click_id", "error_id")
+
+
+_FOJ_STREAM_ORACLE = """
+SELECT CAST(l.event_id AS BIGINT) AS click_id,
+       CAST(r.event_id AS BIGINT) AS error_id,
+       CAST(coalesce(l.user_id, r.user_id) AS BIGINT) AS user_id
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+FULL JOIN (SELECT * FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts
+ AND r.ts <= l.ts + INTERVAL 21600 SECONDS
+ORDER BY 1, 2
+"""
+
+
+@register("s11_full_outer_join_stream", oracle=_FOJ_STREAM_ORACLE)
+def q_full_outer_join_stream(spark, sf_dir):
+    """§2.10: stream-stream FULL OUTER interval join as a REAL
+    multi-batch run — the one join mode the streaming family lacked
+    through r9. Both directions of the null-extension are
+    watermark-gated: an unmatched click flushes when the error-side
+    watermark passes its 6h range, an unmatched error flushes when the
+    click-side watermark passes, and the join key survives as the
+    COALESCE of the two sides (an unmatched error has no left key).
+
+    Staging, sentinels and the closing no-data flush are shared with
+    the certified left-outer run (``_stage_click_error_streams``).
+    Oracle = the identical stateless batch FULL JOIN; the sentinel
+    rows (user_id = -1, including the sentinel-sentinel match) are
+    filtered on the coalesced key.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from machine_learning_with_spark_streaming_spark.streaming.pipeline import (
+        stream_stream_interval_join,
+    )
+
+    range_sec = 21600  # 6h match window
+    work = tempfile.mkdtemp(prefix="mlwss_fojstream_")
+    l_stream, r_stream = _stage_click_error_streams(spark, sf_dir, work, range_sec)
+    joined = stream_stream_interval_join(
+        l_stream,
+        r_stream,
+        key="user_id",
+        left_time="click_ts",
+        right_time="error_ts",
+        lower_sec=0,
+        upper_sec=range_sec,
+        watermark="1 hour",
+        how="full_outer",
+    )
+    sink = f"foj_stream_{uuid.uuid4().hex[:8]}"
     q = (
         joined.select("click_id", "error_id", "user_id")
         .writeStream.format("memory")

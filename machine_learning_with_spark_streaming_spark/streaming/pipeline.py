@@ -212,7 +212,11 @@ def stream_stream_interval_join(
     null-extended row for an unmatched left row can only be emitted
     once the watermark proves no matching right row can still arrive —
     the same state-eviction bound, doing double duty as the
-    completeness proof.
+    completeness proof. ``how="full_outer"`` additionally null-extends
+    unmatched RIGHT rows (emitted once the LEFT watermark passes their
+    range), and the surviving ``key`` column is the COALESCE of the two
+    sides — a dropped ``r[key]`` would leave NULL keys on every
+    unmatched right row.
     """
     l, r = left, right
     if how != "inner" and (l.isStreaming or r.isStreaming) and watermark is None:
@@ -237,7 +241,15 @@ def stream_stream_interval_join(
         & (r[right_time] >= l[left_time] + lo)
         & (r[right_time] <= l[left_time] + hi)
     )
-    return l.join(r, cond, how).drop(r[key])
+    j = l.join(r, cond, how)
+    if how == "full_outer":
+        return (
+            j.withColumn("__key", F.coalesce(l[key], r[key]))
+            .drop(l[key])
+            .drop(r[key])
+            .withColumnRenamed("__key", key)
+        )
+    return j.drop(r[key])
 
 
 def foreach_batch_append_idempotent(path: str):

@@ -296,3 +296,21 @@ def test_refit_step_improves_real_corpus_mean_sim(spark, sf_dir):
         if r["mean_sim_after_e6"] is not None
     )
     assert wa >= wb
+
+
+def test_full_outer_stream_join_extends_both_sides(spark, sf_dir):
+    """The full-outer stream-stream run emits BOTH null-extension
+    directions — unmatched clicks (error_id NULL) and unmatched errors
+    (click_id NULL) — with the key surviving on every row via the
+    coalesce (no NULL user_id can remain after sentinel filtering)."""
+    from machine_learning_with_spark_streaming_spark.streaming.examples import (
+        q_full_outer_join_stream,
+    )
+
+    rows = q_full_outer_join_stream(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["user_id"] is not None and r["user_id"] >= 0 for r in rows)
+    assert any(r["error_id"] is None for r in rows)  # unmatched clicks
+    assert any(r["click_id"] is None for r in rows)  # unmatched errors
+    matched = [r for r in rows if r["click_id"] is not None and r["error_id"] is not None]
+    assert matched  # and real matches too
