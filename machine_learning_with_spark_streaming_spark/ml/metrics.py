@@ -1,0 +1,289 @@
+"""Distributed model training + evaluation metrics as pure aggregation
+plans — multinomial Naive Bayes and rank-statistic ROC-AUC.
+
+Unlike the frozen-artifact serving queries (ml/examples.py), Naive Bayes
+*training* is itself nothing but counting, so the full train→score→
+evaluate loop is one declarative plan the driver can hash-certify
+end-to-end — the distributed-training story the reference's
+`Dataset/stream.py` MLlib fits (NaiveBayes/LogisticRegression consumers)
+tell, re-expressed without any Python in the hot path.
+
+Exactness contract (cross-engine): every per-token log-weight is
+6-dp-stabilized at source — ``round(ln(p) * 1e6)`` as BIGINT — so the
+per-document class scores are *integer sums*, immune to float summation
+order; argmax ties break to the lexicographically smallest class in both
+engines. AUC is computed from the Mann–Whitney rank-sum identity in pure
+BIGINT arithmetic (doubled rank sums keep tie-averaged ranks integral),
+with the final ratio emitted as truncating integer division at 1e-6
+resolution.
+
+Scale shape:
+- NB training shuffles the *vocabulary*, not the corpus: token counts
+  are map-side-combined ``groupBy(class, word)``; the weight table is
+  |V|·|C| rows (bounded by vocabulary size, classes ≤ a handful).
+- Scoring joins the exploded corpus to the weight table on ``word`` — a
+  standard shuffle join whose payload per row is one BIGINT, followed by
+  a per-(doc, class) partial sum. No step materializes per-class state
+  on the driver.
+- AUC's global cumulative window runs on the *distinct-score histogram*
+  (``groupBy(score_e6)``), not the corpus — bounded by score resolution,
+  so the single-partition window sort is over a small aggregate table
+  (same shape as the equi-width-histogram operator a17).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from machine_learning_with_spark_streaming_spark.functions.ml_artifacts import LOGREG_WEIGHTS
+from machine_learning_with_spark_streaming_spark.functions.vectors import as_double_array, dot
+from machine_learning_with_spark_streaming_spark.operators.text import _NORM, words
+from machine_learning_with_spark_streaming_spark.registry import register
+from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+E6 = 1_000_000
+
+# --------------------------------------------------------- Naive Bayes
+
+
+def naive_bayes_confusion(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    class_col: str = "lang",
+) -> DataFrame:
+    """Train multinomial NB (Laplace +1) on ``docs`` and score the same
+    corpus; return the confusion matrix (lang, pred, n_docs).
+
+    The token table feeds three consumers (class-word counts, the
+    vocabulary, the scoring join), so it is persisted once — the
+    cluster-scale analog is a tokenized temp table (same rationale as
+    the shingle-table persist in operators/dedup.py).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(class_col).alias("y"),
+        F.explode(words(text_col)).alias("w"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    classes = docs.groupBy(F.col(class_col).alias("c")).agg(
+        F.count(F.lit(1)).alias("n_docs_c")
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs_all"))
+    priors = classes.crossJoin(F.broadcast(total)).select(
+        "c",
+        F.round(F.log(F.col("n_docs_c") / F.col("n_docs_all")) * E6, 0)
+        .cast("long")
+        .alias("prior_e6"),
+    )
+
+    wc = toks.groupBy("y", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    nc = wc.groupBy("y").agg(F.sum("cnt").alias("n_tok_c"))
+    vocab = toks.select("w").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v_size"))
+
+    # |V| x |C| smoothed log-likelihood table: unseen (w, c) pairs get
+    # the Laplace floor ln(1 / (N_c + V)) — the full grid, not just
+    # observed pairs, so every document word scores under every class.
+    weights = (
+        vocab.crossJoin(F.broadcast(classes.select("c")))
+        .join(
+            wc.withColumnRenamed("y", "c"),
+            ["w", "c"],
+            "left",
+        )
+        .join(F.broadcast(nc.withColumnRenamed("y", "c")), "c")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "w",
+            "c",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                    / (F.col("n_tok_c") + F.col("v_size"))
+                )
+                * E6,
+                0,
+            )
+            .cast("long")
+            .alias("loglik_e6"),
+        )
+    )
+
+    scored = (
+        toks.join(weights, "w")
+        .groupBy("id", "y", "c")
+        .agg(F.sum("loglik_e6").alias("ll_sum"))
+        .join(F.broadcast(priors), "c")
+        .select("id", "y", "c", (F.col("ll_sum") + F.col("prior_e6")).alias("score"))
+    )
+    rn = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("c"))
+    pred = scored.withColumn("rn", F.row_number().over(rn)).filter("rn = 1")
+
+    out = (
+        pred.groupBy(F.col("y").alias("lang"), F.col("c").alias("pred"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred")
+    )
+    return out
+
+
+_NB_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, lang, {_NORM} AS nrm FROM documents
+),
+toks AS (
+  SELECT doc_id AS id, lang AS y, unnest(string_split(nrm, ' ')) AS w
+  FROM corpus
+),
+classes AS (SELECT lang AS c, count(*) AS n_docs_c FROM corpus GROUP BY 1),
+total AS (SELECT count(*) AS n_docs_all FROM corpus),
+priors AS (
+  SELECT c,
+         CAST(round(ln(CAST(n_docs_c AS DOUBLE) / n_docs_all) * 1e6, 0)
+              AS BIGINT) AS prior_e6
+  FROM classes, total
+),
+wc AS (SELECT y, w, count(*) AS cnt FROM toks GROUP BY 1, 2),
+nc AS (SELECT y, sum(cnt) AS n_tok_c FROM wc GROUP BY 1),
+vocab AS (SELECT DISTINCT w FROM toks),
+vsize AS (SELECT count(*) AS v_size FROM vocab),
+weights AS (
+  SELECT vocab.w, classes.c,
+         CAST(round(ln((coalesce(wc.cnt, 0) + 1)
+                       / CAST(nc.n_tok_c + vsize.v_size AS DOUBLE)) * 1e6, 0)
+              AS BIGINT) AS loglik_e6
+  FROM vocab
+  CROSS JOIN classes
+  LEFT JOIN wc ON wc.w = vocab.w AND wc.y = classes.c
+  JOIN nc ON nc.y = classes.c
+  CROSS JOIN vsize
+),
+scored AS (
+  SELECT t.id, t.y, wt.c, sum(wt.loglik_e6) AS ll_sum
+  FROM toks t JOIN weights wt ON wt.w = t.w
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT id, y, c FROM (
+    SELECT s.id, s.y, s.c,
+           row_number() OVER (
+             PARTITION BY s.id
+             ORDER BY s.ll_sum + p.prior_e6 DESC, s.c
+           ) AS rn
+    FROM scored s JOIN priors p ON p.c = s.c
+  ) WHERE rn = 1
+)
+SELECT y AS lang, c AS pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("ml_naive_bayes", oracle=_NB_ORACLE)
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained AND evaluated
+    in one declarative plan over the documents table (reference
+    `Dataset/stream.py` NaiveBayes consumer, re-expressed as counting)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return naive_bayes_confusion(docs)
+
+
+# ------------------------------------------------------------- ROC-AUC
+
+
+def auc_rank(
+    scored: DataFrame, label_col: str = "y", score_col: str = "score_e6"
+) -> DataFrame:
+    """One-row (n_pos, n_neg, auc_e6) via the Mann–Whitney rank-sum
+    identity with tie-averaged ranks, entirely in BIGINT.
+
+    For each distinct score s (ascending) with ``n`` rows of which
+    ``n_pos`` positive, the tie-averaged rank is ``cum_before +
+    (n + 1) / 2``; doubling keeps it integral:
+    ``2·ranksum = Σ n_pos · (2·cum_before + n + 1)``. Then
+    ``AUC = (2·ranksum − P(P+1)) / (2·P·N)``, emitted ×1e6 with
+    truncating division (NULL when either class is empty, both
+    engines).
+    """
+    g = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(label_col).cast("long")).alias("np"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    terms = g.select(
+        "n",
+        "np",
+        (
+            F.col("np")
+            * (2 * F.coalesce(F.sum("n").over(w), F.lit(0)) + F.col("n") + 1)
+        ).alias("r2"),
+    )
+    return terms.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        (F.sum("n") - F.sum("np")).cast("long").alias("n_neg"),
+        F.expr(
+            f"(sum(r2) - sum(np) * (sum(np) + 1)) * {E6}"
+            " div nullif(2 * sum(np) * (sum(n) - sum(np)), 0)"
+        ).alias("auc_e6"),
+    )
+
+
+def _w0_values() -> str:
+    w = LOGREG_WEIGHTS[0]
+    lit = "[" + ", ".join(repr(x) for x in w[1]) + "]"
+    return f"(CAST({lit} AS DOUBLE[]), {w[2]!r})"
+
+
+_AUC_ORACLE = f"""
+WITH w0(w, b) AS (VALUES
+  {_w0_values()}
+),
+scored AS (
+  SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+         CAST(round(
+           (list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                             w0.w) + w0.b) * 1e6, 0) AS BIGINT) AS score_e6
+  FROM embeddings, w0
+),
+g AS (
+  SELECT score_e6 AS s, count(*) AS n, sum(y) AS np
+  FROM scored GROUP BY 1
+),
+terms AS (
+  SELECT n, np,
+         np * (2 * coalesce(sum(n) OVER (
+                ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ), 0) + n + 1) AS r2
+  FROM g
+)
+SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       CAST(sum(n) - sum(np) AS BIGINT) AS n_neg,
+       CAST((sum(r2) - sum(np) * (sum(np) + 1)) * 1000000
+            // nullif(2 * sum(np) * (sum(n) - sum(np)), 0) AS BIGINT)
+         AS auc_e6
+FROM terms
+"""
+
+
+@register("ml_auc_rank", oracle=_AUC_ORACLE)
+def q_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the frozen logreg class-0 margin as a one-vs-rest
+    detector for label 0, computed distributively from rank statistics
+    (no per-threshold sweep, no collect)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    wdf = spark.createDataFrame([LOGREG_WEIGHTS[0]], "class int, w array<double>, b double")
+    scored = (
+        emb.crossJoin(F.broadcast(wdf))
+        .select(
+            F.when(F.col("label") == 0, 1).otherwise(0).alias("y"),
+            F.round(
+                (dot(as_double_array("embedding"), F.col("w")) + F.col("b")) * E6, 0
+            )
+            .cast("long")
+            .alias("score_e6"),
+        )
+    )
+    return auc_rank(scored)

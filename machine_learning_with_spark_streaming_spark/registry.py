@@ -58,6 +58,7 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.streaming.monitor",
     # r10 additions — keep behind everything already queued
     "machine_learning_with_spark_streaming_spark.operators.refit",
+    "machine_learning_with_spark_streaming_spark.ml.metrics",
 ]
 
 

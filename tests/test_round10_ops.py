@@ -314,3 +314,76 @@ def test_full_outer_stream_join_extends_both_sides(spark, sf_dir):
     assert any(r["click_id"] is None for r in rows)  # unmatched errors
     matched = [r for r in rows if r["click_id"] is not None and r["error_id"] is not None]
     assert matched  # and real matches too
+
+
+def test_naive_bayes_beats_prior_baseline(spark, oracle_con):
+    """End-to-end NB train+score on sf-test documents: the confusion
+    matrix covers every document exactly once, the diagonal beats the
+    majority-class prior baseline, and the result hash-matches the
+    DuckDB oracle (the driver-gate preview)."""
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    from machine_learning_with_spark_streaming_spark.ml import metrics as M
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    rows = M.q_naive_bayes(spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    diag = sum(r["n_docs"] for r in rows if r["lang"] == r["pred"])
+    majority = max(
+        r["cnt"]
+        for r in docs.groupBy("lang").agg(F_count().alias("cnt")).collect()
+    )
+    assert diag >= majority  # learned likelihoods add signal over the prior
+    assert_matches_oracle(M.q_naive_bayes(spark, SF_DIR), oracle_con, M._NB_ORACLE)
+
+
+def F_count():
+    from pyspark.sql import functions as F
+
+    return F.count(F.lit(1))
+
+
+def test_auc_rank_known_values(spark):
+    """auc_rank on hand-computable fixtures: perfect separation -> 1.0;
+    anti-separation -> 0.0; all-ties -> exactly 0.5 (tie-averaged
+    ranks); single-class input -> NULL, not a crash."""
+    from machine_learning_with_spark_streaming_spark.ml.metrics import auc_rank
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "y int, score_e6 long")
+        return auc_rank(df).collect()[0]
+
+    perfect = run([(1, 10), (1, 9), (0, 2), (0, 1)])
+    assert (perfect["n_pos"], perfect["n_neg"], perfect["auc_e6"]) == (2, 2, 1_000_000)
+
+    inverted = run([(0, 10), (0, 9), (1, 2), (1, 1)])
+    assert inverted["auc_e6"] == 0
+
+    ties = run([(1, 5), (0, 5), (1, 5), (0, 5)])
+    assert ties["auc_e6"] == 500_000
+
+    onesided = run([(1, 3), (1, 7)])
+    assert onesided["auc_e6"] is None
+
+
+def test_auc_rank_matches_quadratic_definition(spark):
+    """auc_rank's rank-sum identity equals the O(n^2) pairwise
+    definition (wins + half-ties over P*N) on a seeded random sample."""
+    import random
+
+    from machine_learning_with_spark_streaming_spark.ml.metrics import auc_rank
+
+    rng = random.Random(41)
+    rows = [(rng.randint(0, 1), rng.randint(-20, 20)) for _ in range(300)]
+    pos = [s for y, s in rows if y == 1]
+    neg = [s for y, s in rows if y == 0]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    # exact rational, truncating at 1e-6 exactly like the operator
+    expect_e6 = (2 * wins + ties) * 1_000_000 // (2 * len(pos) * len(neg))
+
+    df = spark.createDataFrame(rows, "y int, score_e6 long")
+    got = auc_rank(df).collect()[0]
+    assert got["auc_e6"] == expect_e6
