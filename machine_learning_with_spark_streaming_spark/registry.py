@@ -59,6 +59,7 @@ _QUERY_MODULES = [
     # r10 additions — keep behind everything already queued
     "machine_learning_with_spark_streaming_spark.operators.refit",
     "machine_learning_with_spark_streaming_spark.ml.metrics",
+    "machine_learning_with_spark_streaming_spark.operators.bloomjoin",
 ]
 
 

@@ -387,3 +387,48 @@ def test_auc_rank_matches_quadratic_definition(spark):
     df = spark.createDataFrame(rows, "y int, score_e6 long")
     got = auc_rank(df).collect()[0]
     assert got["auc_e6"] == expect_e6
+
+
+def test_bloom_prejoin_plan_and_equivalence(spark, oracle_con):
+    """j17: (a) composed result is IDENTICAL to the plain join (the
+    oracle runs the plain join); (b) the plan is the at-scale shape —
+    a BroadcastHashJoin LeftSemi bloom probe feeding a SortMergeJoin;
+    (c) the probe never drops a true match and prunes most non-matches
+    at the documented fp rate."""
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators import bloomjoin as B
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    df = B.q_bloom_prejoin(spark, SF_DIR)
+    assert_matches_oracle(df, oracle_con, B._BLOOM_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" in plan, plan
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    urgent = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    bits = B.bloom_bits(urgent, "o_orderkey")
+    pruned = B.bloom_prune(li, bits, "l_orderkey")
+    true_match = li.join(
+        urgent, li.l_orderkey == urgent.o_orderkey, "left_semi"
+    ).count()
+    n_fact, n_pruned = li.count(), pruned.count()
+    assert n_pruned >= true_match  # no false negatives, ever
+    # 1-hash fp rate == bit occupancy; allow 2x headroom over the bound
+    occupancy = bits.count() / B.DEFAULT_BITS
+    assert n_pruned - true_match <= 2 * occupancy * (n_fact - true_match) + 50
+
+
+def test_bloom_prune_empty_dim(spark):
+    """An empty dim side yields an empty bit table and prunes ALL fact
+    rows — the degenerate case collapses, it doesn't error."""
+    from machine_learning_with_spark_streaming_spark.operators import bloomjoin as B
+
+    fact = spark.range(100).withColumnRenamed("id", "k")
+    dim = spark.range(0).withColumnRenamed("id", "k")
+    assert B.bloom_prune(fact, B.bloom_bits(dim, "k"), "k").count() == 0
