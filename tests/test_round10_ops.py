@@ -432,3 +432,41 @@ def test_bloom_prune_empty_dim(spark):
     fact = spark.range(100).withColumnRenamed("id", "k")
     dim = spark.range(0).withColumnRenamed("id", "k")
     assert B.bloom_prune(fact, B.bloom_bits(dim, "k"), "k").count() == 0
+
+
+def test_kcore_peel_known_graph(spark):
+    """Hand-checkable 2-core: a triangle with a pendant path. Round 1
+    drops the path tail (deg 1), round 2 drops the now-exposed middle
+    node, leaving the triangle as the stable 2-core."""
+    from machine_learning_with_spark_streaming_spark.operators.kcore import kcore_peel_trace
+
+    #   1-2, 2-3, 1-3 (triangle)  3-4, 4-5 (pendant path)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "a long, b long"
+    )
+    rows = {r["round"]: (r["n_nodes"], r["n_edges"])
+            for r in kcore_peel_trace(edges, k=2, rounds=4).collect()}
+    assert rows[0] == (5, 5)
+    assert rows[1] == (4, 4)  # node 5 (deg 1) peeled, edge 4-5 gone
+    assert rows[2] == (3, 3)  # node 4 exposed at deg 1, peeled
+    assert rows[3] == (3, 3)  # converged: the triangle IS the 2-core
+    assert rows[4] == (3, 3)
+
+
+def test_kcore_monotone_and_wellformed(spark, oracle_con):
+    """The registered trace is monotone non-increasing in both counts,
+    starts at the full repeat-co-purchase graph, and hash-matches the
+    unrolled DuckDB oracle."""
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    from machine_learning_with_spark_streaming_spark.operators import kcore as K
+
+    df = K.q_kcore_peel(spark, SF_DIR)
+    rows = sorted(
+        ((r["round"], r["n_nodes"], r["n_edges"]) for r in df.collect())
+    )
+    assert [r[0] for r in rows] == list(range(K.KCORE_ROUNDS + 1))
+    for (_, n0, m0), (_, n1, m1) in zip(rows, rows[1:]):
+        assert n1 <= n0 and m1 <= m0
+    assert rows[0][1] > 0 and rows[0][2] > 0
+    assert_matches_oracle(K.q_kcore_peel(spark, SF_DIR), oracle_con, K._kcore_oracle())
