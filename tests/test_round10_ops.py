@@ -470,3 +470,39 @@ def test_kcore_monotone_and_wellformed(spark, oracle_con):
         assert n1 <= n0 and m1 <= m0
     assert rows[0][1] > 0 and rows[0][2] > 0
     assert_matches_oracle(K.q_kcore_peel(spark, SF_DIR), oracle_con, K._kcore_oracle())
+
+
+def test_theilsen_known_series(spark):
+    """Hand-computable Theil-Sen: a clean slope-2 line with one wild
+    outlier still reports slope 2 (the median shrugs the outlier off),
+    while the OLS slope would not; odd/even pair counts both pick the
+    lower-median order statistic."""
+    from machine_learning_with_spark_streaming_spark.operators.robust import theilsen_trend
+
+    # y = 2t at t=0..4, except t=2 spikes to 100
+    rows = [("g", t, 2 * t if t != 2 else 100) for t in range(5)]
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    got = theilsen_trend(df, "k", "t", "v").collect()[0]
+    assert got["n_points"] == 5 and got["n_pairs"] == 10
+    assert got["slope_e6"] == 2_000_000
+
+    # two points: single pair, slope is that pair's slope
+    df2 = spark.createDataFrame([("h", 0, 10), ("h", 4, 30)], "k string, t long, v long")
+    got2 = theilsen_trend(df2, "k", "t", "v").collect()[0]
+    assert got2["slope_e6"] == 5_000_000
+
+    # single point: no pairs, group dropped (slope undefined)
+    df3 = spark.createDataFrame([("i", 0, 10)], "k string, t long, v long")
+    assert theilsen_trend(df3, "k", "t", "v").count() == 0
+
+
+def test_theilsen_matches_oracle(spark, oracle_con):
+    from tests.conftest import assert_matches_oracle
+
+    from machine_learning_with_spark_streaming_spark.operators import robust as R
+
+    from tests.conftest import SF_DIR
+
+    assert_matches_oracle(
+        R.q_theilsen_trend(spark, SF_DIR), oracle_con, R._THEILSEN_ORACLE
+    )
