@@ -143,3 +143,154 @@ def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return theilsen_trend(monthly, "nation", "t", "rev_c")
+
+
+# ----------------------- W21: Mann–Kendall trend test (integer-exact)
+
+MK_Z2_E4 = 38416  # 1.96^2 * 1e4 — two-sided 5% critical value, squared
+
+
+def mann_kendall(df: DataFrame, key: str, t_col: str, value_col: str) -> DataFrame:
+    """Mann–Kendall monotone-trend test per group, entirely in BIGINT.
+
+    ``S = Σ_{i<j} sign(v_j − v_i)`` over time order; the variance uses
+    the standard tie correction
+    ``18·Var(S) = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)`` (t_g = size of
+    each tied-value group), kept ×18 so it stays integral. The 5%
+    two-sided decision with continuity correction —
+    ``|z| > 1.96  ⇔  (|S|−1)²·180000 > 38416·var18`` — multiplies both
+    sides out instead of taking sqrt, so the verdict is integer-exact
+    cross-engine. S = 0 or var18 = 0 (constant series) ⇒ ``no_trend``.
+
+    Pairs with ``theilsen_trend``: MK answers IS there a monotone trend,
+    Theil–Sen answers how steep. Same per-key bounded pair join over the
+    month-level rollup."""
+    a = df.select(
+        F.col(key).alias("k"), F.col(t_col).alias("ta"), F.col(value_col).alias("va")
+    )
+    b = df.select(
+        F.col(key).alias("k"), F.col(t_col).alias("tb"), F.col(value_col).alias("vb")
+    )
+    s_stat = (
+        a.join(b, "k")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.signum(F.col("vb") - F.col("va")).cast("long")).alias("s_stat")
+        )
+    )
+    n_pts = df.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        df.groupBy(F.col(key).alias("k"), F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_corr")
+        )
+    )
+    verdict = (
+        s_stat.join(n_pts, "k")
+        .join(ties, "k")
+        .select(
+            "k",
+            F.col("n").cast("long").alias("n_points"),
+            "s_stat",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie_corr")
+            )
+            .cast("long")
+            .alias("var18"),
+        )
+        .withColumn(
+            "trend",
+            F.when(
+                (F.col("s_stat") == 0)
+                | (F.col("var18") == 0)
+                | (
+                    (F.abs(F.col("s_stat")) - 1)
+                    * (F.abs(F.col("s_stat")) - 1)
+                    * 180000
+                    <= MK_Z2_E4 * F.col("var18")
+                ),
+                F.lit("no_trend"),
+            )
+            .when(F.col("s_stat") > 0, F.lit("increasing"))
+            .otherwise(F.lit("decreasing")),
+        )
+    )
+    return verdict.select(
+        F.col("k").alias(key), "n_points", "s_stat", "var18", "trend"
+    ).orderBy(key)
+
+
+_MK_ORACLE = """
+WITH monthly AS MATERIALIZED (
+  SELECT n.n_name AS nation,
+         CAST(date_part('year', l.l_shipdate) * 12
+              + date_part('month', l.l_shipdate) AS BIGINT) AS t,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                  AS BIGINT)) AS rev_c
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT a.nation, sum(CAST(sign(b.rev_c - a.rev_c) AS BIGINT)) AS s_stat
+  FROM monthly a JOIN monthly b ON a.nation = b.nation AND a.t < b.t
+  GROUP BY 1
+),
+pts AS (SELECT nation, count(*) AS n FROM monthly GROUP BY 1),
+ties AS (
+  SELECT nation, sum(t * (t - 1) * (2 * t + 5)) AS tie_corr
+  FROM (SELECT nation, rev_c, count(*) AS t FROM monthly GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT s.nation,
+       CAST(pts.n AS BIGINT) AS n_points,
+       CAST(s.s_stat AS BIGINT) AS s_stat,
+       CAST(pts.n * (pts.n - 1) * (2 * pts.n + 5) - ties.tie_corr AS BIGINT)
+         AS var18,
+       CASE
+         WHEN s.s_stat = 0
+              OR pts.n * (pts.n - 1) * (2 * pts.n + 5) - ties.tie_corr = 0
+              OR (abs(s.s_stat) - 1) * (abs(s.s_stat) - 1) * 180000
+                 <= 38416 * (pts.n * (pts.n - 1) * (2 * pts.n + 5)
+                             - ties.tie_corr)
+         THEN 'no_trend'
+         WHEN s.s_stat > 0 THEN 'increasing'
+         ELSE 'decreasing'
+       END AS trend
+FROM s JOIN pts USING (nation) JOIN ties USING (nation)
+ORDER BY 1
+"""
+
+
+@register("w21_mann_kendall", oracle=_MK_ORACLE)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotone-trend verdict per supplier nation over the
+    monthly revenue series (5% two-sided, tie-corrected, continuity-
+    corrected — and integer-exact end to end)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+            .cast("long")
+            .alias("t"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+                .cast("long")
+            ).alias("rev_c")
+        )
+    )
+    return mann_kendall(monthly, "nation", "t", "rev_c")

@@ -133,6 +133,9 @@ DOUBLE_OUTPUT_ALLOWLIST = {
     "sim_topk_bucketed": ["cos"],
     "sim_topk_cosine": ["cos"],
     "sim_topk_ivf": ["cos"],
+    # same rounded cosine as sim_topk_ivf, served from the
+    # cell-partitioned store; swept green at sf0.1 --shuffle 5 (r10)
+    "sim_topk_ivf_stored": ["cos"],
     "sim_topk_multiprobe": ["cos"],
     "text_bigram_logprob": ["avg_logprob"],
     "text_corpus_datasheet": ["value"],

@@ -506,3 +506,39 @@ def test_theilsen_matches_oracle(spark, oracle_con):
     assert_matches_oracle(
         R.q_theilsen_trend(spark, SF_DIR), oracle_con, R._THEILSEN_ORACLE
     )
+
+
+def test_mann_kendall_known_series(spark):
+    """Hand-checkable MK verdicts: a strictly increasing series is
+    'increasing' (S = maximal, ties none); a constant series is
+    'no_trend' with var18 = 0; a short noisy series is insignificant."""
+    from machine_learning_with_spark_streaming_spark.operators.robust import mann_kendall
+
+    rows = (
+        [("up", t, 10 * t) for t in range(10)]
+        + [("flat", t, 7) for t in range(10)]
+        + [("noise", t, v) for t, v in enumerate([3, 1, 4, 1, 5])]
+    )
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    got = {r["k"]: r for r in mann_kendall(df, "k", "t", "v").collect()}
+
+    assert got["up"]["s_stat"] == 45  # all C(10,2) pairs concordant
+    assert got["up"]["trend"] == "increasing"
+    n = 10
+    assert got["up"]["var18"] == n * (n - 1) * (2 * n + 5)
+
+    assert got["flat"]["s_stat"] == 0
+    assert got["flat"]["var18"] == 0  # one tie group of size 10
+    assert got["flat"]["trend"] == "no_trend"
+
+    assert got["noise"]["trend"] == "no_trend"  # n=5, |S| small
+
+
+def test_mann_kendall_matches_oracle(spark, oracle_con):
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    from machine_learning_with_spark_streaming_spark.operators import robust as R
+
+    assert_matches_oracle(
+        R.q_mann_kendall(spark, SF_DIR), oracle_con, R._MK_ORACLE
+    )
