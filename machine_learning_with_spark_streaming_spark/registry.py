@@ -62,6 +62,7 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.operators.bloomjoin",
     "machine_learning_with_spark_streaming_spark.operators.kcore",
     "machine_learning_with_spark_streaming_spark.operators.robust",
+    "machine_learning_with_spark_streaming_spark.streaming.heavyhitters",
 ]
 
 

@@ -542,3 +542,102 @@ def test_mann_kendall_matches_oracle(spark, oracle_con):
     assert_matches_oracle(
         R.q_mann_kendall(spark, SF_DIR), oracle_con, R._MK_ORACLE
     )
+
+
+def test_mg_shrink_guarantee_and_eviction(spark):
+    """The MG batch decrement on a synthetic skewed stream: with k far
+    below the distinct-key count, eviction must actually fire (the
+    summary stays <= k keys) while every true phi-heavy key survives
+    the full streamed pipeline and the final output equals the exact
+    frequency filter."""
+    from machine_learning_with_spark_streaming_spark.streaming.heavyhitters import (
+        _mg_shrink,
+        mg_candidate_stream,
+    )
+
+    # pure-function check: 10 keys, k=3 -> at most 3 survive, and the
+    # dominant key (count 100) must be one of them
+    counters = {i: 5 for i in range(9)}
+    counters[99] = 100
+    out = _mg_shrink(counters, 3)
+    assert len(out) <= 3 and 99 in out
+    assert out[99] >= 100 - (5 + 100 + 5 * 8) / 4  # undercount bound n/(k+1)
+
+    # streamed check: zipf-ish skew, 400 distinct keys, k=128 buckets=4
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    eid = 0
+    for key in range(400):
+        reps = 200 if key < 5 else (20 if key < 50 else 2)
+        for _ in range(reps):
+            rows.append((eid, key))
+            eid += 1
+    n = len(rows)
+    df = spark.createDataFrame(rows, "event_id long, user_id long").withColumn(
+        "bucket", F.pmod(F.col("user_id"), F.lit(4))
+    )
+    work = tempfile.mkdtemp(prefix="mlwss_hh_test_")
+    from machine_learning_with_spark_streaming_spark.streaming.examples import stage_ordered_files
+
+    parts = [
+        df.filter(F.pmod(F.col("event_id"), F.lit(3)) == i).select(
+            "bucket", "user_id"
+        )
+        for i in range(3)
+    ]
+    stage = stage_ordered_files(parts, f"{work}/stage")
+    stream = (
+        spark.readStream.schema("bucket bigint, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    sink = f"hh_test_{uuid.uuid4().hex[:8]}"
+    q = (
+        mg_candidate_stream(stream, k=16)  # k << 100 distinct per bucket
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    per_batch = spark.table(sink).localCheckpoint(eager=True)
+    cands = {r["user_id"] for r in per_batch.select("user_id").distinct().collect()}
+    spark.catalog.dropTempView(sink)
+    shutil.rmtree(work, ignore_errors=True)
+
+    # eviction fired: k=16 << 100 distinct keys per bucket, so each
+    # bucket's summary is capped and most tail keys never surface
+    per_bucket_max = (
+        per_batch.groupBy("bucket")
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .agg(F.max("nd"))
+        .collect()[0][0]
+    )
+    assert per_bucket_max < 100  # summaries stayed bounded (evicted)
+    # and the MG guarantee held through eviction: every key whose
+    # bucket-local count exceeds n_bucket/(k+1) ~ 650/17 is a candidate
+    heavy = {k for k in range(5)}  # 200 reps each, one bucket each
+    assert heavy <= cands
+    exact_hh = {
+        k
+        for k in range(400)
+        if (200 if k < 5 else (20 if k < 50 else 2)) * 125 >= n
+    }
+    assert exact_hh <= cands  # no false negatives through the stream
+
+
+def test_heavy_hitters_stream_matches_oracle(spark, oracle_con):
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    from machine_learning_with_spark_streaming_spark.streaming import heavyhitters as H
+
+    assert_matches_oracle(
+        H.q_heavy_hitters_stream(spark, SF_DIR), oracle_con, H._HH_ORACLE
+    )
