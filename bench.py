@@ -227,6 +227,20 @@ EXTENDED += [
     "sim_topk_ivf_stored",
 ]
 
+# Added round 10 (second wave): distributed training/eval metrics, the
+# bloom pre-join, bounded-round graph peeling, the robust-trend pair,
+# the quantizer refit loop, and the MG heavy-hitters stream.
+EXTENDED += [
+    "ml_naive_bayes",
+    "ml_auc_rank",
+    "j17_bloom_prejoin",
+    "graph_kcore_peel",
+    "w20_theilsen_trend",
+    "w21_mann_kendall",
+    "sim_ivf_refit_step",
+    "s11_heavy_hitters_stream",
+]
+
 
 # Long-runner tier: wall-clock here is dominated by iteration count
 # (10 checkpointed PageRank rounds) or real micro-batch scheduling (a

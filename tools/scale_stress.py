@@ -117,6 +117,13 @@ QUERIES = [
     "text_corpus_datasheet_approx",
     "a20_weighted_quantiles",
     "w14_forecast_backtest",
+    # round-10 additions (graph_kcore_peel also has a --parts row)
+    "ml_naive_bayes",
+    "ml_auc_rank",
+    "j17_bloom_prejoin",
+    "w20_theilsen_trend",
+    "w21_mann_kendall",
+    "graph_kcore_peel",
 ]
 
 
