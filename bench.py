@@ -238,6 +238,14 @@ EXTENDED += [
     "w20_theilsen_trend",
     "w21_mann_kendall",
     "sim_ivf_refit_step",
+]
+
+# Added round 10 (third wave): sketch re-aggregation, runtime partition
+# pruning, LPA communities, and the MG heavy-hitters stream (long tier).
+EXTENDED += [
+    "a21_hll_reaggregate",
+    "j18_dpp_partition_join",
+    "graph_label_propagation",
     "s11_heavy_hitters_stream",
 ]
 
@@ -251,6 +259,9 @@ EXTENDED += [
 LONG_RUNNERS = {
     "graph_pagerank_k10",
     "s11_late_data_stream",
+    # r10: a REAL 4-micro-batch stateful run + exact recount — cost is
+    # micro-batch scheduling, not per-row compute (10.4 s at sf0.1)
+    "s11_heavy_hitters_stream",
 }
 
 

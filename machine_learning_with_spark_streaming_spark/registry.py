@@ -63,6 +63,9 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.operators.kcore",
     "machine_learning_with_spark_streaming_spark.operators.robust",
     "machine_learning_with_spark_streaming_spark.streaming.heavyhitters",
+    "machine_learning_with_spark_streaming_spark.operators.sketch_rollup",
+    "machine_learning_with_spark_streaming_spark.operators.dpp",
+    "machine_learning_with_spark_streaming_spark.operators.communities",
 ]
 
 

@@ -641,3 +641,93 @@ def test_heavy_hitters_stream_matches_oracle(spark, oracle_con):
     assert_matches_oracle(
         H.q_heavy_hitters_stream(spark, SF_DIR), oracle_con, H._HH_ORACLE
     )
+
+
+def test_hll_reaggregate_contract(spark, oracle_con):
+    """Day→month sketch merge: violation flag 0 on every row (the bound
+    holds through the union), months cover the events range, and the
+    registered output hash-matches the exact-recount oracle."""
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    from machine_learning_with_spark_streaming_spark.operators import sketch_rollup as S
+
+    df = S.q_hll_reaggregate(spark, SF_DIR)
+    rows = df.collect()
+    assert rows and all(r["est_violation"] == 0 for r in rows)
+    assert all(r["n_days"] >= 1 for r in rows)
+    assert_matches_oracle(df, oracle_con, S._HLL_ORACLE)
+
+
+def test_hll_merge_equals_whole_input_sketch(spark):
+    """Merging per-day partials estimates the same cardinality as one
+    sketch over the whole input — the re-aggregation property itself,
+    on a fixture where exact equality is known (low cardinality ->
+    sparse mode -> exact)."""
+    from pyspark.sql import functions as F
+
+    rows = [(d, u) for d in range(6) for u in range(40) if (u + d) % 3]
+    df = spark.createDataFrame(rows, "d int, user_id long")
+    whole = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    ).collect()[0]["e"]
+    merged = (
+        df.groupBy("d")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0]["e"]
+    )
+    exact = df.select("user_id").distinct().count()
+    assert whole == merged == exact
+
+
+def test_dpp_plan_prunes_at_runtime(spark, oracle_con):
+    """j18: the fact scan's partition filter is a RUNTIME dynamic-
+    pruning subquery (not a static in-list), and the result equals the
+    plain join the oracle runs."""
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    from machine_learning_with_spark_streaming_spark.operators import dpp as D
+
+    df = D.q_dpp_partition_join(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert_matches_oracle(df, oracle_con, D._DPP_ORACLE)
+    rows = df.collect()
+    assert len(rows) == 3  # one quarter = three ship months
+    assert [r["month"] for r in rows] == ["1996-01", "1996-02", "1996-03"]
+
+
+def test_label_propagation_two_cliques(spark):
+    """LPA on two 4-cliques joined by one bridge edge: each clique
+    collapses to its own min-id label (communities survive the bridge,
+    where connected-components would merge them)."""
+    from machine_learning_with_spark_streaming_spark.operators.communities import (
+        community_sizes,
+        label_propagation,
+    )
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = spark.createDataFrame(
+        clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)],
+        "a long, b long",
+    )
+    labs = {r["v"]: r["lab"] for r in label_propagation(edges, rounds=4).collect()}
+    assert len({labs[v] for v in (1, 2, 3)}) == 1
+    assert len({labs[v] for v in (11, 12, 13)}) == 1
+    assert labs[1] != labs[11]  # the bridge did not merge the cliques
+
+    sizes = community_sizes(label_propagation(edges, rounds=4), min_size=2).collect()
+    assert sum(r["n_members"] for r in sizes) == 8  # all 8 nodes covered
+    assert sorted(r["n_members"] for r in sizes) == [4, 4]
+
+
+def test_label_propagation_matches_oracle(spark, oracle_con):
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    from machine_learning_with_spark_streaming_spark.operators import communities as C
+
+    assert_matches_oracle(
+        C.q_label_propagation(spark, SF_DIR), oracle_con, C._lpa_oracle()
+    )

@@ -124,6 +124,9 @@ QUERIES = [
     "w20_theilsen_trend",
     "w21_mann_kendall",
     "graph_kcore_peel",
+    "a21_hll_reaggregate",
+    "j18_dpp_partition_join",
+    "graph_label_propagation",
 ]
 
 
