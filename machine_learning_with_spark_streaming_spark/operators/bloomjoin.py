@@ -1,5 +1,5 @@
 """Bloom-style semi-join reduction: prune the fact side of a big join
-with a bounded broadcast *key-fingerprint* table before the shuffle.
+with a bounded broadcast *key-fingerprint bitmap* before the shuffle.
 
 The scale problem this models: fact ⋈ dim where the dim side is far too
 large to broadcast (so the join is sort-merge, shuffling the full fact
@@ -8,26 +8,39 @@ AQE can inject a runtime bloom filter for some shapes
 (``spark.sql.optimizer.runtime.bloomFilter.enabled``); this operator is
 the explicit, planner-independent form:
 
-1. hash every (filtered-)dim key into ``m`` buckets —
-   ``pmod(xxhash64(key), m)`` — and keep the DISTINCT bucket ids.
-   The resulting bit table is **at most m rows regardless of dim
-   cardinality** (the bloom bitmap, stored relationally so it stays a
-   first-class broadcastable DataFrame);
-2. broadcast left-semi join the fact on its key's bucket id — a
-   map-side filter that drops most non-matching fact rows *before*
+1. hash every (filtered-)dim key into ``m`` bit positions —
+   ``pmod(xxhash64(key), m)`` — and PACK the set bits into 64-bit
+   words: ``groupBy(bit >> 6).agg(bit_or(1 << (bit & 63)))``. The
+   bitmap is **at most m/64 rows of (word, mask) regardless of dim
+   cardinality** — a true bloom bitmap stored relationally, so it stays
+   a first-class broadcastable DataFrame (m = 2^22 bits ⇒ ≤ 65,536
+   rows ≈ 1 MB broadcast);
+2. broadcast-join the fact on its key's word index and test the bit —
+   a map-side filter that drops most non-matching fact rows *before*
    they are shuffled (false positives possible, false negatives not —
    exactly a 1-hash bloom filter);
 3. run the exact join on the survivors. Correctness never depends on
    the filter: step 3 re-checks equality, so the composed result is
    IDENTICAL to the plain join (which is what the DuckDB oracle runs).
 
-Shuffle math at 100 TB: with dim selectivity s and false-positive rate
-~(distinct bits)/m, the fact bytes entering the sort-merge exchange
-shrink to ~(s + fp) of the unfiltered plan for the cost of one
-broadcast ≤ m longs. The registered demo pins the final join to
-sort-merge (``hint("merge")``) — modeling the dim-too-big-to-broadcast
-case — and the test asserts the plan shape: BroadcastHashJoin LeftSemi
-(the bloom probe) feeding a SortMergeJoin (the exact join).
+Sizing (learned at 64× stress, round 10): the fp rate of the 1-hash
+filter IS its bit occupancy ``1 − exp(−keys/m)``. The first cut of this
+operator used an UNPACKED m = 65,536 bucket table; at 64× facts the dim
+carried ~1.9 M distinct keys, the table saturated (occupancy → 1) and
+the "filter" passed everything while still paying its probe — pure
+overhead. The packed form buys a 64× larger m for the same broadcast
+bytes: at m = 2^22, 1.9 M keys sit at ~37% occupancy (still pruning
+~2/3 of non-matches), and ≤130 k keys stay under 3%. Dims beyond ~4 M
+distinct keys should raise ``m`` (the bitmap grows by m/64 rows) or
+move to a multi-hash filter; at that point also reconsider whether the
+dim still out-sizes a plain broadcast join.
+
+Shuffle math at 100 TB: with dim selectivity s and occupancy p, the
+fact bytes entering the sort-merge exchange shrink to ~(s + p·(1−s)) of
+the unfiltered plan for the cost of one ≤1 MB broadcast. The registered
+demo pins the final join to sort-merge (``hint("merge")``) — modeling
+the dim-too-big-to-broadcast case — and the test asserts the plan
+shape: a broadcast probe join feeding a SortMergeJoin (the exact join).
 """
 
 from __future__ import annotations
@@ -38,29 +51,43 @@ from pyspark.sql import functions as F
 from machine_learning_with_spark_streaming_spark.registry import register
 from machine_learning_with_spark_streaming_spark.schemas import load_table
 
-# Sizing rule: occupancy = 1 - exp(-keys/m), and the false-positive
-# rate of the 1-hash filter IS its occupancy — so pick m ≈ 16-32x the
-# expected distinct dim keys for a <6% fp rate. 65536 bits = a 512 KB
-# broadcast of longs (relational form), far under any broadcast limit;
-# dims with >~1M distinct keys should raise m proportionally (the table
-# stays ≤ m rows) or move to Spark's multi-hash BloomFilter.
-DEFAULT_BITS = 65536
+DEFAULT_BITS = 1 << 22  # 4.19M bits = <=65,536 (word, mask) rows ~ 1 MB
+
+
+def _bit(key: str, m: int):
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(m))
 
 
 def bloom_bits(dim: DataFrame, key: str, m: int = DEFAULT_BITS) -> DataFrame:
-    """The dim side's occupied bucket ids — the relational bloom bitmap
-    (≤ m rows; one BIGINT column ``__bit``)."""
+    """The dim side's key-fingerprint bitmap, packed 64 bits per row:
+    (``__word``, ``__mask``) with ≤ m/64 rows."""
     return (
-        dim.select(F.pmod(F.xxhash64(F.col(key)), F.lit(m)).alias("__bit"))
-        .distinct()
+        dim.select(_bit(key, m).alias("__bit"))
+        .select(
+            F.expr("shiftright(__bit, 6)").alias("__word"),
+            F.expr("shiftleft(1L, cast(__bit % 64 AS INT))").alias("__b"),
+        )
+        .groupBy("__word")
+        .agg(F.bit_or("__b").alias("__mask"))
     )
 
 
-def bloom_prune(fact: DataFrame, bits: DataFrame, key: str, m: int = DEFAULT_BITS) -> DataFrame:
-    """Map-side fact filter: keep rows whose key hashes into an occupied
-    bucket. Never drops a matching row (same hash ⇒ same bucket)."""
-    probe = fact.withColumn("__bit", F.pmod(F.xxhash64(F.col(key)), F.lit(m)))
-    return probe.join(F.broadcast(bits), "__bit", "left_semi").drop("__bit")
+def bloom_prune(
+    fact: DataFrame, bits: DataFrame, key: str, m: int = DEFAULT_BITS
+) -> DataFrame:
+    """Map-side fact filter: keep rows whose key's bit is set in the
+    bitmap. Never drops a matching row (same hash ⇒ same bit). An empty
+    dim yields an empty bitmap and the inner probe join drops all."""
+    probe = (
+        fact.withColumn("__bit", _bit(key, m))
+        .withColumn("__word", F.expr("shiftright(__bit, 6)"))
+        .withColumn("__pos", F.expr("cast(__bit % 64 AS INT)"))
+    )
+    return (
+        probe.join(F.broadcast(bits), "__word")
+        .filter(F.expr("(shiftright(__mask, __pos) & 1) = 1"))
+        .drop("__bit", "__word", "__pos", "__mask")
+    )
 
 
 def bloom_prejoin(
@@ -96,8 +123,8 @@ ORDER BY 1, 2
 @register("j17_bloom_prejoin", oracle=_BLOOM_ORACLE)
 def q_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Urgent-order revenue by month through the bloom-pruned join:
-    lineitem rows are pre-filtered by the urgent orders' key fingerprint
-    (broadcast ≤8192 longs) before the sort-merge join shuffles them.
+    lineitem rows are pre-filtered by the urgent orders' packed key
+    bitmap (broadcast ≤1 MB) before the sort-merge join shuffles them.
     Revenue is cent-integer (the engine's cross-engine money contract)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"

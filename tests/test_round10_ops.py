@@ -405,8 +405,8 @@ def test_bloom_prejoin_plan_and_equivalence(spark, oracle_con):
     df = B.q_bloom_prejoin(spark, SF_DIR)
     assert_matches_oracle(df, oracle_con, B._BLOOM_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
-    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # the bitmap probe join
+    assert "SortMergeJoin" in plan, plan  # the exact join stays SMJ
 
     li = load_table(spark, SF_DIR, "lineitem")
     urgent = load_table(spark, SF_DIR, "orders").filter(
@@ -419,9 +419,13 @@ def test_bloom_prejoin_plan_and_equivalence(spark, oracle_con):
     ).count()
     n_fact, n_pruned = li.count(), pruned.count()
     assert n_pruned >= true_match  # no false negatives, ever
-    # 1-hash fp rate == bit occupancy; allow 2x headroom over the bound
-    occupancy = bits.count() / B.DEFAULT_BITS
+    # 1-hash fp rate == bit occupancy (popcount over the packed masks);
+    # allow 2x headroom over the expected-value bound
+    set_bits = bits.agg(F.sum(F.bit_count("__mask"))).collect()[0][0]
+    occupancy = set_bits / B.DEFAULT_BITS
     assert n_pruned - true_match <= 2 * occupancy * (n_fact - true_match) + 50
+    # the packed bitmap is bounded by m/64 rows no matter the dim size
+    assert bits.count() <= B.DEFAULT_BITS // 64
 
 
 def test_bloom_prune_empty_dim(spark):
