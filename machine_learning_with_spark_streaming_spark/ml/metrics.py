@@ -82,29 +82,28 @@ def naive_bayes_confusion(
 
     wc = toks.groupBy("y", "w").agg(F.count(F.lit(1)).alias("cnt"))
     nc = wc.groupBy("y").agg(F.sum("cnt").alias("n_tok_c"))
-    vocab = toks.select("w").distinct()
-    vsize = vocab.agg(F.count(F.lit(1)).alias("v_size"))
+    # |V| from the (class, word) aggregate, not the raw token table —
+    # wc is already vocabulary-sized, the token table is corpus-sized
+    vsize = wc.select("w").distinct().agg(F.count(F.lit(1)).alias("v_size"))
 
-    # |V| x |C| smoothed log-likelihood table: unseen (w, c) pairs get
-    # the Laplace floor ln(1 / (N_c + V)) — the full grid, not just
-    # observed pairs, so every document word scores under every class.
-    weights = (
-        vocab.crossJoin(F.broadcast(classes.select("c")))
-        .join(
-            wc.withColumnRenamed("y", "c"),
-            ["w", "c"],
-            "left",
-        )
+    # Smoothed log-likelihoods for OBSERVED (word, class) pairs only,
+    # plus a per-class Laplace FLOOR ln(1/(N_c+V)) for everything else.
+    # The naive formulation materializes the |V|x|C| full grid and fans
+    # the scoring join out to tokens x |C| rows; this complement algebra
+    # — score(id,c) = Σ observed loglik + (n_tokens − n_matched)·floor_c
+    # — produces bit-identical integers (unseen pairs' weight IS the
+    # floor) while joining tokens only to pairs that exist (~1-2 of C
+    # classes for language-specific words). Measured 64x-docs stress:
+    # 108.9 s (grid) → see EXPLAIN round-10 table (complement form).
+    obs = (
+        wc.withColumnRenamed("y", "c")
         .join(F.broadcast(nc.withColumnRenamed("y", "c")), "c")
         .crossJoin(F.broadcast(vsize))
         .select(
             "w",
             "c",
             F.round(
-                F.log(
-                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
-                    / (F.col("n_tok_c") + F.col("v_size"))
-                )
+                F.log((F.col("cnt") + 1) / (F.col("n_tok_c") + F.col("v_size")))
                 * E6,
                 0,
             )
@@ -112,13 +111,49 @@ def naive_bayes_confusion(
             .alias("loglik_e6"),
         )
     )
-
+    floors = (
+        nc.withColumnRenamed("y", "c")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "c",
+            F.round(F.log(1 / (F.col("n_tok_c") + F.col("v_size"))) * E6, 0)
+            .cast("long")
+            .alias("floor_e6"),
+        )
+    )
+    doc_stats = toks.groupBy("id", "y").agg(F.count(F.lit(1)).alias("n_toks"))
+    # BROADCAST the weight table: it is vocabulary-sized (observed
+    # (word, class) pairs ~16 bytes each), while a shuffle join here
+    # repartitions the corpus-sized token table on `w` — a key domain
+    # of only |V| values, i.e. maximal skew (measured at 64x docs:
+    # 17.3M tokens over 1,984 words; the broadcast form removes that
+    # exchange entirely and the groupBy partial-aggregates map-side).
+    # Corpora whose weight table outgrows broadcast (V*C beyond ~10^8)
+    # should drop the hint and salt the join instead.
+    matched = (
+        toks.join(F.broadcast(obs), "w")
+        .groupBy("id", "c")
+        .agg(
+            F.sum("loglik_e6").alias("ll_obs"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
     scored = (
-        toks.join(weights, "w")
-        .groupBy("id", "y", "c")
-        .agg(F.sum("loglik_e6").alias("ll_sum"))
+        doc_stats.crossJoin(F.broadcast(classes.select("c")))
+        .join(matched, ["id", "c"], "left")
+        .join(F.broadcast(floors), "c")
         .join(F.broadcast(priors), "c")
-        .select("id", "y", "c", (F.col("ll_sum") + F.col("prior_e6")).alias("score"))
+        .select(
+            "id",
+            "y",
+            "c",
+            (
+                F.coalesce(F.col("ll_obs"), F.lit(0))
+                + (F.col("n_toks") - F.coalesce(F.col("n_matched"), F.lit(0)))
+                * F.col("floor_e6")
+                + F.col("prior_e6")
+            ).alias("score"),
+        )
     )
     rn = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("c"))
     pred = scored.withColumn("rn", F.row_number().over(rn)).filter("rn = 1")
