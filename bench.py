@@ -247,6 +247,8 @@ EXTENDED += [
     "j18_dpp_partition_join",
     "graph_label_propagation",
     "s11_heavy_hitters_stream",
+    "text_pmi_collocations",
+    "sim_matryoshka_recall",
 ]
 
 

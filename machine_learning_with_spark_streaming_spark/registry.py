@@ -66,6 +66,8 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.operators.sketch_rollup",
     "machine_learning_with_spark_streaming_spark.operators.dpp",
     "machine_learning_with_spark_streaming_spark.operators.communities",
+    "machine_learning_with_spark_streaming_spark.operators.collocations",
+    "machine_learning_with_spark_streaming_spark.operators.matryoshka",
 ]
 
 

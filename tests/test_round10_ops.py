@@ -735,3 +735,66 @@ def test_label_propagation_matches_oracle(spark, oracle_con):
     assert_matches_oracle(
         C.q_label_propagation(spark, SF_DIR), oracle_con, C._lpa_oracle()
     )
+
+
+def test_pmi_collocations_planted_phrase(spark):
+    """A planted always-adjacent pair outranks a frequent-but-chance
+    pair: docs repeat 'alpha beta' as a unit amid shuffled fillers, so
+    PMI(alpha, beta) ~ ln(N/c) is maximal while filler pairs sit near 0."""
+    from machine_learning_with_spark_streaming_spark.operators.collocations import pmi_collocations
+
+    import random
+
+    rng = random.Random(7)
+    fillers = ["the", "of", "and", "to", "in"]
+    docs = []
+    for _ in range(120):
+        toks = [rng.choice(fillers) for _ in range(30)]
+        pos = rng.randint(0, 28)
+        toks[pos:pos + 2] = ["alpha", "beta"]
+        docs.append((" ".join(toks),))
+    df = spark.createDataFrame(docs, "text string")
+    rows = pmi_collocations(df, min_count=20, top=10).collect()
+    assert rows[0]["w1"] == "alpha" and rows[0]["w2"] == "beta"
+    # every emitted pair respects the count cut and the PMI ordering
+    assert all(r["c12"] >= 20 for r in rows)
+    pmis = [r["pmi_e6"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_matryoshka_recall_curve_monotone_data(spark, oracle_con):
+    """The registered curve: full-width prefix recovers everything on a
+    fixture whose information lives in the first dims; on the real
+    corpus recall is non-increasing as dims shrink (weak monotonicity
+    with 1-step tolerance for tie flips) and hash-matches the oracle."""
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    from machine_learning_with_spark_streaming_spark.operators import matryoshka as M
+
+    df = M.q_matryoshka_recall(spark, SF_DIR)
+    rows = {r["dim"]: r for r in df.collect()}
+    assert set(rows) == set(M.MRL_DIMS)
+    for r in rows.values():
+        assert r["n_queries"] == M.MRL_QUERIES
+        assert 0 <= r["recall_permille"] <= 1000
+    assert_matches_oracle(
+        M.q_matryoshka_recall(spark, SF_DIR), oracle_con, M._mrl_oracle()
+    )
+
+    # exact-equivalence fixture: vectors whose tail is constant — any
+    # truncation >= 2 dims preserves the full ranking exactly
+    import random
+
+    rng = random.Random(3)
+    rows_fx = [
+        (i, [rng.uniform(-1, 1), rng.uniform(-1, 1)] + [0.5] * 62)
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows_fx, "vec_id long, embedding array<float>")
+    out = {
+        r["dim"]: r["recall_permille"]
+        for r in M.matryoshka_recall(
+            emb, emb.filter("vec_id < 4"), dims=(32, 8), k=3
+        ).collect()
+    }
+    assert out[32] == 1000 and out[8] == 1000

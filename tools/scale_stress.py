@@ -127,6 +127,8 @@ QUERIES = [
     "a21_hll_reaggregate",
     "j18_dpp_partition_join",
     "graph_label_propagation",
+    "text_pmi_collocations",
+    "sim_matryoshka_recall",
 ]
 
 
