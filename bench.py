@@ -249,6 +249,7 @@ EXTENDED += [
     "s11_heavy_hitters_stream",
     "text_pmi_collocations",
     "sim_matryoshka_recall",
+    "dedup_incremental_bloom",
 ]
 
 

@@ -147,3 +147,97 @@ def q_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "order_month")
     )
+
+
+# ------------------- negative-cache composition with incremental dedup
+
+
+def bloom_split(fact: DataFrame, bits: DataFrame, key: str, m: int = DEFAULT_BITS):
+    """(maybe, definite_miss): rows whose key bit is set vs provably
+    absent from the filtered-through set. The miss side never needs the
+    exact join — that is the negative-cache contract."""
+    bit = _bit(key, m)
+    probe = (
+        fact.withColumn("__bit", bit)
+        .withColumn("__word", F.expr("shiftright(__bit, 6)"))
+        .withColumn("__pos", F.expr("cast(__bit % 64 AS INT)"))
+        .join(F.broadcast(bits), "__word", "left")
+    )
+    hit = F.col("__mask").isNotNull() & (
+        F.expr("(shiftright(__mask, __pos) & 1) = 1")
+    )
+    clean = lambda df: df.drop("__bit", "__word", "__pos", "__mask")  # noqa: E731
+    return clean(probe.filter(hit)), clean(probe.filter(~hit))
+
+
+def incremental_dedup_bloom(
+    batch: DataFrame,
+    base: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m: int = DEFAULT_BITS,
+) -> DataFrame:
+    """``dedup.incremental_dedup`` semantics (drop batch docs whose
+    normalized text exists in the base corpus) with the base fingerprint
+    set consulted through a bloom NEGATIVE CACHE first:
+
+    - rows whose hash bit is CLEAR are provably novel — they skip the
+      base anti-join entirely (no false negatives in a bloom filter);
+    - only the bit-set rows (true dupes + occupancy-rate false
+      positives) join against the base hash table for exact resolution.
+
+    Identical output to the plain anti-join (the oracle). At 100 TB the
+    base fingerprint table is the large side; for a mostly-novel ingest
+    batch the exact-join volume collapses from |batch| to
+    ~|dupes| + fp·|batch| while the cache itself stays a ≤1 MB
+    broadcast rebuilt (or incrementally OR-ed) per ingest.
+    """
+    from machine_learning_with_spark_streaming_spark.operators.dedup import normalize_text
+
+    base_h = base.select(
+        F.xxhash64(normalize_text(text_col)).alias("__h")
+    ).distinct()
+    batch_h = batch.withColumn("__h", F.xxhash64(normalize_text(text_col)))
+    maybe, definite_new = bloom_split(batch_h, bloom_bits(base_h, "__h", m), "__h", m)
+    resolved_new = maybe.join(base_h, "__h", "left_anti")
+    return definite_new.unionByName(resolved_new).drop("__h")
+
+
+_INCR_BLOOM_ORACLE = """
+WITH batch AS (
+  SELECT doc_id + 100000 AS doc_id, text || ' zzz extra' AS text
+  FROM documents WHERE doc_id < 25
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents
+  WHERE doc_id >= 25 AND doc_id < 50
+),
+base_norms AS (
+  SELECT DISTINCT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nrm
+  FROM documents
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id
+FROM batch b
+LEFT JOIN base_norms d
+  ON lower(trim(regexp_replace(b.text, '\\s+', ' ', 'g'))) = d.nrm
+WHERE d.nrm IS NULL
+ORDER BY 1
+"""
+
+
+@register("dedup_incremental_bloom", oracle=_INCR_BLOOM_ORACLE)
+def q_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup_incremental fixture (25 near + 25 exact copies) through
+    the bloom negative cache — identical survivors, and only the
+    bit-set slice of the batch ever joins the base fingerprints."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz extra")).alias("text"),
+    )
+    exact = docs.filter((F.col("doc_id") >= 25) & (F.col("doc_id") < 50)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    batch = near.unionByName(exact)
+    return (
+        incremental_dedup_bloom(batch, docs).select("doc_id").orderBy("doc_id")
+    )

@@ -798,3 +798,30 @@ def test_matryoshka_recall_curve_monotone_data(spark, oracle_con):
         ).collect()
     }
     assert out[32] == 1000 and out[8] == 1000
+
+
+def test_bloom_split_and_negative_cache_dedup(spark, oracle_con):
+    """bloom_split partitions exactly (pass + miss = all, no row in
+    both); the negative-cache dedup equals the plain anti-join output
+    and its plan joins the base fingerprints only on the maybe branch."""
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    from machine_learning_with_spark_streaming_spark.operators import bloomjoin as B
+
+    fact = spark.range(1000).withColumnRenamed("id", "k")
+    dim = spark.range(0, 1000, 7).withColumnRenamed("id", "k")  # ~143 keys
+    maybe, miss = B.bloom_split(fact, B.bloom_bits(dim, "k"), "k")
+    n_maybe, n_miss = maybe.count(), miss.count()
+    assert n_maybe + n_miss == 1000
+    # every true member is on the maybe side (no false negatives)
+    assert maybe.join(dim, "k", "left_semi").count() == dim.count()
+    assert miss.join(dim, "k", "left_semi").count() == 0
+
+    df = B.q_incremental_dedup_bloom(spark, SF_DIR)
+    assert_matches_oracle(df, oracle_con, B._INCR_BLOOM_ORACLE)
+    # identical to the certified plain-anti-join query
+    from machine_learning_with_spark_streaming_spark.operators.dedup import q_incremental_dedup
+
+    plain = {r["doc_id"] for r in q_incremental_dedup(spark, SF_DIR).collect()}
+    cached = {r["doc_id"] for r in df.collect()}
+    assert plain == cached and len(cached) > 0

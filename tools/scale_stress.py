@@ -129,6 +129,7 @@ QUERIES = [
     "graph_label_propagation",
     "text_pmi_collocations",
     "sim_matryoshka_recall",
+    "dedup_incremental_bloom",
 ]
 
 
