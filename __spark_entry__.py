@@ -123,6 +123,12 @@ _STALE_CERTS: dict[str, int] = {
     # engines — values unchanged on certified data, plans changed.
     "sim_ivf_cell_stats": 9,
     "emb_centroid_outliers": 9,
+    # r10 routed topk_cosine's pair scoring through the Arrow
+    # exact_rescore stage (bit-identical cosines; the last interpreted
+    # zip_with/aggregate hot loop) — re-certify its registered
+    # consumers on the new plan.
+    "sim_topk_cosine": 9,
+    "sim_rag_retrieve": 9,
 }
 
 

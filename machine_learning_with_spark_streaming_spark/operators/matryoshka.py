@@ -48,12 +48,12 @@ def matryoshka_recall(
 ) -> DataFrame:
     """(dim, n_queries, sum_hits, recall_permille) per truncation —
     dim 0 rows are never emitted; the full-dim arm is the reference."""
-    full = topk_cosine(corpus, queries, k, id_col, vec_col)
+    full = topk_cosine(corpus, queries, k, id_col, vec_col, dim=64)
     parts = []
     for d in dims:
         tc = corpus.select(id_col, F.slice(vec_col, 1, d).alias(vec_col))
         tq = queries.select(id_col, F.slice(vec_col, 1, d).alias(vec_col))
-        trunc = topk_cosine(tc, tq, k, id_col, vec_col)
+        trunc = topk_cosine(tc, tq, k, id_col, vec_col, dim=d)
         hits = (
             full.alias("f")
             .join(

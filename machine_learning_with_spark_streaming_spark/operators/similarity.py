@@ -41,17 +41,31 @@ N_QUERIES = 8
 LSH_BITS = 4
 
 
+#: testdata embedding width; generic callers pass their own ``dim``
+EMB_DIM = 64
+
+
 def topk_cosine(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = TOP_K,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query vector (excluding self-matches).
 
     Returns (query_id, rank, neighbor_id, cos). ``queries`` must be
     small (it is broadcast); the corpus is streamed partition-parallel.
+
+    With ``dim`` given, the pair scoring runs through the Arrow/numpy
+    ``exact_rescore`` stage (operators/ivf.py) instead of the JVM
+    ``zip_with``+``aggregate`` fold — the fold evaluates INTERPRETED
+    per pair over a |queries|x|corpus| volume (the r9-documented
+    anti-pattern; this was the engine's last interpreted-HOF hot loop,
+    measured 10.8x at 64x facts through sim_matryoshka_recall's four
+    arms). Cosines are IEEE-bit-identical either way (dimension-order
+    accumulation), so the two forms share oracles.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("__qv")
@@ -59,15 +73,34 @@ def topk_cosine(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("__cv")
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
+    if dim is not None:
+        from machine_learning_with_spark_streaming_spark.operators.ivf import score_all_queries
+
+        # probe queries collect at plan time (the frozen-artifact /
+        # probe-cell precedent) so the corpus streams through ONE
+        # Arrow stage scoring all queries per batch
+        q_rows = [
+            (r["query_id"], list(r["__qv"]) if r["__qv"] is not None else None)
+            for r in q.collect()
+        ]
+        scored = score_all_queries(
+            corpus.select(
+                F.col(id_col), as_double_array(vec_col).alias("__v")
+            ),
+            q_rows,
+            dim=dim,
+            id_col=id_col,
+            vec_col="__v",
+        ).filter(F.col("neighbor_id") != F.col("query_id"))
+    else:
+        pairs = c.crossJoin(F.broadcast(q)).filter(
+            F.col("neighbor_id") != F.col("query_id")
+        )
+        scored = pairs.select(
             "query_id",
             "neighbor_id",
             cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cos"),
         )
-    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -184,7 +217,7 @@ ORDER BY query_id, rank
 def q_topk_cosine(spark, sf_dir):
     """Brute-force cosine top-5 for the first 8 vectors vs the corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = topk_cosine(emb, emb.filter(F.col("vec_id") < N_QUERIES))
+    out = topk_cosine(emb, emb.filter(F.col("vec_id") < N_QUERIES), dim=EMB_DIM)
     return out.withColumn("rank", F.col("rank").cast("int")).orderBy(
         "query_id", "rank"
     )
@@ -506,7 +539,7 @@ def retrieve_documents(
     first ``snippet_chars`` of normalized text."""
     from machine_learning_with_spark_streaming_spark.operators.dedup import normalize_text
 
-    ranked = topk_cosine(corpus_emb, queries, k=k)
+    ranked = topk_cosine(corpus_emb, queries, k=k, dim=EMB_DIM)
     snip = docs.select(
         F.col("doc_id"),
         F.substring(normalize_text("text"), 1, snippet_chars).alias("snippet"),

@@ -167,7 +167,7 @@ def q_ivf_serving_stream(spark, sf_dir):
         corpus = load_table(ss, sf_dir_local, "embeddings").select(
             "vec_id", "embedding"
         )
-        brute = topk_cosine(corpus, batch_df, k)
+        brute = topk_cosine(corpus, batch_df, k, dim=64)
         approx = ivf_topk_pretrained(corpus, batch_df, k)
         per_q = (
             brute.alias("b")
