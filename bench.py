@@ -250,6 +250,7 @@ EXTENDED += [
     "text_pmi_collocations",
     "sim_matryoshka_recall",
     "dedup_incremental_bloom",
+    "sample_kfold_assign",
 ]
 
 

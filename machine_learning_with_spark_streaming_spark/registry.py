@@ -68,6 +68,7 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.operators.communities",
     "machine_learning_with_spark_streaming_spark.operators.collocations",
     "machine_learning_with_spark_streaming_spark.operators.matryoshka",
+    "machine_learning_with_spark_streaming_spark.operators.kfold",
 ]
 
 

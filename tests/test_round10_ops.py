@@ -825,3 +825,40 @@ def test_bloom_split_and_negative_cache_dedup(spark, oracle_con):
     plain = {r["doc_id"] for r in q_incremental_dedup(spark, SF_DIR).collect()}
     cached = {r["doc_id"] for r in df.collect()}
     assert plain == cached and len(cached) > 0
+
+
+def test_kfold_partition_and_group_atomicity(spark, oracle_con):
+    """Folds partition the corpus exactly (masses sum to the totals),
+    every group lands in exactly ONE fold, assignment is deterministic
+    across invocations, and the report hash-matches the oracle."""
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators import kfold as K
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = K.kfold_report(docs).collect()
+    assert {r["fold"] for r in rows} <= set(range(K.KFOLD_K))
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert r["train_docs"] == docs.count() - r["n_docs"]
+
+    assigned = K.assign_kfold(docs)
+    per_group = assigned.groupBy("source").agg(
+        F.countDistinct("fold").alias("nf")
+    )
+    assert per_group.filter("nf > 1").count() == 0  # group-atomic
+
+    again = {
+        (r["source"], r["fold"])
+        for r in K.assign_kfold(docs).select("source", "fold").distinct().collect()
+    }
+    first = {
+        (r["source"], r["fold"])
+        for r in assigned.select("source", "fold").distinct().collect()
+    }
+    assert first == again  # deterministic
+
+    assert_matches_oracle(K.q_kfold_assign(spark, SF_DIR), oracle_con, K._KFOLD_ORACLE)

@@ -130,6 +130,7 @@ QUERIES = [
     "text_pmi_collocations",
     "sim_matryoshka_recall",
     "dedup_incremental_bloom",
+    "sample_kfold_assign",
 ]
 
 
