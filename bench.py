@@ -251,6 +251,7 @@ EXTENDED += [
     "sim_matryoshka_recall",
     "dedup_incremental_bloom",
     "sample_kfold_assign",
+    "u4_bag_set_ops",
 ]
 
 

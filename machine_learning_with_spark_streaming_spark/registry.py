@@ -69,6 +69,7 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.operators.collocations",
     "machine_learning_with_spark_streaming_spark.operators.matryoshka",
     "machine_learning_with_spark_streaming_spark.operators.kfold",
+    "machine_learning_with_spark_streaming_spark.operators.bagops",
 ]
 
 

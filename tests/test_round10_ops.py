@@ -862,3 +862,23 @@ def test_kfold_partition_and_group_atomicity(spark, oracle_con):
     assert first == again  # deterministic
 
     assert_matches_oracle(K.q_kfold_assign(spark, SF_DIR), oracle_con, K._KFOLD_ORACLE)
+
+
+def test_bag_set_ops_multiset_identity(spark, oracle_con):
+    """Hand-checkable multiset algebra: with a = {1,1,2,3} and
+    b = {1,2,2}, a EXCEPT ALL b = {1,3}, b EXCEPT ALL a = {2},
+    a INTERSECT ALL b = {1,2}; and |a| = |a∖b| + |a∩b| always. The
+    registered query hash-matches DuckDB's EXCEPT/INTERSECT ALL."""
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    from machine_learning_with_spark_streaming_spark.operators import bagops as B
+
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,)], "k long")
+    b = spark.createDataFrame([(1,), (2,), (2,)], "k long")
+    rows = {r["op"]: (r["n_rows"], r["n_keys"]) for r in B.bag_compare(a, b).collect()}
+    assert rows["a_except_all_b"] == (2, 2)  # {1, 3}
+    assert rows["b_except_all_a"] == (1, 1)  # {2}
+    assert rows["a_intersect_all_b"] == (2, 2)  # {1, 2}
+    assert rows["a_except_all_b"][0] + rows["a_intersect_all_b"][0] == 4
+
+    assert_matches_oracle(B.q_bag_set_ops(spark, SF_DIR), oracle_con, B._BAG_ORACLE)
