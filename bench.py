@@ -254,6 +254,14 @@ EXTENDED += [
     "u4_bag_set_ops",
 ]
 
+# Added round 10 (continuation): gaps-and-islands streaks, chi-square
+# independence, blocked edit-distance entity resolution.
+EXTENDED += [
+    "w22_order_streaks",
+    "v25_chi2_independence",
+    "dedup_blocked_editdist",
+]
+
 
 # Long-runner tier: wall-clock here is dominated by iteration count
 # (10 checkpointed PageRank rounds) or real micro-batch scheduling (a

@@ -70,6 +70,10 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.operators.matryoshka",
     "machine_learning_with_spark_streaming_spark.operators.kfold",
     "machine_learning_with_spark_streaming_spark.operators.bagops",
+    # r10 continuation — keep behind everything already queued
+    "machine_learning_with_spark_streaming_spark.operators.streaks",
+    "machine_learning_with_spark_streaming_spark.operators.stats_tests",
+    "machine_learning_with_spark_streaming_spark.operators.er",
 ]
 
 

@@ -62,6 +62,10 @@ DOUBLE_OUTPUT_ALLOWLIST = {
     # from exact-integer operands (PSI log-ratio terms; guarded MoM
     # ratio; corr from integer sufficient statistics; novelty fraction)
     "v20_psi_drift": ["psi_term"],
+    # r10 continuation: 6-dp-rounded chi-square terms from exact integer
+    # sufficient statistics (single-IEEE-op sequence documented in
+    # stats_tests.py); swept at sf0.01 and sf0.1 --shuffle 5
+    "v25_chi2_independence": ["chi2_term"],
     "w12_mom_pct_change": ["pct_change"],
     "ml_corr_matrix": ["corr"],
     "text_shingle_novelty": ["novelty"],

@@ -1,0 +1,141 @@
+"""Round-10 continuation ops: gaps-and-islands streaks, chi-square
+independence decomposition, blocked edit-distance entity resolution."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def test_day_streaks_known_islands(spark):
+    """Hand-checked islands: key 1 has runs [1-3] and [5-6] (best 3),
+    key 2 has the single day [10] (best 1); duplicate (key, day) rows
+    collapse."""
+    from machine_learning_with_spark_streaming_spark.operators.streaks import (
+        best_streak_distribution,
+        day_streaks,
+    )
+
+    d = dt.date
+    rows = [
+        (1, d(2024, 1, 1)),
+        (1, d(2024, 1, 2)),
+        (1, d(2024, 1, 2)),  # dup day
+        (1, d(2024, 1, 3)),
+        (1, d(2024, 1, 5)),
+        (1, d(2024, 1, 6)),
+        (2, d(2024, 1, 10)),
+    ]
+    df = spark.createDataFrame(rows, "k int, day date")
+    streaks = day_streaks(df, "k", "day")
+    got = {
+        (r["key"], r["streak_start"]): r["streak_len"]
+        for r in streaks.collect()
+    }
+    assert got == {
+        (1, d(2024, 1, 1)): 3,
+        (1, d(2024, 1, 5)): 2,
+        (2, d(2024, 1, 10)): 1,
+    }
+    dist = {
+        r["best_len"]: r["n_keys"]
+        for r in best_streak_distribution(streaks).collect()
+    }
+    assert dist == {3: 1, 1: 1}
+
+
+def test_chi2_independent_table_is_zero(spark):
+    """A perfectly independent 2x2 table (margins factorize exactly)
+    yields chi2_term == 0 in every cell and the total row."""
+    from machine_learning_with_spark_streaming_spark.operators.stats_tests import (
+        chi2_independence,
+    )
+
+    # o(x,y) = rx*cy/n exactly: 10/20 vs 30/60 split, n=120
+    rows = (
+        [("a", "x")] * 10
+        + [("a", "y")] * 30
+        + [("b", "x")] * 20
+        + [("b", "y")] * 60
+    )
+    df = spark.createDataFrame(rows, "u string, v string")
+    out = chi2_independence(df, "u", "v").collect()
+    assert all(r["chi2_term"] == 0.0 for r in out)
+    tot = [r for r in out if r["a"] == "__TOTAL__"][0]
+    assert tot["o"] == 120 and tot["r_tot"] == 120
+
+
+def test_chi2_known_statistic(spark):
+    """2x2 with a hand-computed statistic: o = [[10, 20], [20, 10]],
+    e = 15 everywhere, chi2 = 4 * 25/15 = 6.666667 (6dp)."""
+    from machine_learning_with_spark_streaming_spark.operators.stats_tests import (
+        chi2_independence,
+    )
+
+    rows = (
+        [("a", "x")] * 10
+        + [("a", "y")] * 20
+        + [("b", "x")] * 20
+        + [("b", "y")] * 10
+    )
+    df = spark.createDataFrame(rows, "u string, v string")
+    out = chi2_independence(df, "u", "v").collect()
+    cells = {(r["a"], r["b"]): r["chi2_term"] for r in out}
+    assert cells[("a", "x")] == round(25 / 15, 6)
+    assert cells[("__TOTAL__", "")] == round(4 * round(25 / 15, 6), 6)
+
+
+def test_chi2_zero_count_cell(spark):
+    """A (margin x margin) combination with no observed rows appears as
+    o=0 via the grid left-join (same full-grid rule as v20's bins)."""
+    from machine_learning_with_spark_streaming_spark.operators.stats_tests import (
+        chi2_independence,
+    )
+
+    rows = [("a", "x")] * 5 + [("b", "y")] * 5
+    df = spark.createDataFrame(rows, "u string, v string")
+    out = {
+        (r["a"], r["b"]): r for r in chi2_independence(df, "u", "v").collect()
+    }
+    assert out[("a", "y")]["o"] == 0
+    assert out[("a", "y")]["chi2_term"] == 2.5  # (0-2.5)^2/2.5
+    assert out[("__TOTAL__", "")]["chi2_term"] == 10.0
+
+
+def test_blocked_editdist_known_pairs(spark):
+    """Blocking on the last token: 'red bolt'~'old bolt' (dist 2) pair
+    within the 'bolt' block; 'red widget' is alone in its block; pairs
+    above max_dist are cut; row support counts carry through."""
+    from machine_learning_with_spark_streaming_spark.operators.er import (
+        blocked_editdist_pairs,
+    )
+
+    rows = [
+        ("red bolt",),
+        ("red bolt",),
+        ("old bolt",),
+        ("shiny bolt",),
+        ("red widget",),
+    ]
+    df = spark.createDataFrame(rows, "name string")
+    out = blocked_editdist_pairs(
+        df, "name", lambda c: F.regexp_extract(c, "[^ ]+$", 0), max_dist=3
+    ).collect()
+    got = {(r["name_a"], r["name_b"]): (r["dist"], r["n_a"], r["n_b"]) for r in out}
+    # 'old bolt' vs 'red bolt' = 2 edits; 'shiny bolt' is >3 from both
+    assert got == {("old bolt", "red bolt"): (2, 1, 2)}
+
+
+def test_blocked_editdist_pairs_are_over_distinct_names(spark):
+    """Candidate volume is |distinct names|-bounded: 1000 duplicate rows
+    of one name generate zero self-pairs and no blowup."""
+    from machine_learning_with_spark_streaming_spark.operators.er import (
+        blocked_editdist_pairs,
+    )
+
+    df = spark.createDataFrame([("same bolt",)] * 1000, "name string")
+    out = blocked_editdist_pairs(
+        df, "name", lambda c: F.regexp_extract(c, "[^ ]+$", 0)
+    )
+    assert out.count() == 0
