@@ -260,6 +260,8 @@ EXTENDED += [
     "w22_order_streaks",
     "v25_chi2_independence",
     "dedup_blocked_editdist",
+    "w23_rolling_median",
+    "w24_acf_lags",
 ]
 
 

@@ -1,0 +1,189 @@
+"""Order-statistic and autocorrelation window analytics over daily
+rollups — the robust companions to the w6/w11 moving averages:
+a rolling MEDIAN shrugs off the single-day spikes that drag a mean,
+and the lag-k autocorrelation function (ACF) is the standard "does
+this series remember itself at lag k" diagnostic that justifies (or
+demolishes) the w16 weekly-seasonality assumption.
+
+Exactness recipes:
+
+- Rolling median: integer-cent daily sums, ROWS-framed sorted-list
+  selection, and the median emitted DOUBLED (``med7_x2`` = the sum of
+  the two middle order statistics) so even-width frames stay integral
+  — the Theil–Sen lower-median trick (robust.py) applied to frames.
+  The oracle's ``2*median(...) OVER w`` is exactly that sum.
+- ACF: the ml_corr_matrix recipe per (key, lag) — decimal(38,0)
+  sufficient statistics over integer cents, one closed-form Pearson in
+  doubles at the end, 6-dp rounded. Lags pair strictly by CALENDAR
+  distance (lag-k row must be exactly k days earlier), so gap days
+  drop pairs instead of silently mis-aligning them.
+
+Scale shape: both operators run over the |keys| x |days| daily rollup,
+never the raw corpus — one hash aggregate collapses the fact table,
+then one key-partitioned window pass (frame ≤ 7 rows; the three lag
+columns ride a single window) and, for ACF, one tiny grouped
+aggregate. Nothing is quadratic; the windowed relation is bounded by
+the calendar span.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from machine_learning_with_spark_streaming_spark.registry import register
+from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+ACF_LAGS = (1, 2, 7)
+
+
+def daily_cents(
+    df: DataFrame, key_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """(key, day, cents): per-key daily integer-cent totals — the
+    shared rollup the seasonal/forecast family also builds."""
+    return df.groupBy(
+        F.col(key_col).alias("key"), F.to_date(ts_col).alias("day")
+    ).agg(
+        F.sum(F.round(F.col(value_col) * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+
+
+def rolling_median_x2(daily: DataFrame, frame_rows: int = 7) -> DataFrame:
+    """Trailing ``frame_rows``-row median of ``cents`` per key, doubled
+    to stay integral on even-width (ramp-up) frames: med_x2 = sum of
+    the two middle order statistics of the sorted frame."""
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(-(frame_rows - 1), 0)
+    )
+    return (
+        daily.withColumn("__a", F.sort_array(F.collect_list("cents").over(w)))
+        .withColumn(
+            "med_x2",
+            F.expr(
+                "element_at(__a, cast((size(__a) + 1) div 2 as int))"
+                " + element_at(__a, cast(size(__a) div 2 + 1 as int))"
+            ).cast("long"),
+        )
+        .drop("__a")
+    )
+
+
+def acf_lags(daily: DataFrame, lags=ACF_LAGS) -> DataFrame:
+    """Per-key lag-k autocorrelation over the daily series, calendar-
+    strict pairing, Pearson from decimal sufficient statistics."""
+    w = Window.partitionBy("key").orderBy("day")
+    d = daily
+    stack_args = []
+    for k in lags:
+        yk = F.when(
+            F.datediff(F.col("day"), F.lag("day", k).over(w)) == k,
+            F.lag("cents", k).over(w),
+        )
+        d = d.withColumn(f"__y{k}", yk)
+        stack_args.append(f"{k}, __y{k}")
+    long = d.select(
+        "key",
+        "cents",
+        F.expr(f"stack({len(lags)}, {', '.join(stack_args)}) as (lag, y)"),
+    ).filter(F.col("y").isNotNull())
+    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    stats = long.groupBy("key", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("cents")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("cents") * dec("cents")).alias("sxx"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+        F.sum(dec("cents") * dec("y")).alias("sxy"),
+    )
+    nD = F.col("n").cast("double")
+    sD = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = nD * sD("sxy") - sD("sx") * sD("sy")
+    va = nD * sD("sxx") - sD("sx") * sD("sx")
+    vb = nD * sD("syy") - sD("sy") * sD("sy")
+    acf = F.when(va * vb > 0, F.round(num / F.sqrt(va * vb), 6) + F.lit(0.0))
+    return stats.select(
+        "key",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        acf.alias("acf"),
+    ).orderBy("key", "lag")
+
+
+_DAILY_CTE = """
+daily AS (
+  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+)"""
+
+_W23_ORACLE = f"""
+WITH {_DAILY_CTE}
+SELECT key, day, cents,
+       CAST(2 * median(cents) OVER (PARTITION BY key ORDER BY day
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS med_x2
+FROM daily ORDER BY 1, 2
+"""
+
+
+@register("w23_rolling_median", oracle=_W23_ORACLE)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family beyond-ref: trailing 7-day rolling MEDIAN of daily
+    event revenue per event type — doubled order-statistic form, fully
+    integer output."""
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_median_x2(
+        daily_cents(ev, "event_type", "ts", "value")
+    ).orderBy("key", "day")
+
+
+def _acf_pair_branch(k: int) -> str:
+    return (
+        f"SELECT key, {k} AS lag, cents AS x, "
+        f"lag(cents, {k}) OVER w AS y, "
+        f"lag(day, {k}) OVER w AS yd, day FROM daily "
+        f"WINDOW w AS (PARTITION BY key ORDER BY day)"
+    )
+
+
+_W24_ORACLE = f"""
+WITH {_DAILY_CTE},
+pairs AS (
+  SELECT key, lag, x, y FROM (
+    {' UNION ALL '.join(f'SELECT * FROM ({_acf_pair_branch(k)})' for k in ACF_LAGS)}
+  ) WHERE y IS NOT NULL AND yd = day - lag
+),
+stats AS (
+  SELECT key, lag, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT key, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                       6) + 0.0
+       END AS acf
+FROM stats ORDER BY 1, 2
+"""
+
+
+@register("w24_acf_lags", oracle=_W24_ORACLE)
+def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family beyond-ref: lag-1/2/7 autocorrelation of daily revenue
+    per event type — the seasonality-memory diagnostic, integer
+    sufficient statistics end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    return acf_lags(daily_cents(ev, "event_type", "ts", "value"))

@@ -74,6 +74,7 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.operators.streaks",
     "machine_learning_with_spark_streaming_spark.operators.stats_tests",
     "machine_learning_with_spark_streaming_spark.operators.er",
+    "machine_learning_with_spark_streaming_spark.operators.rollstats",
 ]
 
 

@@ -66,6 +66,10 @@ DOUBLE_OUTPUT_ALLOWLIST = {
     # sufficient statistics (single-IEEE-op sequence documented in
     # stats_tests.py); swept at sf0.01 and sf0.1 --shuffle 5
     "v25_chi2_independence": ["chi2_term"],
+    # r10 continuation: Pearson ACF per (key, lag) from decimal(38,0)
+    # integer-cent sufficient statistics (the ml_corr_matrix recipe),
+    # 6-dp rounded; swept at sf0.01 and sf0.1 --shuffle 5
+    "w24_acf_lags": ["acf"],
     "w12_mom_pct_change": ["pct_change"],
     "ml_corr_matrix": ["corr"],
     "text_shingle_novelty": ["novelty"],

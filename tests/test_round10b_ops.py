@@ -139,3 +139,77 @@ def test_blocked_editdist_pairs_are_over_distinct_names(spark):
         df, "name", lambda c: F.regexp_extract(c, "[^ ]+$", 0)
     )
     assert out.count() == 0
+
+
+def test_rolling_median_known_frame(spark):
+    """Hand-checked 3-row frames: ramp-up frames use the doubled
+    two-middle rule ([10] -> 20, [10,30] -> 40), full odd frames are 2x
+    the middle order statistic (sorted [10,20,30] -> 2*20); a spike day
+    does not drag the median the way it would drag a mean."""
+    import datetime as dt
+
+    from machine_learning_with_spark_streaming_spark.operators.rollstats import (
+        rolling_median_x2,
+    )
+
+    d = dt.date
+    daily = spark.createDataFrame(
+        [
+            ("a", d(2024, 1, 1), 10),
+            ("a", d(2024, 1, 2), 30),
+            ("a", d(2024, 1, 3), 20),
+            ("a", d(2024, 1, 4), 1000),  # spike
+        ],
+        "key string, day date, cents long",
+    )
+    out = {
+        r["day"]: r["med_x2"]
+        for r in rolling_median_x2(daily, frame_rows=3).collect()
+    }
+    assert out == {
+        d(2024, 1, 1): 20,  # [10]
+        d(2024, 1, 2): 40,  # [10,30] -> 10+30
+        d(2024, 1, 3): 40,  # [10,20,30] -> 2*20
+        d(2024, 1, 4): 60,  # [20,30,1000] -> 2*30: spike shrugged
+    }
+
+
+def test_acf_perfect_alternation(spark):
+    """A perfectly alternating series has lag-1 ACF = -1 and lag-2
+    ACF = +1 (exact on the +-1 endpoints); a calendar gap drops the
+    mis-aligned pair instead of pairing across it."""
+    import datetime as dt
+
+    from machine_learning_with_spark_streaming_spark.operators.rollstats import (
+        acf_lags,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [
+        ("a", d0 + dt.timedelta(days=i), 100 if i % 2 == 0 else 200)
+        for i in range(10)
+    ]
+    daily = spark.createDataFrame(rows, "key string, day date, cents long")
+    out = {r["lag"]: r for r in acf_lags(daily, lags=(1, 2)).collect()}
+    assert out[1]["acf"] == -1.0 and out[1]["n_pairs"] == 9
+    assert out[2]["acf"] == 1.0 and out[2]["n_pairs"] == 8
+
+    # drop one middle day: lag-1 pairs across the hole are discarded
+    daily_gap = daily.filter(daily.day != d0 + dt.timedelta(days=4))
+    out_gap = {r["lag"]: r for r in acf_lags(daily_gap, lags=(1,)).collect()}
+    assert out_gap[1]["n_pairs"] == 7  # 9 - the two pairs touching day 4
+
+
+def test_acf_constant_series_is_null(spark):
+    """Zero variance -> NULL acf (guarded), not a crash or Inf."""
+    import datetime as dt
+
+    from machine_learning_with_spark_streaming_spark.operators.rollstats import (
+        acf_lags,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [("a", d0 + dt.timedelta(days=i), 500) for i in range(6)]
+    daily = spark.createDataFrame(rows, "key string, day date, cents long")
+    out = acf_lags(daily, lags=(1,)).collect()
+    assert len(out) == 1 and out[0]["acf"] is None
