@@ -262,6 +262,8 @@ EXTENDED += [
     "dedup_blocked_editdist",
     "w23_rolling_median",
     "w24_acf_lags",
+    "ml_knn_confusion",
+    "graph_link_prediction",
 ]
 
 

@@ -1,0 +1,122 @@
+"""kNN majority-vote classification over the embedding corpus — the
+label-propagation-by-similarity baseline every embedding space gets
+evaluated with before anyone trains a head: "do my neighbors share my
+label?" Reported as a confusion matrix over a probe sample, scored
+leave-one-out against the full corpus.
+
+Plan shape: the probe queries collect at plan time (the frozen-
+artifact / probe-cell precedent) and the corpus streams through ONE
+Arrow/numpy scoring stage (``score_all_queries`` — corpus vectors ship
+through Arrow exactly once, cosines IEEE-bit-identical to the JVM fold
+and the oracle's list_dot_product); ranking and voting are integer
+window/aggregate work over |probes|·k rows. At 100 TB the scoring
+stage is the same map-only pass IVF serving uses — swap in the
+cell-pruned candidate read (ivf_topk_pretrained) for sub-scan probes.
+
+Vote semantics (deterministic end to end): neighbors ranked by
+(cos DESC, neighbor_id ASC), k=8; majority by (votes DESC, label ASC)
+so ties break to the smallest label — same rule as ml_naive_bayes's
+argmax.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from machine_learning_with_spark_streaming_spark.registry import register
+from machine_learning_with_spark_streaming_spark.schemas import load_table
+from machine_learning_with_spark_streaming_spark.operators.similarity import (
+    EMB_DIM,
+    _cos_sql,
+    topk_cosine,
+)
+
+KNN_K = 8
+KNN_PROBES = 64
+
+
+def knn_confusion(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = KNN_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """(true_label, pred_label, n) confusion matrix of leave-one-out
+    k-nearest-neighbor majority vote of ``probes`` against ``corpus``."""
+    nn = topk_cosine(corpus, probes, k=k, id_col=id_col, vec_col=vec_col, dim=dim)
+    lab = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
+    )
+    votes = (
+        nn.join(lab, "neighbor_id")
+        .groupBy("query_id", "__nl")
+        .agg(F.count(F.lit(1)).alias("__v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__v"), F.asc("__nl")
+    )
+    pred = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", F.col("__nl").alias("pred_label"))
+    )
+    truth = probes.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return (
+        pred.join(truth, "query_id")
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("pred_label").cast("int").alias("pred_label"),
+            "n",
+        )
+        .orderBy("true_label", "pred_label")
+    )
+
+
+_KNN_ORACLE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nl,
+         {_cos_sql('q.embedding', 'c.embedding')} AS cos
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < {KNN_PROBES} AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, nl,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+),
+votes AS (
+  SELECT query_id, nl, count(*) AS v
+  FROM ranked WHERE rank <= {KNN_K} GROUP BY 1, 2
+),
+pred AS (
+  SELECT query_id, nl AS pred_label FROM (
+    SELECT query_id, nl,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY v DESC, nl) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT CAST(q.label AS INT) AS true_label,
+       CAST(p.pred_label AS INT) AS pred_label,
+       CAST(count(*) AS BIGINT) AS n
+FROM pred p JOIN embeddings q ON q.vec_id = p.query_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("ml_knn_confusion", oracle=_KNN_ORACLE)
+def q_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML beyond-ref: leave-one-out kNN (k=8) majority-vote confusion
+    matrix for the first 64 embeddings against the full corpus —
+    corpus-once Arrow scoring, integer vote/argmax semantics."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_confusion(emb, emb.filter(F.col("vec_id") < KNN_PROBES))

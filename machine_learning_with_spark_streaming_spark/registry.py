@@ -75,6 +75,8 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.operators.stats_tests",
     "machine_learning_with_spark_streaming_spark.operators.er",
     "machine_learning_with_spark_streaming_spark.operators.rollstats",
+    "machine_learning_with_spark_streaming_spark.operators.knn",
+    "machine_learning_with_spark_streaming_spark.operators.linkpred",
 ]
 
 

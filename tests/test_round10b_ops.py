@@ -213,3 +213,70 @@ def test_acf_constant_series_is_null(spark):
     daily = spark.createDataFrame(rows, "key string, day date, cents long")
     out = acf_lags(daily, lags=(1,)).collect()
     assert len(out) == 1 and out[0]["acf"] is None
+
+
+def test_knn_separable_clusters(spark):
+    """Two tight, well-separated clusters: every probe's neighbors are
+    its own cluster, so the confusion matrix is purely diagonal."""
+    from machine_learning_with_spark_streaming_spark.operators.knn import knn_confusion
+
+    rows = []
+    for i in range(10):
+        rows.append((i, [10.0 + (i % 3), 0.0, 1.0], 0))
+        rows.append((100 + i, [0.0, 10.0 + (i % 3), 1.0], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = knn_confusion(emb, emb, k=3, dim=3).collect()
+    got = {(r["true_label"], r["pred_label"]): r["n"] for r in out}
+    assert got == {(0, 0): 10, (1, 1): 10}
+
+
+def test_knn_vote_tie_breaks_to_smallest_label(spark):
+    """k=2 with one neighbor of each label -> 1-1 vote tie -> the
+    smaller label wins (the documented argmax rule)."""
+    from machine_learning_with_spark_streaming_spark.operators.knn import knn_confusion
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 9),     # probe
+            (1, [1.0, 0.01], 5),    # closest, label 5
+            (2, [1.0, 0.02], 3),    # second, label 3
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = knn_confusion(emb, emb.filter("vec_id = 0"), k=2, dim=2).collect()
+    assert len(out) == 1
+    assert (out[0]["true_label"], out[0]["pred_label"]) == (9, 3)
+
+
+def test_link_prediction_known_graph(spark):
+    """Path graph 1-2-3 plus 2-4: unlinked pairs through center 2 are
+    (1,3), (1,4), (3,4) each with cn=1; the linked pairs are excluded;
+    a high-degree center above the cap contributes nothing."""
+    from machine_learning_with_spark_streaming_spark.operators.linkpred import (
+        common_neighbor_candidates,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4)], "a long, b long"
+    )
+    out = common_neighbor_candidates(edges, degree_cap=10, top_k=10).collect()
+    got = {(r["a"], r["b"]): r["cn"] for r in out}
+    assert got == {(1, 3): 1, (1, 4): 1, (3, 4): 1}
+
+    # cap below center 2's degree (3) -> no wedge centers -> empty
+    out2 = common_neighbor_candidates(edges, degree_cap=2, top_k=10).collect()
+    assert out2 == []
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    """A triangle has every 2-hop pair already linked -> empty output."""
+    from machine_learning_with_spark_streaming_spark.operators.linkpred import (
+        common_neighbor_candidates,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "a long, b long"
+    )
+    assert common_neighbor_candidates(edges, degree_cap=10).count() == 0
