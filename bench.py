@@ -264,6 +264,8 @@ EXTENDED += [
     "w24_acf_lags",
     "ml_knn_confusion",
     "graph_link_prediction",
+    "s23_time_travel_read",
+    "w25_winsorized_mean",
 ]
 
 

@@ -111,3 +111,106 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     margins, plus the '__TOTAL__' statistic row."""
     li = load_table(spark, sf_dir, "lineitem")
     return chi2_independence(li, "l_returnflag", "l_linestatus")
+
+
+# --------------- w25: rank-based winsorized mean (robust aggregate)
+
+def winsorized_mean(
+    df: DataFrame,
+    group_col: str,
+    value_cents,
+    lo_q: int = 10,
+    hi_q: int = 90,
+) -> DataFrame:
+    """Winsorized mean per group with RANK-based bounds — the robust
+    mean that survives fat tails without trimming mass. Bounds are the
+    exact order statistics at ceil(q·n/100) (1-indexed), computed with
+    pure integer arithmetic ((q·n + 99) div 100), so every emitted
+    number — bounds, clamped sum, floored mean — is integer-exact in
+    both engines; no interpolated-percentile cross-engine hazard.
+
+    Plan: one per-group window pass (row_number + count over the sort
+    by value) feeds a tiny per-group bounds aggregate, broadcast back
+    for the clamp+sum. The sort is per-group like a14's exact
+    percentiles; the sketch-mergeable alternative at 100 TB is
+    a14_group_percentiles_approx feeding approximate bounds."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(group_col).alias("g"), value_cents.alias("cents")
+    )
+    w = Window.partitionBy("g").orderBy("cents")
+    wc = Window.partitionBy("g")
+    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    rank_lo = F.expr(f"({lo_q} * n + 99) div 100")
+    rank_hi = F.expr(f"({hi_q} * n + 99) div 100")
+    bounds = ranked.groupBy("g").agg(
+        F.max(F.when(F.col("rn") == rank_lo, F.col("cents"))).alias("lo"),
+        F.max(F.when(F.col("rn") == rank_hi, F.col("cents"))).alias("hi"),
+    )
+    clamped = base.join(F.broadcast(bounds), "g").select(
+        "g",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi")).alias(
+            "__c"
+        ),
+    )
+    return (
+        clamped.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("lo").cast("long").alias("lo_cents"),
+            F.max("hi").cast("long").alias("hi_cents"),
+            F.sum("__c").cast("long").alias("winsorized_sum"),
+            F.expr("sum(__c) div count(1)").cast("long").alias("mean_floor"),
+        )
+        .orderBy("g")
+    )
+
+
+_W25_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+ranked AS (
+  SELECT g, cents,
+         row_number() OVER (PARTITION BY g ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM base
+),
+bounds AS (
+  SELECT g,
+         max(CASE WHEN rn = (10 * n + 99) // 100 THEN cents END) AS lo,
+         max(CASE WHEN rn = (90 * n + 99) // 100 THEN cents END) AS hi
+  FROM ranked GROUP BY g
+),
+clamped AS (
+  SELECT b.g, bo.lo, bo.hi,
+         least(greatest(b.cents, bo.lo), bo.hi) AS c
+  FROM base b JOIN bounds bo ON bo.g = b.g
+)
+SELECT g, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(lo) AS BIGINT) AS lo_cents,
+       CAST(max(hi) AS BIGINT) AS hi_cents,
+       CAST(sum(c) AS BIGINT) AS winsorized_sum,
+       CAST(sum(c) // count(*) AS BIGINT) AS mean_floor
+FROM clamped GROUP BY g ORDER BY g
+"""
+
+
+@register("w25_winsorized_mean", oracle=_W25_ORACLE)
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family beyond-ref: 10/90 rank-winsorized mean of order value
+    per priority class — integer order-statistic bounds, integer
+    clamped sums, floored mean."""
+    orders = load_table(spark, sf_dir, "orders")
+    return winsorized_mean(
+        orders,
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+    )

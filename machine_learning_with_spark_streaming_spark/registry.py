@@ -77,6 +77,7 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.operators.rollstats",
     "machine_learning_with_spark_streaming_spark.operators.knn",
     "machine_learning_with_spark_streaming_spark.operators.linkpred",
+    "machine_learning_with_spark_streaming_spark.sources.timetravel",
 ]
 
 

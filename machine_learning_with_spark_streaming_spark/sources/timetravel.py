@@ -1,0 +1,130 @@
+"""Versioned snapshot store with as-of (time-travel) reads — the
+Delta/Iceberg snapshot-isolation semantics on plain parquet: every
+write lands in its own ``v=<n>`` directory, a tiny append-only log
+records (version, n_rows, key_checksum), and a reader resolves
+"as of version X" to the newest logged snapshot ≤ X — so historical
+reads are reproducible forever and a mid-write reader can never see a
+half-written table (the log row is committed only after the data).
+
+Extends the K9 manifest sink (sources/maintenance.py:write_with_manifest)
+from one integrity-checked snapshot to a history of them. Full
+snapshots by design — delta-chains are the K4 upsert sink's job.
+
+Scale shape: the resolve step reads only the |versions|-row log; the
+data read opens exactly ONE snapshot directory (never a union of
+versions), so an as-of read costs the same as a plain read of that
+snapshot. At 100 TB the log is still KB-sized and the checksum is the
+same single aggregate the write already shuffles for.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _key_checksum(df: DataFrame, key_col: str):
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+    return F.sum(h.cast("decimal(38,0)")).cast("decimal(38,0)").cast("string")
+
+
+def write_snapshot(df: DataFrame, base: str, version: int, key_col: str) -> None:
+    """Write ``df`` as snapshot ``version`` and append its log row.
+    The data directory is written FIRST; the log row is the commit."""
+    spark = df.sparkSession
+    path = os.path.join(base, f"v={version}")
+    df.write.mode("errorifexists").parquet(path)
+    back = spark.read.parquet(path)
+    log_row = back.agg(
+        F.lit(int(version)).cast("int").alias("version"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        _key_checksum(back, key_col).alias("key_checksum"),
+    )
+    log_row.write.mode("append").parquet(f"{base}_log")
+
+
+def resolve_asof(spark: SparkSession, base: str, asof: int) -> int:
+    """Newest committed version <= ``asof`` (ValueError if none)."""
+    log = spark.read.parquet(f"{base}_log")
+    row = log.filter(F.col("version") <= asof).agg(
+        F.max("version").alias("v")
+    ).first()
+    if row is None or row["v"] is None:
+        raise ValueError(f"no snapshot at or before version {asof}")
+    return int(row["v"])
+
+
+def read_asof(spark: SparkSession, base: str, asof: int) -> tuple[int, DataFrame]:
+    """(resolved_version, DataFrame) for the as-of read — exactly one
+    snapshot directory is opened."""
+    v = resolve_asof(spark, base, asof)
+    return v, spark.read.parquet(os.path.join(base, f"v={v}"))
+
+
+_S23_CUTS = {1: "1997-01-01", 2: "1999-01-01"}  # v3 = everything
+
+_S23_ORACLE = f"""
+WITH v1 AS (SELECT * FROM orders WHERE o_orderdate < DATE '{_S23_CUTS[1]}'),
+v2 AS (SELECT * FROM orders WHERE o_orderdate < DATE '{_S23_CUTS[2]}'),
+v3 AS (SELECT * FROM orders)
+SELECT 1 AS asof, 1 AS resolved,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents FROM v1
+UNION ALL
+SELECT 2, 2, CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) FROM v2
+UNION ALL
+SELECT 3, 3, CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) FROM v3
+UNION ALL
+SELECT 99, 3, CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) FROM v3
+ORDER BY 1
+"""
+
+
+def _register_s23():
+    from machine_learning_with_spark_streaming_spark.registry import register
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    @register("s23_time_travel_read", oracle=_S23_ORACLE)
+    def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """S-family beyond-ref: build a 3-snapshot versioned store from
+        orders (two date-cut snapshots + full), then READ BACK as-of
+        versions 1/2/3/99 — 99 resolves to the newest (3), certifying
+        the resolve rule; each read opens exactly one snapshot dir.
+        Aggregates are integer cents so the round-trip is hash-exact."""
+        import tempfile
+
+        orders = load_table(spark, sf_dir, "orders")
+        base = os.path.join(tempfile.mkdtemp(prefix="mlwss_s23_"), "orders")
+        for v in (1, 2):
+            write_snapshot(
+                orders.filter(F.col("o_orderdate") < _S23_CUTS[v]),
+                base, v, "o_orderkey",
+            )
+        write_snapshot(orders, base, 3, "o_orderkey")
+
+        parts = []
+        for asof in (1, 2, 3, 99):
+            v, snap = read_asof(spark, base, asof)
+            parts.append(
+                snap.agg(
+                    F.lit(asof).cast("int").alias("asof"),
+                    F.lit(v).cast("int").alias("resolved"),
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                    .cast("long")
+                    .alias("price_cents"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy("asof")
+
+
+_register_s23()

@@ -280,3 +280,73 @@ def test_link_prediction_excludes_existing_edges(spark):
         [(1, 2), (1, 3), (2, 3)], "a long, b long"
     )
     assert common_neighbor_candidates(edges, degree_cap=10).count() == 0
+
+
+def test_time_travel_resolve_and_isolation(spark, tmp_path):
+    """As-of resolution picks the newest version <= asof; reading v1
+    after v2 exists still sees exactly v1's rows (snapshot isolation);
+    asof below the first version raises."""
+    import pytest
+
+    from machine_learning_with_spark_streaming_spark.sources.timetravel import (
+        read_asof,
+        resolve_asof,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "store")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    df2 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c")], "k long, v string"
+    )
+    write_snapshot(df1, base, 1, "k")
+    write_snapshot(df2, base, 5, "k")
+
+    assert resolve_asof(spark, base, 1) == 1
+    assert resolve_asof(spark, base, 4) == 1   # gap resolves DOWN
+    assert resolve_asof(spark, base, 5) == 5
+    assert resolve_asof(spark, base, 99) == 5  # future -> latest
+
+    v, snap = read_asof(spark, base, 3)
+    assert v == 1
+    assert sorted((r["k"], r["v"]) for r in snap.collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    with pytest.raises(ValueError):
+        resolve_asof(spark, base, 0)
+
+
+def test_time_travel_version_collision_refused(spark, tmp_path):
+    """Re-writing an existing version errors instead of silently
+    rewriting history (errorifexists on the snapshot dir)."""
+    import pytest
+
+    from machine_learning_with_spark_streaming_spark.sources.timetravel import (
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "store")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    write_snapshot(df, base, 1, "k")
+    with pytest.raises(Exception):
+        write_snapshot(df, base, 1, "k")
+
+
+def test_winsorized_mean_known_values(spark):
+    """10 values 1..9 + outlier 1000 (cents): lo = rank ceil(1.0)=1 ->
+    1, hi = rank ceil(9.0)=9 -> 9; clamped sum = 1..9 clamped (no-op)
+    + outlier->9 = 45+9 = 54; mean_floor = 5."""
+    from machine_learning_with_spark_streaming_spark.operators.stats_tests import (
+        winsorized_mean,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [("g", i) for i in range(1, 10)] + [("g", 1000)]
+    df = spark.createDataFrame(rows, "grp string, cents long")
+    out = winsorized_mean(df, "grp", F.col("cents")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["lo_cents"], r["hi_cents"]) == (1, 9)
+    assert r["winsorized_sum"] == 54
+    assert r["mean_floor"] == 5
