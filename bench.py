@@ -266,6 +266,9 @@ EXTENDED += [
     "graph_link_prediction",
     "s23_time_travel_read",
     "w25_winsorized_mean",
+    "s24_event_transitions",
+    "text_readability",
+    "graph_bfs_distance",
 ]
 
 

@@ -78,6 +78,9 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.operators.knn",
     "machine_learning_with_spark_streaming_spark.operators.linkpred",
     "machine_learning_with_spark_streaming_spark.sources.timetravel",
+    "machine_learning_with_spark_streaming_spark.operators.transitions",
+    "machine_learning_with_spark_streaming_spark.operators.readability",
+    "machine_learning_with_spark_streaming_spark.operators.bfs",
 ]
 
 

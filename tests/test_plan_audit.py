@@ -70,6 +70,9 @@ DOUBLE_OUTPUT_ALLOWLIST = {
     # integer-cent sufficient statistics (the ml_corr_matrix recipe),
     # 6-dp rounded; swept at sf0.01 and sf0.1 --shuffle 5
     "w24_acf_lags": ["acf"],
+    # r10 continuation: group-level Flesch from exact integer totals
+    # (one fixed IEEE expression, 6dp); swept sf0.01 + sf0.1 --shuffle 5
+    "text_readability": ["flesch"],
     "w12_mom_pct_change": ["pct_change"],
     "ml_corr_matrix": ["corr"],
     "text_shingle_novelty": ["novelty"],

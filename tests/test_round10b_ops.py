@@ -350,3 +350,113 @@ def test_winsorized_mean_known_values(spark):
     assert (r["lo_cents"], r["hi_cents"]) == (1, 9)
     assert r["winsorized_sum"] == 54
     assert r["mean_floor"] == 5
+
+
+def test_event_transitions_known_timeline(spark):
+    """Two users: u1 = A,B,A,B and u2 = A,A. Transitions: A->B x2,
+    B->A x1, A->A x1; row-conditional ppm from the A margin (3)."""
+    import datetime as dt
+
+    from machine_learning_with_spark_streaming_spark.operators.transitions import (
+        event_transitions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=i), 1, ty)
+        for i, ty in enumerate(["A", "B", "A", "B"])
+    ] + [
+        (10 + i, t0 + dt.timedelta(minutes=i), 2, "A")
+        for i in range(2)
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, ty) for i, (eid, ts, u, ty) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["p_ppm"])
+        for r in event_transitions(ev).collect()
+    }
+    assert out == {
+        ("A", "B"): (2, 666666),
+        ("A", "A"): (1, 333333),
+        ("B", "A"): (1, 1000000),
+    }
+
+
+def test_event_transitions_tie_pinned_by_event_id(spark):
+    """Equal timestamps order by event_id, so the bigram is (x, y) not
+    (y, x)."""
+    import datetime as dt
+
+    from machine_learning_with_spark_streaming_spark.operators.transitions import (
+        event_transitions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, t0, 7, "x"), (2, t0, 7, "y")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = event_transitions(ev).collect()
+    assert len(out) == 1
+    assert (out[0]["prev_type"], out[0]["next_type"]) == ("x", "y")
+
+
+def test_reading_counts_rules(spark):
+    """'Hello world. How are you?' -> 5 words, 3 sentences (1 + 2
+    terminators), syllables by vowel groups: he-llo(2) wo-rld(1)
+    how(1) are(2: a, e) you(1) = 7."""
+    from machine_learning_with_spark_streaming_spark.operators.readability import (
+        doc_reading_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("Hello world. How are you?",)], "text string"
+    )
+    r = doc_reading_counts(df).collect()[0]
+    assert r["words"] == 5
+    assert r["sentences"] == 3
+    assert r["syllables"] == 7
+
+
+def test_bfs_path_graph_distances(spark):
+    """Path 1-2-3-4-5-6 seeded at 1: dists 0,1,2,3 for nodes 1..4 and
+    -1 for 5,6 (beyond 3 hops)."""
+    from machine_learning_with_spark_streaming_spark.operators.bfs import (
+        bfs_distances,
+        bfs_histogram,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "a long, b long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    dists = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, seeds, max_hops=3).collect()
+    }
+    assert dists == {1: 0, 2: 1, 3: 2, 4: 3, 5: -1, 6: -1}
+    hist = {
+        r["dist"]: r["n_nodes"]
+        for r in bfs_histogram(bfs_distances(edges, seeds, 3)).collect()
+    }
+    assert hist == {0: 1, 1: 1, 2: 1, 3: 1, -1: 2}
+
+
+def test_bfs_multi_source_takes_nearest_seed(spark):
+    """Seeds at both ends of the path: middle node gets the smaller
+    distance; a seed id not present in the graph is ignored."""
+    from machine_learning_with_spark_streaming_spark.operators.bfs import (
+        bfs_distances,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "a long, b long"
+    )
+    seeds = spark.createDataFrame([(1,), (5,), (999,)], "node long")
+    dists = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, seeds, max_hops=3).collect()
+    }
+    assert dists == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
