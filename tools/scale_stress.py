@@ -131,6 +131,20 @@ QUERIES = [
     "sim_matryoshka_recall",
     "dedup_incremental_bloom",
     "sample_kfold_assign",
+    # round-10 continuation (graph_link_prediction / graph_bfs_distance
+    # get --parts rows instead: plain order-key replication leaves the
+    # co-purchase graph unchanged; dedup_blocked_editdist runs on the
+    # static part dim, which replication does not widen — by design its
+    # candidate volume is |distinct names|-bounded, not fact-bounded)
+    "w22_order_streaks",
+    "v25_chi2_independence",
+    "w23_rolling_median",
+    "w24_acf_lags",
+    "w25_winsorized_mean",
+    "s24_event_transitions",
+    "ml_knn_confusion",
+    "s23_time_travel_read",
+    "text_readability",
 ]
 
 
