@@ -269,6 +269,9 @@ EXTENDED += [
     "s24_event_transitions",
     "text_readability",
     "graph_bfs_distance",
+    "a22_mode_per_group",
+    "graph_assortativity",
+    "s11_transitions_stream",
 ]
 
 

@@ -81,6 +81,9 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.operators.transitions",
     "machine_learning_with_spark_streaming_spark.operators.readability",
     "machine_learning_with_spark_streaming_spark.operators.bfs",
+    "machine_learning_with_spark_streaming_spark.streaming.transitions_stream",
+    "machine_learning_with_spark_streaming_spark.operators.modeagg",
+    "machine_learning_with_spark_streaming_spark.operators.assortativity",
 ]
 
 

@@ -73,6 +73,9 @@ DOUBLE_OUTPUT_ALLOWLIST = {
     # r10 continuation: group-level Flesch from exact integer totals
     # (one fixed IEEE expression, 6dp); swept sf0.01 + sf0.1 --shuffle 5
     "text_readability": ["flesch"],
+    # r10 continuation: Newman assortativity — the corr recipe over
+    # integer endpoint degrees; swept sf0.01 + sf0.1 --shuffle 5
+    "graph_assortativity": ["assortativity"],
     "w12_mom_pct_change": ["pct_change"],
     "ml_corr_matrix": ["corr"],
     "text_shingle_novelty": ["novelty"],

@@ -460,3 +460,100 @@ def test_bfs_multi_source_takes_nearest_seed(spark):
         for r in bfs_distances(edges, seeds, max_hops=3).collect()
     }
     assert dists == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_transition_stream_state_stitches_batches(spark, tmp_path):
+    """A user timeline split across micro-batches must produce the same
+    bigram counts as the one-pass batch operator: the boundary pair
+    (last event of batch 1 -> first event of batch 2) comes from state."""
+    from machine_learning_with_spark_streaming_spark.streaming.examples import (
+        stage_ordered_files,
+    )
+    from machine_learning_with_spark_streaming_spark.streaming.transitions_stream import (
+        transition_stream,
+    )
+
+    b1 = spark.createDataFrame(
+        [(7, 100, 1, "A"), (7, 200, 2, "B")],
+        "user_id long, us long, event_id long, event_type string",
+    )
+    b2 = spark.createDataFrame(
+        [(7, 300, 3, "A"), (7, 400, 4, "A")],
+        "user_id long, us long, event_id long, event_type string",
+    )
+    stage = str(tmp_path / "stage")
+    stage_ordered_files([b1, b2], stage)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, us long, event_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        transition_stream(stream)
+        .writeStream.format("memory")
+        .queryName("trans_test_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["prev_type"], r["next_type"]): r["total"]
+        for r in spark.table("trans_test_sink")
+        .groupBy("prev_type", "next_type")
+        .agg(F.sum("n").alias("total"))
+        .collect()
+    }
+    # timeline A,B,A,A -> A->B, B->A (the boundary pair), A->A
+    assert got == {("A", "B"): 1, ("B", "A"): 1, ("A", "A"): 1}
+    spark.catalog.dropTempView("trans_test_sink")
+
+
+def test_mode_per_group_tie_to_smallest(spark):
+    """Counts tie 2-2 between values 5 and 3 -> mode is 3."""
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.modeagg import (
+        mode_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 5), ("g", 5), ("g", 3), ("g", 3), ("g", 9)],
+        "grp string, v int",
+    )
+    out = mode_per_group(df, "grp", F.col("v")).collect()
+    assert len(out) == 1
+    assert (out[0]["mode_value"], out[0]["n_occurrences"]) == (3, 2)
+
+
+def test_assortativity_star_is_negative(spark):
+    """A star graph is maximally disassortative: every edge pairs the
+    hub (deg n) with a leaf (deg 1) -> r = -1."""
+    from machine_learning_with_spark_streaming_spark.operators.assortativity import (
+        degree_assortativity,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5)], "a long, b long"
+    )
+    r = degree_assortativity(edges).collect()[0]
+    assert r["n_edges"] == 4
+    assert r["assortativity"] == -1.0
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    """A cycle is degree-regular (zero variance) -> NULL, not NaN."""
+    from machine_learning_with_spark_streaming_spark.operators.assortativity import (
+        degree_assortativity,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "a long, b long"
+    )
+    r = degree_assortativity(edges).collect()[0]
+    assert r["assortativity"] is None
