@@ -272,6 +272,9 @@ EXTENDED += [
     "a22_mode_per_group",
     "graph_assortativity",
     "s11_transitions_stream",
+    "w26_rolling_mad",
+    "k10_snapshot_expire",
+    "ml_knn_calibration",
 ]
 
 

@@ -120,3 +120,106 @@ def q_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-once Arrow scoring, integer vote/argmax semantics."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_confusion(emb, emb.filter(F.col("vec_id") < KNN_PROBES))
+
+
+def knn_calibration(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = KNN_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Reliability curve of the kNN vote: per vote-count v (how many of
+    the k neighbors voted for the predicted label), how often is the
+    prediction right? (votes, n_probes, n_correct, acc_ppm) — the
+    calibration table that turns raw agreement into a usable
+    confidence threshold ("trust the label only at 7+/8 votes"). The
+    natural 1..k integer binning makes the whole report BIGINT — no
+    probability floats to calibrate in the first place."""
+    nn = topk_cosine(corpus, probes, k=k, id_col=id_col, vec_col=vec_col, dim=dim)
+    lab = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
+    )
+    votes = (
+        nn.join(lab, "neighbor_id")
+        .groupBy("query_id", "__nl")
+        .agg(F.count(F.lit(1)).alias("__v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__v"), F.asc("__nl"))
+    pred = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            F.col("__nl").alias("pred_label"),
+            F.col("__v").alias("votes"),
+        )
+    )
+    truth = probes.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    scored = pred.join(truth, "query_id").withColumn(
+        "__ok",
+        F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0),
+    )
+    return (
+        scored.groupBy(F.col("votes").cast("int").alias("votes"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum("__ok").cast("long").alias("n_correct"),
+        )
+        .withColumn(
+            "acc_ppm",
+            F.expr("(n_correct * 1000000) div n_probes").cast("long"),
+        )
+        .orderBy("votes")
+    )
+
+
+_KNN_CALIB_ORACLE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nl,
+         {_cos_sql('q.embedding', 'c.embedding')} AS cos
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < {KNN_PROBES} AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, nl,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+),
+votes AS (
+  SELECT query_id, nl, count(*) AS v
+  FROM ranked WHERE rank <= {KNN_K} GROUP BY 1, 2
+),
+pred AS (
+  SELECT query_id, nl AS pred_label, v AS votes FROM (
+    SELECT query_id, nl, v,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY v DESC, nl) AS rn
+    FROM votes
+  ) WHERE rn = 1
+),
+ok AS (
+  SELECT p.votes,
+         CASE WHEN p.pred_label = q.label THEN 1 ELSE 0 END AS correct
+  FROM pred p JOIN embeddings q ON q.vec_id = p.query_id
+)
+SELECT CAST(votes AS INT) AS votes,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(correct) AS BIGINT) AS n_correct,
+       CAST((sum(correct) * 1000000) // count(*) AS BIGINT) AS acc_ppm
+FROM ok GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("ml_knn_calibration", oracle=_KNN_CALIB_ORACLE)
+def q_knn_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML beyond-ref: kNN vote-count reliability curve (votes →
+    accuracy ppm) for the first 64 embeddings — all-integer
+    calibration, same Arrow scoring pass as ml_knn_confusion."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_calibration(emb, emb.filter(F.col("vec_id") < KNN_PROBES))

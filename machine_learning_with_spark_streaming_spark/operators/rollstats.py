@@ -187,3 +187,68 @@ def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     sufficient statistics end to end."""
     ev = load_table(spark, sf_dir, "events")
     return acf_lags(daily_cents(ev, "event_type", "ts", "value"))
+
+
+def rolling_mad_x4(daily: DataFrame, frame_rows: int = 7) -> DataFrame:
+    """Trailing rolling MAD per key, emitted QUADRUPLED: with
+    med_x2 = (sum of the two middle order statistics) = 2·median, the
+    deviations d_i = |2·x_i − med_x2| = 2·|x_i − median| are integers,
+    and mad_x4 = (two-middles sum of sorted d) = 4·MAD — integer all
+    the way down, two nested order statistics, zero floats. The robust
+    volatility companion to ``rolling_median_x2`` (same frame, same
+    single window pass; the deviation/selection work is per-row array
+    arithmetic over a ≤ frame_rows list)."""
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(-(frame_rows - 1), 0)
+    )
+    two_mid = (
+        "element_at({a}, cast((size({a}) + 1) div 2 as int))"
+        " + element_at({a}, cast(size({a}) div 2 + 1 as int))"
+    )
+    return (
+        daily.withColumn("__a", F.sort_array(F.collect_list("cents").over(w)))
+        .withColumn("med_x2", F.expr(two_mid.format(a="__a")).cast("long"))
+        .withColumn(
+            "__d",
+            F.expr("array_sort(transform(__a, x -> abs(2 * x - med_x2)))"),
+        )
+        .withColumn("mad_x4", F.expr(two_mid.format(a="__d")).cast("long"))
+        .drop("__a", "__d")
+    )
+
+
+_W26_ORACLE = f"""
+WITH {_DAILY_CTE},
+framed AS (
+  SELECT key, day, cents,
+         list_sort(list(cents) OVER (PARTITION BY key ORDER BY day
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS a
+  FROM daily
+),
+med AS (
+  SELECT key, day, cents, a,
+         CAST(a[(len(a) + 1) // 2] + a[len(a) // 2 + 1] AS BIGINT) AS med_x2
+  FROM framed
+),
+dev AS (
+  SELECT key, day, cents, med_x2,
+         list_sort(list_transform(a, x -> abs(2 * x - med_x2))) AS d
+  FROM med
+)
+SELECT key, day, cents, med_x2,
+       CAST(d[(len(d) + 1) // 2] + d[len(d) // 2 + 1] AS BIGINT) AS mad_x4
+FROM dev ORDER BY 1, 2
+"""
+
+
+@register("w26_rolling_mad", oracle=_W26_ORACLE)
+def q_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family beyond-ref: trailing 7-day rolling MAD (quadrupled
+    integer order-statistic form) of daily event revenue per type —
+    the robust volatility band around w23's rolling median."""
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_mad_x4(
+        daily_cents(ev, "event_type", "ts", "value")
+    ).orderBy("key", "day")

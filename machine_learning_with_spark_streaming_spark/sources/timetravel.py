@@ -128,3 +128,98 @@ def _register_s23():
 
 
 _register_s23()
+
+
+def expire_snapshots(
+    spark: SparkSession, base: str, keep_last: int
+) -> "list[tuple[int, str, int]]":
+    """Retention GC: physically delete all but the newest ``keep_last``
+    snapshots and truncate the log to match — Delta VACUUM + log
+    retention in one step. Returns [(version, status, n_rows)] for
+    every version that existed, status in {'kept', 'purged'}.
+
+    The LOG is rewritten first (a reader that resolves after the log
+    commit can only see kept versions), then the orphaned data dirs are
+    deleted; a crash between the two steps leaves unreferenced dirs —
+    garbage, never corruption (the Iceberg orphan-file model)."""
+    import shutil
+
+    log = spark.read.parquet(f"{base}_log")
+    rows = sorted(
+        ((int(r["version"]), int(r["n_rows"])) for r in log.collect()),
+    )
+    kept = {v for v, _ in rows[-keep_last:]} if keep_last > 0 else set()
+    keep_df = log.filter(F.col("version").isin([int(v) for v in kept]))
+    staging = f"{base}_log_next"
+    keep_df.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(f"{base}_log")
+    os.rename(staging, f"{base}_log")
+    report = []
+    for v, n in rows:
+        if v in kept:
+            report.append((v, "kept", n))
+        else:
+            shutil.rmtree(os.path.join(base, f"v={v}"), ignore_errors=True)
+            report.append((v, "purged", n))
+    return report
+
+
+_K10_CUTS = {1: "1996-01-01", 2: "1997-01-01", 3: "1999-01-01"}  # v4 = all
+
+_K10_ORACLE = f"""
+SELECT 1 AS version, 'purged' AS status, CAST(count(*) AS BIGINT) AS n_rows
+FROM orders WHERE o_orderdate < DATE '{_K10_CUTS[1]}'
+UNION ALL
+SELECT 2, 'purged', CAST(count(*) AS BIGINT)
+FROM orders WHERE o_orderdate < DATE '{_K10_CUTS[2]}'
+UNION ALL
+SELECT 3, 'kept', CAST(count(*) AS BIGINT)
+FROM orders WHERE o_orderdate < DATE '{_K10_CUTS[3]}'
+UNION ALL
+SELECT 4, 'kept', CAST(count(*) AS BIGINT) FROM orders
+ORDER BY 1
+"""
+
+
+def _register_k10():
+    from machine_learning_with_spark_streaming_spark.registry import register
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    @register("k10_snapshot_expire", oracle=_K10_ORACLE)
+    def q_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """K-family beyond-ref: retention GC over a 4-snapshot store —
+        keep the newest 2, purge the rest; the report row-counts come
+        from the log (written at snapshot time), so the oracle's
+        predicate recomputation certifies the whole write→log→expire
+        loop. Post-expiry invariants (latest still readable, purged
+        versions unresolvable) are asserted in-line."""
+        import tempfile
+
+        orders = load_table(spark, sf_dir, "orders")
+        base = os.path.join(tempfile.mkdtemp(prefix="mlwss_k10_"), "orders")
+        for v in (1, 2, 3):
+            write_snapshot(
+                orders.filter(F.col("o_orderdate") < _K10_CUTS[v]),
+                base, v, "o_orderkey",
+            )
+        write_snapshot(orders, base, 4, "o_orderkey")
+
+        report = expire_snapshots(spark, base, keep_last=2)
+
+        # invariants, asserted not returned: newest still readable,
+        # purged history unresolvable
+        v, snap = read_asof(spark, base, 99)
+        assert v == 4 and snap.count() == report[-1][2]
+        try:
+            resolve_asof(spark, base, 2)
+            raise AssertionError("purged version must not resolve")
+        except ValueError:
+            pass
+
+        return spark.createDataFrame(
+            [(v, s, n) for v, s, n in report],
+            "version int, status string, n_rows long",
+        ).orderBy("version")
+
+
+_register_k10()

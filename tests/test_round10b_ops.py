@@ -557,3 +557,83 @@ def test_assortativity_regular_graph_is_null(spark):
     )
     r = degree_assortativity(edges).collect()[0]
     assert r["assortativity"] is None
+
+
+def test_rolling_mad_known_frame(spark):
+    """3-row frame [10, 20, 100]: med_x2 = 40, devs (doubled) =
+    |2x-40| = [20, 0, 160] -> sorted [0, 20, 160] -> mad_x4 = 20+20 =
+    40 (= 4*MAD, MAD = 10)."""
+    import datetime as dt
+
+    from machine_learning_with_spark_streaming_spark.operators.rollstats import (
+        rolling_mad_x4,
+    )
+
+    d = dt.date
+    daily = spark.createDataFrame(
+        [
+            ("a", d(2024, 1, 1), 10),
+            ("a", d(2024, 1, 2), 20),
+            ("a", d(2024, 1, 3), 100),
+        ],
+        "key string, day date, cents long",
+    )
+    out = {
+        r["day"]: (r["med_x2"], r["mad_x4"])
+        for r in rolling_mad_x4(daily, frame_rows=3).collect()
+    }
+    assert out[d(2024, 1, 1)] == (20, 0)      # [10]
+    assert out[d(2024, 1, 2)] == (30, 20)     # [10,20]: med 15, MAD 5
+    assert out[d(2024, 1, 3)] == (40, 40)     # [10,20,100]: med 20, MAD 10
+
+
+def test_expire_snapshots_report_and_physical_delete(spark, tmp_path):
+    """keep_last=1 purges older versions' dirs and truncates the log;
+    the kept version stays readable and resolve below it now raises."""
+    import os
+
+    import pytest
+
+    from machine_learning_with_spark_streaming_spark.sources.timetravel import (
+        expire_snapshots,
+        read_asof,
+        resolve_asof,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "store")
+    df1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    df2 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    write_snapshot(df1, base, 1, "k")
+    write_snapshot(df2, base, 2, "k")
+
+    report = expire_snapshots(spark, base, keep_last=1)
+    assert report == [(1, "purged", 1), (2, "kept", 2)]
+    assert not os.path.exists(os.path.join(base, "v=1"))
+    v, snap = read_asof(spark, base, 99)
+    assert v == 2 and snap.count() == 2
+    with pytest.raises(ValueError):
+        resolve_asof(spark, base, 1)
+
+
+def test_knn_calibration_unanimous_clusters(spark):
+    """Tight separable clusters -> every probe's k neighbors vote
+    unanimously -> one calibration row at votes=k with acc_ppm=1e6."""
+    from machine_learning_with_spark_streaming_spark.operators.knn import knn_calibration
+
+    rows = []
+    for i in range(8):
+        rows.append((i, [10.0 + (i % 3), 0.0, 1.0], 0))
+        rows.append((100 + i, [0.0, 10.0 + (i % 3), 1.0], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = knn_calibration(emb, emb, k=3, dim=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["votes"], r["n_probes"], r["n_correct"], r["acc_ppm"]) == (
+        3,
+        16,
+        16,
+        1000000,
+    )
