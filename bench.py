@@ -275,6 +275,8 @@ EXTENDED += [
     "w26_rolling_mad",
     "k10_snapshot_expire",
     "ml_knn_calibration",
+    "s25_python_datasource",
+    "k11_merge_into",
 ]
 
 

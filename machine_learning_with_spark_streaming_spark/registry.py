@@ -84,6 +84,7 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.streaming.transitions_stream",
     "machine_learning_with_spark_streaming_spark.operators.modeagg",
     "machine_learning_with_spark_streaming_spark.operators.assortativity",
+    "machine_learning_with_spark_streaming_spark.sources.pydatasource",
 ]
 
 

@@ -223,3 +223,120 @@ def _register_k10():
 
 
 _register_k10()
+
+
+def merge_into_snapshot(
+    base: str, changes: DataFrame, key_col: str, op_col: str = "op"
+) -> int:
+    """MERGE INTO the versioned store: apply an I/U/D changes table to
+    the LATEST snapshot and commit the result as a new version (the
+    Delta MERGE semantics on plain parquet — the snapshot-store
+    companion to v12_cdc_apply's table-level merge):
+
+    - 'D' rows delete their key;
+    - 'U' rows replace their key's row wholesale;
+    - 'I' rows insert (payload columns = snapshot columns).
+
+    History is untouched — readers pinned to an earlier version see the
+    pre-merge table forever (asserted by the registered query). Returns
+    the new version number. One anti-join + one union; the write is the
+    same single pass any snapshot write costs."""
+    spark = changes.sparkSession
+    latest = resolve_asof(spark, base, 1 << 30)
+    _v, current = read_asof(spark, base, latest)
+    touched = changes.filter(
+        F.col(op_col).isin("U", "D")
+    ).select(F.col(key_col))
+    survivors = current.join(touched, key_col, "left_anti")
+    additions = changes.filter(F.col(op_col).isin("I", "U")).drop(op_col)
+    merged = survivors.unionByName(additions)
+    write_snapshot(merged, base, latest + 1, key_col)
+    return latest + 1
+
+
+_K11_CUT = "1998-01-01"
+
+_K11_ORACLE = f"""
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus
+  FROM orders WHERE o_orderdate < DATE '{_K11_CUT}'
+),
+v2 AS (
+  -- post-merge state: P-rows (pre-cut) deleted, F-rows (pre-cut)
+  -- updated to status 'M', post-cut rows inserted as-is
+  SELECT o_orderkey, 'M' AS o_orderstatus FROM v1 WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus FROM v1
+  WHERE o_orderstatus NOT IN ('F', 'P')
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus
+  FROM orders WHERE o_orderdate >= DATE '{_K11_CUT}'
+)
+SELECT 1 AS version, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM v1 GROUP BY 1, 2
+UNION ALL
+SELECT 2, o_orderstatus, CAST(count(*) AS BIGINT),
+       CAST(sum(o_orderkey) AS BIGINT)
+FROM v2 GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def _register_k11():
+    from machine_learning_with_spark_streaming_spark.registry import register
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    @register("k11_merge_into", oracle=_K11_ORACLE)
+    def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """K-family beyond-ref: MERGE (delete P / update F→M / insert
+        post-cut rows) into a snapshot store, then read BOTH versions
+        back as-of — certifying the merge semantics AND that history is
+        immutable under it (snapshot isolation)."""
+        import tempfile
+
+        orders = load_table(spark, sf_dir, "orders")
+        pre = orders.filter(F.col("o_orderdate") < _K11_CUT).select(
+            "o_orderkey", "o_orderstatus"
+        )
+        base = os.path.join(tempfile.mkdtemp(prefix="mlwss_k11_"), "orders")
+        write_snapshot(pre, base, 1, "o_orderkey")
+
+        changes = (
+            pre.filter(F.col("o_orderstatus") == "P")
+            .select("o_orderkey", "o_orderstatus", F.lit("D").alias("op"))
+            .unionByName(
+                pre.filter(F.col("o_orderstatus") == "F").select(
+                    "o_orderkey",
+                    F.lit("M").alias("o_orderstatus"),
+                    F.lit("U").alias("op"),
+                )
+            )
+            .unionByName(
+                orders.filter(F.col("o_orderdate") >= _K11_CUT).select(
+                    "o_orderkey", "o_orderstatus", F.lit("I").alias("op")
+                )
+            )
+        )
+        v2 = merge_into_snapshot(base, changes, "o_orderkey")
+
+        parts = []
+        for ver in (1, v2):
+            _v, snap = read_asof(spark, base, ver)
+            parts.append(
+                snap.groupBy("o_orderstatus").agg(
+                    F.lit(ver).cast("int").alias("version"),
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum("o_orderkey").cast("long").alias("key_sum"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select(
+            "version", "o_orderstatus", "n_rows", "key_sum"
+        ).orderBy("version", "o_orderstatus")
+
+
+_register_k11()

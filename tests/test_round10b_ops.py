@@ -637,3 +637,68 @@ def test_knn_calibration_unanimous_clusters(spark):
         16,
         1000000,
     )
+
+
+def test_python_datasource_partitions_and_corrupt_lines(spark, tmp_path):
+    """The custom JSONL source plans one partition per file, parses
+    executor-side, and flags (not kills) malformed lines."""
+    import json as _json
+
+    from machine_learning_with_spark_streaming_spark.sources.pydatasource import (
+        JsonlDataSource,
+    )
+
+    spark.dataSource.register(JsonlDataSource)
+    d = tmp_path / "feed"
+    d.mkdir()
+    (d / "00.jsonl").write_text(
+        _json.dumps({"k": 1, "s": "a"}) + "\nNOT JSON\n"
+    )
+    (d / "01.jsonl").write_text(_json.dumps({"k": 2, "s": "b"}) + "\n")
+    df = (
+        spark.read.format("mlwss_jsonl")
+        .schema("k long, s string, _corrupt boolean")
+        .option("path", str(d))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2
+    rows = sorted(
+        ((r["k"], r["s"], r["_corrupt"]) for r in df.collect()),
+        key=lambda t: (t[0] is None, t[0] or 0),
+    )
+    assert rows == [(1, "a", False), (2, "b", False), (None, None, True)]
+
+
+def test_merge_into_semantics_and_isolation(spark, tmp_path):
+    """Hand-checked merge: delete k=1, update k=2, insert k=4 — and the
+    pre-merge version still reads back byte-identical."""
+    from machine_learning_with_spark_streaming_spark.sources.timetravel import (
+        merge_into_snapshot,
+        read_asof,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "store")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    write_snapshot(v1, base, 1, "k")
+    changes = spark.createDataFrame(
+        [(1, None, "D"), (2, "B2", "U"), (4, "d", "I")],
+        "k long, v string, op string",
+    )
+    new_v = merge_into_snapshot(base, changes, "k")
+    assert new_v == 2
+
+    _, after = read_asof(spark, base, 2)
+    assert sorted((r["k"], r["v"]) for r in after.collect()) == [
+        (2, "B2"),
+        (3, "c"),
+        (4, "d"),
+    ]
+    _, before = read_asof(spark, base, 1)
+    assert sorted((r["k"], r["v"]) for r in before.collect()) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
