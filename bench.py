@@ -277,6 +277,7 @@ EXTENDED += [
     "ml_knn_calibration",
     "s25_python_datasource",
     "k11_merge_into",
+    "w27_robust_stl",
 ]
 
 

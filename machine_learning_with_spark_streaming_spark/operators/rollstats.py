@@ -252,3 +252,84 @@ def q_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_mad_x4(
         daily_cents(ev, "event_type", "ts", "value")
     ).orderBy("key", "day")
+
+
+def robust_stl(daily: DataFrame, frame_rows: int = 7) -> DataFrame:
+    """Robust STL-lite decomposition, integer end to end via scaled
+    order statistics: trend = trailing rolling median (x2), seasonal =
+    per-(key, weekday) MEDIAN of the detrended series (x4; medians, not
+    means — one bad week can't bend the weekly profile, the robustness
+    choice real STL makes with loess weights), remainder = what's left
+    (x4). Exact reconstruction holds by construction:
+
+        4·cents = 2·med_x2 + seasonal_x4 + remainder_x4
+
+    Components: one key-partitioned window (trend), one (key, dow)
+    aggregate (seasonal; |keys|·7 rows, broadcast back), pure
+    arithmetic for the remainder. dow is 0=Monday (the w16 convention:
+    Spark ``weekday`` == ISO dow − 1)."""
+    two_mid = (
+        "element_at({a}, cast((size({a}) + 1) div 2 as int))"
+        " + element_at({a}, cast(size({a}) div 2 + 1 as int))"
+    )
+    det = (
+        rolling_median_x2(daily, frame_rows)
+        .withColumn("det_x2", 2 * F.col("cents") - F.col("med_x2"))
+        .withColumn("dow", F.weekday("day"))
+    )
+    seas = (
+        det.groupBy("key", "dow")
+        .agg(F.sort_array(F.collect_list("det_x2")).alias("__a"))
+        .select(
+            "key",
+            "dow",
+            F.expr(two_mid.format(a="__a")).cast("long").alias("seasonal_x4"),
+        )
+    )
+    return (
+        det.join(F.broadcast(seas), ["key", "dow"])
+        .select(
+            "key",
+            "day",
+            "cents",
+            "med_x2",
+            "seasonal_x4",
+            (2 * F.col("det_x2") - F.col("seasonal_x4"))
+            .cast("long")
+            .alias("remainder_x4"),
+        )
+        .orderBy("key", "day")
+    )
+
+
+_W27_ORACLE = f"""
+WITH {_DAILY_CTE},
+trend AS (
+  SELECT key, day, cents,
+         CAST(2 * median(cents) OVER (PARTITION BY key ORDER BY day
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS med_x2
+  FROM daily
+),
+det AS (
+  SELECT key, day, cents, med_x2,
+         2 * cents - med_x2 AS det_x2, isodow(day) - 1 AS dow
+  FROM trend
+),
+seas AS (
+  SELECT key, dow, CAST(2 * median(det_x2) AS BIGINT) AS seasonal_x4
+  FROM det GROUP BY 1, 2
+)
+SELECT d.key, d.day, d.cents, d.med_x2, s.seasonal_x4,
+       CAST(2 * d.det_x2 - s.seasonal_x4 AS BIGINT) AS remainder_x4
+FROM det d JOIN seas s ON s.key = d.key AND s.dow = d.dow
+ORDER BY 1, 2
+"""
+
+
+@register("w27_robust_stl", oracle=_W27_ORACLE)
+def q_robust_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family beyond-ref: robust STL-lite (median trend, median
+    weekday seasonal, exact integer remainder; 4·cents = 2·med_x2 +
+    seasonal_x4 + remainder_x4 reconstructs by construction)."""
+    ev = load_table(spark, sf_dir, "events")
+    return robust_stl(daily_cents(ev, "event_type", "ts", "value"))

@@ -702,3 +702,27 @@ def test_merge_into_semantics_and_isolation(spark, tmp_path):
         (2, "b"),
         (3, "c"),
     ]
+
+
+def test_robust_stl_reconstruction_identity(spark):
+    """4*cents == 2*med_x2 + seasonal_x4 + remainder_x4 holds on every
+    row by construction, and a constant series decomposes to zero
+    seasonal and zero remainder."""
+    import datetime as dt
+
+    from machine_learning_with_spark_streaming_spark.operators.rollstats import robust_stl
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [("a", d0 + dt.timedelta(days=i), 100 + (i % 7) * 10) for i in range(28)]
+    daily = spark.createDataFrame(rows, "key string, day date, cents long")
+    out = robust_stl(daily).collect()
+    assert len(out) == 28
+    for r in out:
+        assert 4 * r["cents"] == 2 * r["med_x2"] + r["seasonal_x4"] + r["remainder_x4"]
+
+    flat = spark.createDataFrame(
+        [("a", d0 + dt.timedelta(days=i), 500) for i in range(14)],
+        "key string, day date, cents long",
+    )
+    for r in robust_stl(flat).collect():
+        assert r["seasonal_x4"] == 0 and r["remainder_x4"] == 0
