@@ -278,6 +278,7 @@ EXTENDED += [
     "s25_python_datasource",
     "k11_merge_into",
     "w27_robust_stl",
+    "pipeline_curation_v4",
 ]
 
 

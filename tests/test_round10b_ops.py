@@ -726,3 +726,27 @@ def test_robust_stl_reconstruction_identity(spark):
     )
     for r in robust_stl(flat).collect():
         assert r["seasonal_x4"] == 0 and r["remainder_x4"] == 0
+
+
+def test_curation_funnel_monotone_and_gates(spark):
+    """Funnel mass is monotone non-increasing; a short doc fails the
+    word gate; exact duplicate texts collapse to one canonical doc."""
+    from machine_learning_with_spark_streaming_spark.operators.curation_v4 import (
+        curation_funnel,
+    )
+
+    long_text = " ".join(["table scan row batch"] * 15)  # 60 words
+    docs = spark.createDataFrame(
+        [
+            (1, long_text),
+            (2, long_text),          # exact dup of 1
+            (3, "too short"),        # fails MIN_WORDS
+            (4, long_text + " extra word tail here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["stage"]: (r["n_docs"], r["word_mass"]) for r in curation_funnel(docs).collect()}
+    assert out["1_ingested"][0] == 4
+    assert out["2_readable"][0] == 3        # doc 3 gated out
+    assert out["3_canonical"][0] == 2       # dup 2 collapsed onto 1
+    assert out["1_ingested"][1] >= out["2_readable"][1] >= out["3_canonical"][1]
