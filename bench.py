@@ -279,6 +279,7 @@ EXTENDED += [
     "k11_merge_into",
     "w27_robust_stl",
     "pipeline_curation_v4",
+    "sample_diverse_seeds",
 ]
 
 

@@ -76,6 +76,9 @@ DOUBLE_OUTPUT_ALLOWLIST = {
     # r10 continuation: Newman assortativity — the corr recipe over
     # integer endpoint degrees; swept sf0.01 + sf0.1 --shuffle 5
     "graph_assortativity": ["assortativity"],
+    # r10 continuation: farthest-first seeding — 6-dp round of the
+    # bit-exact max cosine; swept sf0.01 + sf0.1 --shuffle 5
+    "sample_diverse_seeds": ["max_cos"],
     "w12_mom_pct_change": ["pct_change"],
     "ml_corr_matrix": ["corr"],
     "text_shingle_novelty": ["novelty"],

@@ -750,3 +750,27 @@ def test_curation_funnel_monotone_and_gates(spark):
     assert out["2_readable"][0] == 3        # doc 3 gated out
     assert out["3_canonical"][0] == 2       # dup 2 collapsed onto 1
     assert out["1_ingested"][1] >= out["2_readable"][1] >= out["3_canonical"][1]
+
+
+def test_diverse_seeds_picks_orthogonal_clusters(spark):
+    """Three orthogonal clusters + near-dups of seed 0: farthest-first
+    never picks a near-dup while an unseen cluster remains."""
+    from machine_learning_with_spark_streaming_spark.operators.diverse import diverse_seeds
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near-dup of 0
+        (2, [0.998, 0.02, 0.0]),   # near-dup of 0
+        (10, [0.0, 1.0, 0.0]),     # cluster B
+        (20, [0.0, 0.0, 1.0]),     # cluster C
+    ]
+    emb = spark.createDataFrame(
+        [(i, v, 0) for i, v in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = diverse_seeds(emb, k=3, dim=3).collect()
+    picked = [r["vec_id"] for r in sorted(out, key=lambda r: r["round"])]
+    assert picked[0] == 0            # smallest id seeds
+    assert set(picked[1:]) == {10, 20}   # both orthogonal clusters
+    # round-1/2 picks are orthogonal to everything chosen before
+    assert all(r["max_cos"] == 0.0 for r in out if r["round"] > 0)
