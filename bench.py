@@ -280,6 +280,7 @@ EXTENDED += [
     "w27_robust_stl",
     "pipeline_curation_v4",
     "sample_diverse_seeds",
+    "w28_max_drawdown",
 ]
 
 

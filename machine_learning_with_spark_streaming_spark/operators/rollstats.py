@@ -333,3 +333,65 @@ def q_robust_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
     seasonal_x4 + remainder_x4 reconstructs by construction)."""
     ev = load_table(spark, sf_dir, "events")
     return robust_stl(daily_cents(ev, "event_type", "ts", "value"))
+
+
+def max_drawdown(daily: DataFrame) -> DataFrame:
+    """Per-key maximum drawdown of the cumulative daily series: the
+    deepest gap between the running peak and the running total (all
+    integer cents), plus the FIRST trough day that achieves it —
+    the worst-case-regression summary for any cumulative KPI. One
+    key-partitioned window pass (cumsum + running max share the sort)
+    and two tiny aggregates."""
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = (
+        daily.withColumn("__cum", F.sum("cents").over(w))
+        .withColumn("__peak", F.max(F.col("__cum")).over(w))
+        .withColumn("__dd", F.col("__peak") - F.col("__cum"))
+    )
+    worst = dd.groupBy("key").agg(F.max("__dd").alias("max_drawdown"))
+    return (
+        dd.join(F.broadcast(worst), "key")
+        .filter(F.col("__dd") == F.col("max_drawdown"))
+        .groupBy("key")
+        .agg(
+            F.max("__dd").cast("long").alias("max_drawdown"),
+            F.min("day").alias("trough_day"),
+        )
+        .orderBy("key")
+    )
+
+
+_W28_ORACLE = f"""
+WITH {_DAILY_CTE},
+walk1 AS (
+  SELECT key, day, sum(cents) OVER w AS cum
+  FROM daily
+  WINDOW w AS (PARTITION BY key ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+walk AS (
+  SELECT key, day, cum, max(cum) OVER w AS peak
+  FROM walk1
+  WINDOW w AS (PARTITION BY key ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+dd AS (SELECT key, day, peak - cum AS d FROM walk),
+worst AS (SELECT key, max(d) AS max_drawdown FROM dd GROUP BY key)
+SELECT w.key, CAST(w.max_drawdown AS BIGINT) AS max_drawdown,
+       min(dd.day) AS trough_day
+FROM worst w JOIN dd ON dd.key = w.key AND dd.d = w.max_drawdown
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+@register("w28_max_drawdown", oracle=_W28_ORACLE)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family beyond-ref: max drawdown (deepest running-peak gap) of
+    cumulative daily revenue per event type, with the first trough day
+    — integer cents end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    return max_drawdown(daily_cents(ev, "event_type", "ts", "value"))

@@ -774,3 +774,29 @@ def test_diverse_seeds_picks_orthogonal_clusters(spark):
     assert set(picked[1:]) == {10, 20}   # both orthogonal clusters
     # round-1/2 picks are orthogonal to everything chosen before
     assert all(r["max_cos"] == 0.0 for r in out if r["round"] > 0)
+
+
+def test_max_drawdown_known_series(spark):
+    """Series 10, -4, +2, -5, +20 (cum 10,6,8,3,23): peak path
+    10,10,10,10,23 -> drawdowns 0,4,2,7,0 -> max 7 at the day of cum=3;
+    negative-free series has drawdown 0 at the first day."""
+    import datetime as dt
+
+    from machine_learning_with_spark_streaming_spark.operators.rollstats import max_drawdown
+
+    d0 = dt.date(2024, 1, 1)
+    deltas = [10, -4, 2, -5, 20]
+    daily = spark.createDataFrame(
+        [("a", d0 + dt.timedelta(days=i), c) for i, c in enumerate(deltas)],
+        "key string, day date, cents long",
+    )
+    r = max_drawdown(daily).collect()[0]
+    assert r["max_drawdown"] == 7
+    assert r["trough_day"] == d0 + dt.timedelta(days=3)
+
+    up = spark.createDataFrame(
+        [("a", d0 + dt.timedelta(days=i), 5) for i in range(4)],
+        "key string, day date, cents long",
+    )
+    r2 = max_drawdown(up).collect()[0]
+    assert r2["max_drawdown"] == 0 and r2["trough_day"] == d0
