@@ -145,6 +145,14 @@ QUERIES = [
     "ml_knn_confusion",
     "s23_time_travel_read",
     "text_readability",
+    "w26_rolling_mad",
+    "k10_snapshot_expire",
+    "ml_knn_calibration",
+    "s25_python_datasource",
+    "k11_merge_into",
+    "w27_robust_stl",
+    "sample_diverse_seeds",
+    "w28_max_drawdown",
 ]
 
 
