@@ -281,6 +281,7 @@ EXTENDED += [
     "pipeline_curation_v4",
     "sample_diverse_seeds",
     "w28_max_drawdown",
+    "w29_interval_coverage",
 ]
 
 

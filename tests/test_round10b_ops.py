@@ -800,3 +800,49 @@ def test_max_drawdown_known_series(spark):
     )
     r2 = max_drawdown(up).collect()[0]
     assert r2["max_drawdown"] == 0 and r2["trough_day"] == d0
+
+
+def test_interval_coverage_merge_rules(spark):
+    """Overlap merges, adjacency merges, a 2-day gap does not:
+    [1-3] + [3-5] + [6-8] merge to [1-8] (8 days); [11-12] stands
+    alone (2 days) -> total 10."""
+    import datetime as dt
+
+    from machine_learning_with_spark_streaming_spark.operators.intervals import (
+        interval_coverage,
+    )
+
+    d = dt.date
+    iv = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1), d(2024, 1, 3)),
+            (1, d(2024, 1, 3), d(2024, 1, 5)),   # overlap
+            (1, d(2024, 1, 6), d(2024, 1, 8)),   # adjacent -> merges
+            (1, d(2024, 1, 11), d(2024, 1, 12)),  # 2-day gap -> new island
+        ],
+        "key long, s date, e date",
+    )
+    out = interval_coverage(iv).collect()
+    assert len(out) == 1 and out[0]["covered_days"] == 10
+
+
+def test_interval_coverage_contained_interval(spark):
+    """An interval fully inside a longer earlier one can't reopen an
+    island (the running-max-end rule, not lag(e))."""
+    import datetime as dt
+
+    from machine_learning_with_spark_streaming_spark.operators.intervals import (
+        interval_coverage,
+    )
+
+    d = dt.date
+    iv = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1), d(2024, 1, 20)),
+            (1, d(2024, 1, 2), d(2024, 1, 3)),   # contained
+            (1, d(2024, 1, 5), d(2024, 1, 6)),   # contained after short one
+        ],
+        "key long, s date, e date",
+    )
+    out = interval_coverage(iv).collect()
+    assert out[0]["covered_days"] == 20

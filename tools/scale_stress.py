@@ -153,6 +153,7 @@ QUERIES = [
     "w27_robust_stl",
     "sample_diverse_seeds",
     "w28_max_drawdown",
+    "w29_interval_coverage",
 ]
 
 
