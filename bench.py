@@ -282,6 +282,8 @@ EXTENDED += [
     "sample_diverse_seeds",
     "w28_max_drawdown",
     "w29_interval_coverage",
+    "ml_pr_curve",
+    "sample_hard_negatives",
 ]
 
 

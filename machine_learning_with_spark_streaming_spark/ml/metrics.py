@@ -322,3 +322,106 @@ def q_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return auc_rank(scored)
+
+
+# -------------------------------------------------- precision-recall curve
+
+
+def pr_curve(
+    scored: DataFrame, label_col: str = "y", score_col: str = "score_e6"
+) -> DataFrame:
+    """Full precision-recall curve at EVERY distinct score threshold
+    (predict positive iff score >= t), entirely in BIGINT: tp/fp/fn
+    from one cumulative window over the distinct-score histogram
+    (never the corpus — the auc_rank plan shape), precision/recall as
+    truncating-division ppm. The threshold sweep sklearn does with a
+    sort+scan, as one aggregation + one bounded window."""
+    g = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(label_col).cast("long")).alias("np"),
+    )
+    w = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = g.select(
+        "s",
+        F.sum("n").over(w).alias("predp"),
+        F.sum("np").over(w).alias("tp"),
+    )
+    total_pos = F.sum("np").over(
+        Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    gp = g.select("s", total_pos.alias("__p")).select(F.max("__p").alias("p"))
+    return (
+        cum.crossJoin(F.broadcast(gp))
+        .select(
+            F.col("s").alias("threshold_e6"),
+            F.col("tp").cast("long").alias("tp"),
+            (F.col("predp") - F.col("tp")).cast("long").alias("fp"),
+            (F.col("p") - F.col("tp")).cast("long").alias("fn"),
+            F.expr("(tp * 1000000) div predp").cast("long").alias("prec_ppm"),
+            F.expr("(tp * 1000000) div p").cast("long").alias("rec_ppm"),
+        )
+        .orderBy("threshold_e6")
+    )
+
+
+_PR_ORACLE = f"""
+WITH w0(w, b) AS (VALUES
+  {_w0_values()}
+),
+scored AS (
+  SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+         CAST(round(
+           (list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                             w0.w) + w0.b) * 1e6, 0) AS BIGINT) AS score_e6
+  FROM embeddings, w0
+),
+g AS (
+  SELECT score_e6 AS s, count(*) AS n, sum(y) AS np
+  FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT s,
+         sum(n) OVER (ORDER BY s DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS predp,
+         sum(np) OVER (ORDER BY s DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         (SELECT sum(np) FROM g) AS p
+  FROM g
+)
+SELECT CAST(s AS BIGINT) AS threshold_e6,
+       CAST(tp AS BIGINT) AS tp,
+       CAST(predp - tp AS BIGINT) AS fp,
+       CAST(p - tp AS BIGINT) AS fn,
+       CAST((tp * 1000000) // predp AS BIGINT) AS prec_ppm,
+       CAST((tp * 1000000) // p AS BIGINT) AS rec_ppm
+FROM cum ORDER BY 1
+"""
+
+
+@register("ml_pr_curve", oracle=_PR_ORACLE)
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve of the frozen logreg class-0 margin at
+    every distinct threshold — the thresholded companion to
+    ml_auc_rank's rank statistic, all-BIGINT."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    wdf = spark.createDataFrame(
+        [LOGREG_WEIGHTS[0]], "class int, w array<double>, b double"
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(wdf))
+        .select(
+            F.when(F.col("label") == 0, 1).otherwise(0).alias("y"),
+            F.round(
+                (dot(as_double_array("embedding"), F.col("w")) + F.col("b"))
+                * E6,
+                0,
+            )
+            .cast("long")
+            .alias("score_e6"),
+        )
+    )
+    return pr_curve(scored)

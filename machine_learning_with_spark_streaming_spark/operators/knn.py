@@ -223,3 +223,92 @@ def q_knn_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     calibration, same Arrow scoring pass as ml_knn_confusion."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_calibration(emb, emb.filter(F.col("vec_id") < KNN_PROBES))
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Per probe, the single most similar corpus row with a DIFFERENT
+    label — contrastive-training's hard-negative mining (the pairs a
+    triplet loss learns most from). Same corpus-once Arrow scoring
+    pass as knn_confusion (probe vectors collect at plan time); the
+    cross-label cut and the (cos DESC, id) argmax are plain filter +
+    window work — no second ranking pass, no inner top-k."""
+    from machine_learning_with_spark_streaming_spark.functions.vectors import as_double_array
+    from machine_learning_with_spark_streaming_spark.operators.ivf import score_all_queries
+
+    qv = probes.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("__qv"),
+        F.col(label_col).alias("__ql"),
+    )
+    q_rows = [
+        (r["query_id"], list(r["__qv"]) if r["__qv"] is not None else None)
+        for r in qv.collect()
+    ]
+    q = qv.select("query_id", "__ql")
+    scored = score_all_queries(
+        corpus.select(F.col(id_col), as_double_array(vec_col).alias("__v")),
+        q_rows,
+        dim=dim,
+        id_col=id_col,
+        vec_col="__v",
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    lab = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
+    )
+    cross = (
+        scored.join(lab, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("__nl") != F.col("__ql"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cross.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            F.col("__ql").cast("int").alias("query_label"),
+            "neighbor_id",
+            F.col("__nl").cast("int").alias("neg_label"),
+            F.round("cos", 6).alias("cos"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_HARDNEG_ORACLE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, q.label AS ql,
+         c.vec_id AS neighbor_id, c.label AS nl,
+         {_cos_sql('q.embedding', 'c.embedding')} AS cos
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < {KNN_PROBES} AND c.vec_id <> q.vec_id
+        AND c.label <> q.label
+),
+ranked AS (
+  SELECT query_id, ql, neighbor_id, nl, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(ql AS INT) AS query_label,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(nl AS INT) AS neg_label,
+       round(cos, 6) AS cos
+FROM ranked WHERE rn = 1 ORDER BY query_id
+"""
+
+
+@register("sample_hard_negatives", oracle=_HARDNEG_ORACLE)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling beyond-ref: hardest cross-label negative per probe
+    (most similar different-label row) for the first 64 embeddings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < KNN_PROBES))

@@ -79,6 +79,9 @@ DOUBLE_OUTPUT_ALLOWLIST = {
     # r10 continuation: farthest-first seeding — 6-dp round of the
     # bit-exact max cosine; swept sf0.01 + sf0.1 --shuffle 5
     "sample_diverse_seeds": ["max_cos"],
+    # r10 continuation: 6-dp round of the bit-exact pair cosine (the
+    # sim_topk recipe); swept sf0.01 + sf0.1 --shuffle 5
+    "sample_hard_negatives": ["cos"],
     "w12_mom_pct_change": ["pct_change"],
     "ml_corr_matrix": ["corr"],
     "text_shingle_novelty": ["novelty"],

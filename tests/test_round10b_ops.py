@@ -846,3 +846,40 @@ def test_interval_coverage_contained_interval(spark):
     )
     out = interval_coverage(iv).collect()
     assert out[0]["covered_days"] == 20
+
+
+def test_pr_curve_known_points(spark):
+    """Scores 3,2,1 with labels 1,0,1: thresholds 3/2/1 give
+    (tp, fp, fn) = (1,0,1), (1,1,1), (2,1,0) and the matching ppm."""
+    from machine_learning_with_spark_streaming_spark.ml.metrics import pr_curve
+
+    df = spark.createDataFrame(
+        [(1, 3), (0, 2), (1, 1)], "y int, score_e6 long"
+    )
+    out = {r["threshold_e6"]: r for r in pr_curve(df).collect()}
+    assert (out[3]["tp"], out[3]["fp"], out[3]["fn"]) == (1, 0, 1)
+    assert out[3]["prec_ppm"] == 1000000 and out[3]["rec_ppm"] == 500000
+    assert (out[2]["tp"], out[2]["fp"], out[2]["fn"]) == (1, 1, 1)
+    assert out[2]["prec_ppm"] == 500000
+    assert (out[1]["tp"], out[1]["fp"], out[1]["fn"]) == (2, 1, 0)
+    assert out[1]["rec_ppm"] == 1000000
+
+
+def test_hard_negatives_cross_label_only(spark):
+    """The mined negative is the nearest DIFFERENT-label row even when
+    same-label rows are closer."""
+    from machine_learning_with_spark_streaming_spark.operators.knn import hard_negatives
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 7),       # probe, label 7
+            (1, [0.999, 0.01], 7),    # closest but same label
+            (2, [0.9, 0.1], 3),       # nearest cross-label
+            (3, [0.0, 1.0], 3),       # far cross-label
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = hard_negatives(emb, emb.filter("vec_id = 0"), dim=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["query_id"], r["neighbor_id"], r["neg_label"]) == (0, 2, 3)

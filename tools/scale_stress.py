@@ -154,6 +154,8 @@ QUERIES = [
     "sample_diverse_seeds",
     "w28_max_drawdown",
     "w29_interval_coverage",
+    "ml_pr_curve",
+    "sample_hard_negatives",
 ]
 
 
