@@ -284,6 +284,8 @@ EXTENDED += [
     "w29_interval_coverage",
     "ml_pr_curve",
     "sample_hard_negatives",
+    "diag_join_cardinality",
+    "v26_monotonic_violations",
 ]
 
 

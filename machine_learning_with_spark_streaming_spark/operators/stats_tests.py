@@ -214,3 +214,77 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.round(F.col("o_totalprice") * 100).cast("long"),
     )
+
+
+# --------------- v26: per-key monotonicity conformance
+
+def monotonic_violations(
+    df: DataFrame, key_col: str, order_col: str, value_col: str
+) -> DataFrame:
+    """Sequence-sanity QC: within each key, ordered by ``order_col``,
+    count the adjacent pairs where ``value_col`` moves BACKWARD — the
+    check every append-only/cumulative/SCD feed should pass ("order
+    dates must not decrease along the order-key sequence", "version
+    numbers only grow"). One lag window per key + one aggregate;
+    bounded (n_keys_checked, n_keys_violating, n_pairs, n_violations)
+    report. Strictly-integer output; NULL values never pair (both
+    engines skip them via the IS NOT NULL guard)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("o")
+    pairs = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(order_col).alias("o"),
+            F.col(value_col).alias("v"),
+        )
+        .withColumn("__pv", F.lag("v").over(w))
+        .filter(F.col("__pv").isNotNull() & F.col("v").isNotNull())
+        .withColumn(
+            "__bad", F.when(F.col("v") < F.col("__pv"), 1).otherwise(0)
+        )
+    )
+    per_key = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__bad").alias("__b")
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys_checked"),
+        F.sum(F.when(F.col("__b") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_keys_violating"),
+        F.sum("__n").cast("long").alias("n_pairs"),
+        F.sum("__b").cast("long").alias("n_violations"),
+    )
+
+
+_V26_ORACLE = """
+WITH pairs AS (
+  SELECT o_custkey AS k, o_orderdate AS v,
+         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderkey) AS pv
+  FROM orders
+),
+valid AS (SELECT * FROM pairs WHERE pv IS NOT NULL AND v IS NOT NULL),
+per_key AS (
+  SELECT k, count(*) AS n,
+         sum(CASE WHEN v < pv THEN 1 ELSE 0 END) AS b
+  FROM valid GROUP BY k
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys_checked,
+       CAST(sum(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keys_violating,
+       CAST(sum(n) AS BIGINT) AS n_pairs,
+       CAST(sum(b) AS BIGINT) AS n_violations
+FROM per_key
+"""
+
+
+@register("v26_monotonic_violations", oracle=_V26_ORACLE)
+def q_monotonic_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-family beyond-ref: does o_orderdate move backward along each
+    customer's order-key sequence? The append-only sequence-sanity
+    gate, as a bounded violations report."""
+    orders = load_table(spark, sf_dir, "orders")
+    return monotonic_violations(
+        orders, "o_custkey", "o_orderkey", "o_orderdate"
+    )

@@ -88,6 +88,7 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.operators.curation_v4",
     "machine_learning_with_spark_streaming_spark.operators.diverse",
     "machine_learning_with_spark_streaming_spark.operators.intervals",
+    "machine_learning_with_spark_streaming_spark.operators.joindiag",
 ]
 
 

@@ -883,3 +883,48 @@ def test_hard_negatives_cross_label_only(spark):
     assert len(out) == 1
     r = out[0]
     assert (r["query_id"], r["neighbor_id"], r["neg_label"]) == (0, 2, 3)
+
+
+def test_join_cardinality_identity(spark):
+    """Sum of per-key count products equals the materialized join size;
+    the top key is the heaviest (ties to smallest key)."""
+    from machine_learning_with_spark_streaming_spark.operators.joindiag import (
+        join_cardinality,
+    )
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,)], "k long"
+    )
+    right = spark.createDataFrame(
+        [(1,), (2,), (2,), (2,), (9,)], "k long"
+    )
+    r = join_cardinality(left, right, "k").collect()[0]
+    actual = left.join(right, "k").count()
+    assert r["join_rows"] == actual == 5  # 2*1 + 1*3
+    assert r["n_keys_matched"] == 2
+    assert (r["top_key"], r["top_key_rows"]) == (2, 3)
+
+
+def test_monotonic_violations_counts(spark):
+    """key 1: 3,1,2 along the sequence -> one backward step; key 2 is
+    clean; NULL values never pair."""
+    from machine_learning_with_spark_streaming_spark.operators.stats_tests import (
+        monotonic_violations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, 3),
+            (1, 20, 1),   # backward
+            (1, 30, 2),
+            (2, 10, 5),
+            (2, 20, 5),   # equal is NOT a violation
+            (2, 30, None),
+        ],
+        "k long, seq long, v long",
+    )
+    r = monotonic_violations(df, "k", "seq", "v").collect()[0]
+    assert r["n_keys_checked"] == 2
+    assert r["n_keys_violating"] == 1
+    assert r["n_pairs"] == 3  # (3,1),(1,2) for k1; (5,5) for k2
+    assert r["n_violations"] == 1

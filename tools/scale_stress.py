@@ -156,6 +156,8 @@ QUERIES = [
     "w29_interval_coverage",
     "ml_pr_curve",
     "sample_hard_negatives",
+    "diag_join_cardinality",
+    "v26_monotonic_violations",
 ]
 
 
