@@ -286,6 +286,7 @@ EXTENDED += [
     "sample_hard_negatives",
     "diag_join_cardinality",
     "v26_monotonic_violations",
+    "s11_merge_into_stream",
 ]
 
 

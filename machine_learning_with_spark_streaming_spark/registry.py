@@ -89,6 +89,7 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.operators.diverse",
     "machine_learning_with_spark_streaming_spark.operators.intervals",
     "machine_learning_with_spark_streaming_spark.operators.joindiag",
+    "machine_learning_with_spark_streaming_spark.streaming.merge_stream",
 ]
 
 

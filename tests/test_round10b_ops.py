@@ -928,3 +928,51 @@ def test_monotonic_violations_counts(spark):
     assert r["n_keys_violating"] == 1
     assert r["n_pairs"] == 3  # (3,1),(1,2) for k1; (5,5) for k2
     assert r["n_violations"] == 1
+
+
+def test_merge_stream_versions_ledger(spark, tmp_path):
+    """Each micro-batch commits exactly one version; intermediate
+    states remain readable (the history IS the batch ledger)."""
+    from machine_learning_with_spark_streaming_spark.sources.timetravel import (
+        merge_into_snapshot,
+        read_asof,
+        write_snapshot,
+    )
+    from machine_learning_with_spark_streaming_spark.streaming.examples import (
+        stage_ordered_files,
+    )
+
+    base = str(tmp_path / "store")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    write_snapshot(v1, base, 1, "k")
+
+    b1 = spark.createDataFrame([(3, "c", "I")], "k long, v string, op string")
+    b2 = spark.createDataFrame([(1, None, "D")], "k long, v string, op string")
+    stage = str(tmp_path / "stage")
+    stage_ordered_files([b1, b2], stage)
+
+    stream = (
+        spark.readStream.schema("k long, v string, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def apply_batch(df, _bid):
+        if not df.isEmpty():
+            merge_into_snapshot(base, df, "k")
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    states = {}
+    for ver in (1, 2, 3):
+        v, snap = read_asof(spark, base, ver)
+        states[ver] = sorted((r["k"], r["v"]) for r in snap.collect())
+    assert states[1] == [(1, "a"), (2, "b")]
+    assert states[2] == [(1, "a"), (2, "b"), (3, "c")]
+    assert states[3] == [(2, "b"), (3, "c")]
