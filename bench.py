@@ -287,6 +287,7 @@ EXTENDED += [
     "diag_join_cardinality",
     "v26_monotonic_violations",
     "s11_merge_into_stream",
+    "emb_pca_residual_topk",
 ]
 
 

@@ -90,6 +90,7 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.operators.intervals",
     "machine_learning_with_spark_streaming_spark.operators.joindiag",
     "machine_learning_with_spark_streaming_spark.streaming.merge_stream",
+    "machine_learning_with_spark_streaming_spark.operators.residuals",
 ]
 
 

@@ -976,3 +976,38 @@ def test_merge_stream_versions_ledger(spark, tmp_path):
     assert states[1] == [(1, "a"), (2, "b")]
     assert states[2] == [(1, "a"), (2, "b"), (3, "c")]
     assert states[3] == [(2, "b"), (3, "c")]
+
+
+def test_pca_residual_zero_for_in_subspace_vector(spark):
+    """A vector equal to mean + alpha*axis0 has (near-)zero residual;
+    a vector orthogonal to all axes has residual ~= its full centered
+    energy — ranks strictly above."""
+    from machine_learning_with_spark_streaming_spark.functions.pca_artifacts import (
+        PCA_COMPONENTS,
+        PCA_MEAN,
+    )
+    from machine_learning_with_spark_streaming_spark.operators.residuals import (
+        pca_residual_nano,
+    )
+    from pyspark.sql import functions as F
+
+    dim = len(PCA_MEAN)
+    in_sub = [m + 3.0 * c for m, c in zip(PCA_MEAN, PCA_COMPONENTS[0])]
+    # off-manifold: mean + big bump in one coordinate direction (not an
+    # exact axis) — residual must dominate
+    bump = list(PCA_MEAN)
+    bump[0] += 50.0
+    df = spark.createDataFrame(
+        [(1, in_sub, 0), (2, bump, 0)],
+        f"vec_id long, embedding array<double>, label int",
+    )
+    out = {
+        r["vec_id"]: r["r"]
+        for r in df.select(
+            "vec_id", pca_residual_nano().alias("r")
+        ).collect()
+    }
+    # the frozen axes are orthonormal to ~1e-7 float precision, so the
+    # in-subspace residual is tiny but not exactly 0 at alpha=3
+    assert abs(out[1]) < 100_000       # < 1e-4 energy in nano units
+    assert out[2] > out[1] + 10**9     # clearly off-manifold

@@ -158,6 +158,7 @@ QUERIES = [
     "sample_hard_negatives",
     "diag_join_cardinality",
     "v26_monotonic_violations",
+    "emb_pca_residual_topk",
 ]
 
 
