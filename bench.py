@@ -288,6 +288,9 @@ EXTENDED += [
     "v26_monotonic_violations",
     "s11_merge_into_stream",
     "emb_pca_residual_topk",
+    "a23_equi_depth_histogram",
+    "s26_funnel_latency",
+    "emb_fisher_scores",
 ]
 
 

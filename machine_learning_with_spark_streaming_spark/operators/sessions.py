@@ -270,3 +270,86 @@ def q_cohort_retention(spark, sf_dir):
     """Weekly first-activity cohorts x activity-week offsets."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     return cohort_retention(ev).orderBy("cohort_week_us", "week_offset")
+
+
+# -------------------- s26: funnel conversion latency (order statistics)
+
+def funnel_latency(
+    df: DataFrame,
+    first_stage: str = "view",
+    last_stage: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-to-convert summary for users whose first ``first_stage``
+    precedes their first ``last_stage``: one row with n_converters and
+    the median (doubled — the two-middles integer rule), rank-based p90
+    and max of the conversion delay in exact microseconds. The latency
+    half of s13's reach question. One user-level aggregate, then order
+    statistics over the (aggregated, |converters|-bounded) delay
+    relation — rank arithmetic, no interpolation."""
+    us = F.unix_micros(F.col(ts_col))
+    per_user = df.groupBy(user_col).agg(
+        F.min(F.when(F.col(type_col) == first_stage, us)).alias("__f"),
+        F.min(F.when(F.col(type_col) == last_stage, us)).alias("__l"),
+    )
+    deltas = per_user.filter(
+        F.col("__f").isNotNull()
+        & F.col("__l").isNotNull()
+        & (F.col("__l") >= F.col("__f"))
+    ).select((F.col("__l") - F.col("__f")).alias("d"))
+    w = Window.orderBy("d")
+    ranked = deltas.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_converters"),
+        (
+            F.max(F.when(F.expr("rn = (n + 1) div 2"), F.col("d")))
+            + F.max(F.when(F.expr("rn = n div 2 + 1"), F.col("d")))
+        )
+        .cast("long")
+        .alias("median_x2_us"),
+        F.max(F.when(F.expr("rn = (9 * n + 9) div 10"), F.col("d")))
+        .cast("long")
+        .alias("p90_us"),
+        F.max("d").cast("long").alias("max_us"),
+    )
+
+
+_S26_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS f,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS l
+  FROM events GROUP BY 1
+),
+deltas AS (
+  SELECT l - f AS d FROM per_user
+  WHERE f IS NOT NULL AND l IS NOT NULL AND l >= f
+),
+ranked AS (
+  SELECT d, row_number() OVER (ORDER BY d) AS rn,
+         count(*) OVER () AS n
+  FROM deltas
+)
+SELECT CAST(max(n) AS BIGINT) AS n_converters,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN d END)
+            + max(CASE WHEN rn = n // 2 + 1 THEN d END) AS BIGINT)
+         AS median_x2_us,
+       CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN d END) AS BIGINT)
+         AS p90_us,
+       CAST(max(d) AS BIGINT) AS max_us
+FROM ranked
+"""
+
+
+@register("s26_funnel_latency", oracle=_S26_ORACLE)
+def q_funnel_latency(spark, sf_dir):
+    """S-family beyond-ref: first-view -> first-purchase conversion
+    delay summary (exact-µs rank statistics)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    return funnel_latency(ev)

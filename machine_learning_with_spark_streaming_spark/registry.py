@@ -91,6 +91,8 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.operators.joindiag",
     "machine_learning_with_spark_streaming_spark.streaming.merge_stream",
     "machine_learning_with_spark_streaming_spark.operators.residuals",
+    "machine_learning_with_spark_streaming_spark.operators.depthhist",
+    "machine_learning_with_spark_streaming_spark.operators.fisher",
 ]
 
 

@@ -82,6 +82,9 @@ DOUBLE_OUTPUT_ALLOWLIST = {
     # r10 continuation: 6-dp round of the bit-exact pair cosine (the
     # sim_topk recipe); swept sf0.01 + sf0.1 --shuffle 5
     "sample_hard_negatives": ["cos"],
+    # r10 continuation: Fisher ratio — one division + 6-dp round on
+    # exact integer scatter sums; swept sf0.01 + sf0.1 --shuffle 5
+    "emb_fisher_scores": ["fisher"],
     "w12_mom_pct_change": ["pct_change"],
     "ml_corr_matrix": ["corr"],
     "text_shingle_novelty": ["novelty"],

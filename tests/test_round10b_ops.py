@@ -1011,3 +1011,74 @@ def test_pca_residual_zero_for_in_subspace_vector(spark):
     # in-subspace residual is tiny but not exactly 0 at alpha=3
     assert abs(out[1]) < 100_000       # < 1e-4 energy in nano units
     assert out[2] > out[1] + 10**9     # clearly off-manifold
+
+
+def test_equi_depth_bins_balanced_and_ordered(spark):
+    """8 rows, 4 bins -> exactly 2 rows per bin; bin ranges are
+    non-overlapping and ordered."""
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.operators.depthhist import (
+        equi_depth_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [("g", v) for v in [5, 1, 9, 3, 7, 2, 8, 4]], "grp string, c long"
+    )
+    out = sorted(
+        equi_depth_histogram(df, "grp", F.col("c")).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert [r["n_rows"] for r in out] == [2, 2, 2, 2]
+    assert [(r["lo"], r["hi"]) for r in out] == [
+        (1, 2),
+        (3, 4),
+        (5, 7),
+        (8, 9),
+    ]
+
+
+def test_funnel_latency_known_deltas(spark):
+    """Three converters with deltas 10, 20, 100 us; one non-converter
+    (purchase before view) excluded. median_x2 = 40, p90 = rank
+    ceil(2.7)=3 -> 100."""
+    import datetime as dt
+
+    from machine_learning_with_spark_streaming_spark.operators.sessions import (
+        funnel_latency,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    us = lambda k: t0 + dt.timedelta(microseconds=k)  # noqa: E731
+    rows = []
+    for u, d in [(1, 10), (2, 20), (3, 100)]:
+        rows += [(u, "view", us(0)), (u, "purchase", us(d))]
+    rows += [(4, "purchase", us(0)), (4, "view", us(5))]  # backward
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    r = funnel_latency(ev).collect()[0]
+    assert r["n_converters"] == 3
+    assert r["median_x2_us"] == 40
+    assert r["p90_us"] == 100 and r["max_us"] == 100
+
+
+def test_fisher_separating_dimension_wins(spark):
+    """dim 0 separates the classes perfectly (values 0 vs 1), dim 1 is
+    identical noise -> dim 0 tops the ranking with a huge ratio, dim 1
+    has sb == 0."""
+    from machine_learning_with_spark_streaming_spark.operators.fisher import fisher_scores
+
+    rows = [(i, [0.0, 0.5], 0) for i in range(10)] + [
+        (100 + i, [1.0, 0.5], 1) for i in range(10)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = fisher_scores(emb, top_k=2).collect()
+    # dim 0: within-class variance 0 -> sw == 0 -> fisher NULL (guarded),
+    # dim 1: sb == 0
+    by_dim = {r["dim"]: r for r in out}
+    assert by_dim[0]["sw"] == 0 and by_dim[0]["fisher"] is None
+    assert by_dim[0]["sb"] > 0
+    assert by_dim[1]["sb"] == 0 and by_dim[1]["sw"] == 0

@@ -159,6 +159,9 @@ QUERIES = [
     "diag_join_cardinality",
     "v26_monotonic_violations",
     "emb_pca_residual_topk",
+    "a23_equi_depth_histogram",
+    "s26_funnel_latency",
+    "emb_fisher_scores",
 ]
 
 
