@@ -291,6 +291,8 @@ EXTENDED += [
     "a23_equi_depth_histogram",
     "s26_funnel_latency",
     "emb_fisher_scores",
+    "k12_write_audit_publish",
+    "sample_triplets",
 ]
 
 

@@ -312,3 +312,123 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     (most similar different-label row) for the first 64 embeddings."""
     emb = load_table(spark, sf_dir, "embeddings")
     return hard_negatives(emb, emb.filter(F.col("vec_id") < KNN_PROBES))
+
+
+def contrastive_triplets(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """(anchor, positive, negative, margin_e6) triplets: per probe the
+    nearest SAME-label row as the positive and the nearest
+    DIFFERENT-label row as the negative — the triplet-loss training
+    artifact assembled in-engine. margin_e6 = e6-rounded cos(a,p) −
+    e6-rounded cos(a,n) is pure integer arithmetic on the two rounded
+    cosines, so the whole table is BIGINT; small (or negative) margins
+    are exactly the triplets a contrastive fine-tune learns from.
+
+    ONE corpus-once Arrow scoring pass serves both argmaxes (the
+    positive and negative cuts are filters over the same scored
+    relation) — no second scan."""
+    from machine_learning_with_spark_streaming_spark.functions.vectors import as_double_array
+    from machine_learning_with_spark_streaming_spark.operators.ivf import score_all_queries
+
+    qv = probes.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("__qv"),
+        F.col(label_col).alias("__ql"),
+    )
+    q_rows = [
+        (r["query_id"], list(r["__qv"]) if r["__qv"] is not None else None)
+        for r in qv.collect()
+    ]
+    q = qv.select("query_id", "__ql")
+    scored = score_all_queries(
+        corpus.select(F.col(id_col), as_double_array(vec_col).alias("__v")),
+        q_rows,
+        dim=dim,
+        id_col=id_col,
+        vec_col="__v",
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    lab = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
+    )
+    both = (
+        scored.join(lab, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "__side",
+            F.when(F.col("__nl") == F.col("__ql"), "p").otherwise("n"),
+        )
+    )
+    w = Window.partitionBy("query_id", "__side").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    best = both.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    cos_e6 = F.round(F.col("cos") * 1_000_000, 0).cast("long")
+    p = best.filter(F.col("__side") == "p").select(
+        "query_id",
+        F.col("neighbor_id").alias("positive_id"),
+        cos_e6.alias("__pc"),
+    )
+    n = best.filter(F.col("__side") == "n").select(
+        "query_id",
+        F.col("neighbor_id").alias("negative_id"),
+        cos_e6.alias("__nc"),
+    )
+    return (
+        p.join(n, "query_id")
+        .select(
+            F.col("query_id").alias("anchor"),
+            "positive_id",
+            "negative_id",
+            (F.col("__pc") - F.col("__nc")).cast("long").alias("margin_e6"),
+        )
+        .orderBy("anchor")
+    )
+
+
+_TRIPLET_ORACLE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, q.label AS ql,
+         c.vec_id AS neighbor_id, c.label AS nl,
+         {_cos_sql('q.embedding', 'c.embedding')} AS cos
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < {KNN_PROBES} AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CASE WHEN nl = ql THEN 'p' ELSE 'n' END AS side,
+         row_number() OVER (PARTITION BY query_id,
+                                         CASE WHEN nl = ql THEN 'p'
+                                              ELSE 'n' END
+                            ORDER BY cos DESC, neighbor_id) AS rn
+  FROM scored
+),
+p AS (SELECT query_id, neighbor_id AS positive_id,
+             CAST(round(cos * 1000000, 0) AS BIGINT) AS pc
+      FROM ranked WHERE side = 'p' AND rn = 1),
+n AS (SELECT query_id, neighbor_id AS negative_id,
+             CAST(round(cos * 1000000, 0) AS BIGINT) AS nc
+      FROM ranked WHERE side = 'n' AND rn = 1)
+SELECT CAST(p.query_id AS BIGINT) AS anchor,
+       CAST(positive_id AS BIGINT) AS positive_id,
+       CAST(negative_id AS BIGINT) AS negative_id,
+       CAST(pc - nc AS BIGINT) AS margin_e6
+FROM p JOIN n USING (query_id)
+ORDER BY 1
+"""
+
+
+@register("sample_triplets", oracle=_TRIPLET_ORACLE)
+def q_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling beyond-ref: (anchor, nearest-positive, hardest-negative,
+    integer margin) triplets for the first 64 embeddings — the
+    contrastive training artifact from one scoring pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return contrastive_triplets(emb, emb.filter(F.col("vec_id") < KNN_PROBES))

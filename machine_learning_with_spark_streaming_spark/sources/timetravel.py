@@ -340,3 +340,112 @@ def _register_k11():
 
 
 _register_k11()
+
+
+def write_audit_publish(
+    df: DataFrame,
+    base: str,
+    key_col: str,
+    gate,
+) -> "tuple[bool, int | None, str]":
+    """Iceberg-style Write-Audit-Publish: stage the data OUTSIDE the
+    log (``_staging/v=<next>``), run the audit ``gate`` (a callable
+    DataFrame -> (ok, reason) evaluated on the STAGED files, so the
+    audit sees exactly the bytes readers would), and only then PUBLISH
+    by renaming into place and committing the log row. A failed audit
+    leaves the store byte-identical — readers can never observe a
+    bad version, because visibility IS the log row (the s23 commit
+    rule). Returns (published, version_or_None, reason)."""
+    import shutil
+
+    spark = df.sparkSession
+    try:
+        latest = resolve_asof(spark, base, 1 << 30)
+    except Exception as exc:  # no log yet -> first version
+        markers = ("no snapshot", "PATH_NOT_FOUND", "Path does not exist")
+        if not any(m in str(exc) for m in markers):
+            raise
+        latest = 0
+    version = latest + 1
+    staging = os.path.join(f"{base}_staging", f"v={version}")
+    shutil.rmtree(staging, ignore_errors=True)
+    df.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    ok, reason = gate(staged)
+    if not ok:
+        shutil.rmtree(staging, ignore_errors=True)
+        return False, None, reason
+    final = os.path.join(base, f"v={version}")
+    os.makedirs(base, exist_ok=True)
+    os.rename(staging, final)
+    back = spark.read.parquet(final)
+    log_row = back.agg(
+        F.lit(int(version)).cast("int").alias("version"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        _key_checksum(back, key_col).alias("key_checksum"),
+    )
+    log_row.write.mode("append").parquet(f"{base}_log")
+    return True, version, reason
+
+
+_K12_CUT = "1998-01-01"
+
+_K12_ORACLE = f"""
+WITH good AS (
+  SELECT o_orderkey FROM orders WHERE o_orderdate < DATE '{_K12_CUT}'
+)
+SELECT 1 AS attempt, 'published' AS outcome,
+       CAST(count(*) AS BIGINT) AS store_rows,
+       CAST(1 AS INT) AS store_versions FROM good
+UNION ALL
+SELECT 2, 'rejected: null keys', CAST(count(*) AS BIGINT), CAST(1 AS INT)
+FROM good
+ORDER BY 1
+"""
+
+
+def _register_k12():
+    from machine_learning_with_spark_streaming_spark.registry import register
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    @register("k12_write_audit_publish", oracle=_K12_ORACLE)
+    def q_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """K-family beyond-ref: WAP on the snapshot store — a clean
+        write audits and publishes (attempt 1); a corrupted write
+        (planted NULL keys) is rejected by the same gate and the store
+        is PROVABLY unchanged (attempt 2 reports the same store state).
+        The audit runs on the staged files, never on the input frame."""
+        import tempfile
+
+        orders = load_table(spark, sf_dir, "orders")
+        good = orders.filter(F.col("o_orderdate") < _K12_CUT).select(
+            "o_orderkey", "o_orderstatus"
+        )
+        bad = good.withColumn(
+            "o_orderkey",
+            F.when(F.col("o_orderstatus") == "P", None).otherwise(
+                F.col("o_orderkey")
+            ),
+        )
+        base = os.path.join(tempfile.mkdtemp(prefix="mlwss_k12_"), "orders")
+
+        def gate(staged: DataFrame):
+            n_null = staged.filter(F.col("o_orderkey").isNull()).count()
+            return (n_null == 0, "published" if n_null == 0 else "rejected: null keys")
+
+        rows = []
+        for attempt, frame in ((1, good), (2, bad)):
+            ok, _ver, reason = write_audit_publish(
+                frame, base, "o_orderkey", gate
+            )
+            log = spark.read.parquet(f"{base}_log")
+            n_versions = log.count()
+            latest_v, snap = read_asof(spark, base, 1 << 30)
+            rows.append((attempt, reason, snap.count(), n_versions))
+            assert ok == (attempt == 1)
+        return spark.createDataFrame(
+            rows, "attempt int, outcome string, store_rows long, store_versions int"
+        ).orderBy("attempt")
+
+
+_register_k12()

@@ -1082,3 +1082,56 @@ def test_fisher_separating_dimension_wins(spark):
     assert by_dim[0]["sw"] == 0 and by_dim[0]["fisher"] is None
     assert by_dim[0]["sb"] > 0
     assert by_dim[1]["sb"] == 0 and by_dim[1]["sw"] == 0
+
+
+def test_wap_rejected_write_leaves_store_unchanged(spark, tmp_path):
+    """A gated-out write leaves no version, no staging dir, no log row;
+    a clean retry then publishes as version 1."""
+    import os
+
+    from machine_learning_with_spark_streaming_spark.sources.timetravel import (
+        read_asof,
+        write_audit_publish,
+    )
+
+    base = str(tmp_path / "store")
+    bad = spark.createDataFrame([(None, "x"), (1, "y")], "k long, v string")
+    good = spark.createDataFrame([(1, "y"), (2, "z")], "k long, v string")
+
+    def gate(staged):
+        n_null = staged.filter("k IS NULL").count()
+        return n_null == 0, "ok" if n_null == 0 else "null keys"
+
+    ok, ver, reason = write_audit_publish(bad, base, "k", gate)
+    assert (ok, ver, reason) == (False, None, "null keys")
+    assert not os.path.exists(f"{base}_log")
+    assert not os.path.exists(os.path.join(base, "v=1"))
+
+    ok2, ver2, _ = write_audit_publish(good, base, "k", gate)
+    assert ok2 and ver2 == 1
+    v, snap = read_asof(spark, base, 99)
+    assert v == 1 and snap.count() == 2
+
+
+def test_triplets_pick_nearest_positive_and_negative(spark):
+    """Anchor label 7: positive = nearest same-label, negative =
+    nearest cross-label; margin_e6 is their rounded-cos difference."""
+    from machine_learning_with_spark_streaming_spark.operators.knn import (
+        contrastive_triplets,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 7),
+            (1, [0.999, 0.01], 7),    # nearest positive
+            (2, [0.5, 0.5], 7),       # farther positive
+            (3, [0.9, 0.1], 3),       # nearest negative
+            (4, [0.0, 1.0], 3),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = contrastive_triplets(emb, emb.filter("vec_id = 0"), dim=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["anchor"], r["positive_id"], r["negative_id"]) == (0, 1, 3)
+    assert r["margin_e6"] > 0

@@ -162,6 +162,8 @@ QUERIES = [
     "a23_equi_depth_histogram",
     "s26_funnel_latency",
     "emb_fisher_scores",
+    "k12_write_audit_publish",
+    "sample_triplets",
 ]
 
 
