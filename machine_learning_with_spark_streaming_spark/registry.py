@@ -93,6 +93,7 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.operators.residuals",
     "machine_learning_with_spark_streaming_spark.operators.depthhist",
     "machine_learning_with_spark_streaming_spark.operators.fisher",
+    "machine_learning_with_spark_streaming_spark.operators.sqlfront",
 ]
 
 

@@ -1135,3 +1135,33 @@ def test_triplets_pick_nearest_positive_and_negative(spark):
     r = out[0]
     assert (r["anchor"], r["positive_id"], r["negative_id"]) == (0, 1, 3)
     assert r["margin_e6"] > 0
+
+
+def test_sql_scalar_function_inlines(spark, sf_dir):
+    """The SQL UDF result equals the inlined expression and the plan
+    contains no Python eval node (it is a Catalyst-inlined function)."""
+    from machine_learning_with_spark_streaming_spark.operators.sqlfront import (
+        q_sql_scalar_function,
+    )
+
+    df = q_sql_scalar_function(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = {r["l_returnflag"]: r["revenue_e4"] for r in df.collect()}
+    assert len(rows) == 3 and all(v > 0 for v in rows.values())
+
+
+def test_variant_matches_get_json_object(spark):
+    """variant_get typed extraction agrees with the stringly
+    get_json_object path on the same payloads, including a missing key
+    (both NULL)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [('{"k": 3}',), ('{"k": 41}',), ('{"other": 9}',)], "props string"
+    )
+    out = df.select(
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("v"),
+        F.get_json_object("props", "$.k").cast("int").alias("g"),
+    ).collect()
+    assert all(r["v"] == r["g"] for r in out)

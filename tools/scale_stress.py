@@ -164,6 +164,8 @@ QUERIES = [
     "emb_fisher_scores",
     "k12_write_audit_publish",
     "sample_triplets",
+    "sql_q3_shipping_priority",
+    "f13_variant_props",
 ]
 
 
