@@ -295,6 +295,7 @@ EXTENDED += [
     "sample_triplets",
     "sql_q3_shipping_priority",
     "f13_variant_props",
+    "s27_store_schema_evolution",
 ]
 
 

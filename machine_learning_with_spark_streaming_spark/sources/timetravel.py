@@ -449,3 +449,78 @@ def _register_k12():
 
 
 _register_k12()
+
+
+def read_history_unified(spark: SparkSession, base: str) -> DataFrame:
+    """Union ALL committed versions under one evolved schema
+    (mergeSchema over the per-version dirs, version recovered from the
+    directory name) — the "read my table's whole history after a
+    column was added" shape: rows from pre-evolution versions surface
+    the new column as NULL, exactly like Delta/Iceberg schema
+    evolution. One multi-dir scan; per-version partition pruning still
+    applies when a version filter is pushed."""
+    log = spark.read.parquet(f"{base}_log")
+    versions = sorted(int(r["version"]) for r in log.collect())
+    paths = [os.path.join(base, f"v={v}") for v in versions]
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", base)
+        .parquet(*paths)
+    )
+
+
+_S27_CUT = "1998-01-01"
+
+_S27_ORACLE = f"""
+WITH v1 AS (
+  SELECT o_orderkey FROM orders WHERE o_orderdate < DATE '{_S27_CUT}'
+),
+v2 AS (
+  SELECT o_orderkey, o_orderpriority
+  FROM orders WHERE o_orderdate >= DATE '{_S27_CUT}'
+)
+SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS n_with_priority FROM v1
+UNION ALL
+SELECT 2, CAST(count(*) AS BIGINT), CAST(count(o_orderpriority) AS BIGINT)
+FROM v2
+ORDER BY 1
+"""
+
+
+def _register_s27():
+    from machine_learning_with_spark_streaming_spark.registry import register
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    @register("s27_store_schema_evolution", oracle=_S27_ORACLE)
+    def q_store_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """S-family beyond-ref: version 2 adds a column; the unified
+        history read surfaces version-1 rows with the new column NULL
+        (write-side schema evolution on the snapshot store, the s17
+        mergeSchema contract extended to versioned history)."""
+        import tempfile
+
+        orders = load_table(spark, sf_dir, "orders")
+        base = os.path.join(tempfile.mkdtemp(prefix="mlwss_s27_"), "orders")
+        write_snapshot(
+            orders.filter(F.col("o_orderdate") < _S27_CUT).select("o_orderkey"),
+            base, 1, "o_orderkey",
+        )
+        write_snapshot(
+            orders.filter(F.col("o_orderdate") >= _S27_CUT).select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            base, 2, "o_orderkey",
+        )
+        hist = read_history_unified(spark, base)
+        return (
+            hist.groupBy(F.col("v").cast("int").alias("version"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count("o_orderpriority").cast("long").alias("n_with_priority"),
+            )
+            .orderBy("version")
+        )
+
+
+_register_s27()

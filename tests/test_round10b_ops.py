@@ -1165,3 +1165,23 @@ def test_variant_matches_get_json_object(spark):
         F.get_json_object("props", "$.k").cast("int").alias("g"),
     ).collect()
     assert all(r["v"] == r["g"] for r in out)
+
+
+def test_history_unified_read_nulls_old_versions(spark, tmp_path):
+    """Unified history read: the added column is NULL on version-1 rows
+    and populated on version-2 rows; version recovered from the path."""
+    from machine_learning_with_spark_streaming_spark.sources.timetravel import (
+        read_history_unified,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "store")
+    write_snapshot(
+        spark.createDataFrame([(1,), (2,)], "k long"), base, 1, "k"
+    )
+    write_snapshot(
+        spark.createDataFrame([(3, "x")], "k long, extra string"), base, 2, "k"
+    )
+    hist = read_history_unified(spark, base)
+    rows = {(r["v"], r["k"]): r["extra"] for r in hist.collect()}
+    assert rows == {(1, 1): None, (1, 2): None, (2, 3): "x"}

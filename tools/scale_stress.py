@@ -166,6 +166,7 @@ QUERIES = [
     "sample_triplets",
     "sql_q3_shipping_priority",
     "f13_variant_props",
+    "s27_store_schema_evolution",
 ]
 
 
