@@ -130,3 +130,122 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_bucket")
     )
+
+
+# ------------------------------------------------------------------
+# r11: the reference's three signature query shapes as PURE SQL text
+# (VERDICT r10 item 3). Each statement below is dialect-portable ANSI,
+# so the SAME text runs on Spark and on the DuckDB oracle — the front
+# door itself (view registration + spark.sql) is what gets certified,
+# over the richest semantics the reference expresses declaratively:
+# the DAX ROLLUPADDISSUBTOTAL flag (BPCbySKU.ps1:90-107), the +/-15%
+# QC verdict with 0-baseline edge rules (pipeline/qualitycheck.py:
+# 175-180), and the ABC Pareto classifier (packages/
+# myConversionsClass.py:228-252). Results intentionally match the
+# DataFrame-form a5/v3/w1 queries: same semantics, second surface.
+# Plans are ordinary Catalyst plans — the rollup lowers to Expand +
+# hash agg, the QC verdict to two pushed-filter scans + a broadcast
+# full-outer, the ABC to one shuffle on brand + window.
+
+_SQL_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS total_price,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       (GROUPING(o_orderstatus) = 1) AS is_grand_total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+"""
+
+
+@register("sql_rollup_grand_total", oracle=_SQL_ROLLUP)
+def q_sql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface A5: rollup + GROUPING() grand-total flag as pure
+    ``spark.sql`` text (DAX ROLLUPADDISSUBTOTAL/ISGRANDTOTALROWTOTAL,
+    BPCbySKU.ps1:90-107). One Expand + single-shuffle hash aggregate."""
+    _register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_SQL_ROLLUP)
+
+
+_SQL_QC = """
+WITH new AS (
+  SELECT o_orderpriority AS priority,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS nv
+  FROM orders WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+  GROUP BY priority
+), base AS (
+  SELECT o_orderpriority AS priority,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS bv
+  FROM orders WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+    AND o_orderpriority <> '5-LOW'
+  GROUP BY priority
+)
+SELECT coalesce(n.priority, b.priority) AS priority,
+       round(coalesce(nv, 0), 2) AS new_value,
+       round(coalesce(bv, 0), 2) AS baseline_value,
+       CASE WHEN coalesce(bv, 0) = 0 AND coalesce(nv, 0) = 0 THEN 0.0
+            WHEN coalesce(bv, 0) = 0 THEN NULL
+            ELSE round((coalesce(nv, 0) - coalesce(bv, 0)) / coalesce(bv, 0), 6)
+       END AS pct_diff,
+       CASE WHEN coalesce(bv, 0) = 0 AND coalesce(nv, 0) = 0 THEN 'PASS'
+            WHEN coalesce(bv, 0) = 0 THEN 'FAIL'
+            WHEN abs((coalesce(nv, 0) - coalesce(bv, 0)) / coalesce(bv, 0)) <= 0.15
+              THEN 'PASS'
+            ELSE 'FAIL'
+       END AS qc
+FROM new n FULL OUTER JOIN base b ON n.priority = b.priority
+ORDER BY priority
+"""
+
+
+@register("sql_qc_verdict", oracle=_SQL_QC)
+def q_sql_qc_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface V3: the +/-15% QC verdict with the reference's
+    0-baseline edge rules (pipeline/qualitycheck.py:175-180) as pure
+    SQL text — exact DECIMAL(27,6) sums, FULL OUTER reconcile."""
+    _register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_SQL_QC)
+
+
+_SQL_ABC = """
+WITH rev AS (
+  SELECT p.p_brand AS brand, l.l_partkey AS partkey,
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS revenue
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, l.l_partkey
+), c AS (
+  SELECT brand, partkey, revenue,
+    sum(CASE WHEN revenue < 0 THEN CAST(0 AS DECIMAL(18,2)) ELSE revenue END)
+      OVER (PARTITION BY brand ORDER BY (CASE WHEN revenue < 0 THEN CAST(0 AS DECIMAL(18,2)) ELSE revenue END) DESC, partkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_sum,
+    sum(CASE WHEN revenue < 0 THEN CAST(0 AS DECIMAL(18,2)) ELSE revenue END)
+      OVER (PARTITION BY brand) AS total,
+    (CASE WHEN revenue < 0 THEN CAST(0 AS DECIMAL(18,2)) ELSE revenue END) AS v
+  FROM rev
+), r AS (
+  SELECT brand, partkey, revenue, v, cum_sum,
+         CAST(v AS DOUBLE) / CAST(total AS DOUBLE) AS pct,
+         CAST(cum_sum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_pct
+  FROM c
+)
+SELECT brand, partkey, CAST(round(revenue, 2) AS DOUBLE) AS revenue,
+       round(cum_pct, 6) AS cum_percent,
+       CASE
+         WHEN (v > 0 AND v = cum_sum) OR (cum_pct > 0 AND cum_pct <= 0.8) THEN 'A'
+         WHEN cum_pct > 0.8 AND cum_pct <= 0.95 THEN 'B'
+         WHEN pct >= 0.15 THEN 'B'
+         ELSE 'C'
+       END AS abc
+FROM r
+ORDER BY brand, partkey
+"""
+
+
+@register("sql_abc_classify", oracle=_SQL_ABC)
+def q_sql_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface W1: ABC Pareto classification as pure SQL text
+    (packages/myConversionsClass.py:228-252) — DECIMAL cumulations so
+    the classifier's boundary comparisons are engine-exact, one window
+    shuffle on brand."""
+    _register_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_SQL_ABC)
