@@ -129,6 +129,15 @@ _STALE_CERTS: dict[str, int] = {
     # consumers on the new plan.
     "sim_topk_cosine": 9,
     "sim_rag_retrieve": 9,
+    # r11 removed the global row_number staging windows (VERDICT r10
+    # item 5): cusum monitor days now batch via a driver-built broadcast
+    # day map, heavy hitters via per-row pmod round-robin. Values proven
+    # unchanged (monitor: identical day->batch mapping; HH: MG+exact
+    # recount is split-invariant) but plans changed — re-certify.
+    # s11_transitions_stream also changed (percentile-boundary split)
+    # but has never been driver-certified, so it already sorts first.
+    "s11_cusum_monitor_stream": 10,
+    "s11_heavy_hitters_stream": 10,
 }
 
 

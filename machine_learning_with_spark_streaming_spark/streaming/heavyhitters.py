@@ -137,15 +137,13 @@ def q_heavy_hitters_stream(spark, sf_dir):
         .select("event_id", "user_id")
     )
 
-    # deterministic batch split by event_id range
-    from pyspark.sql import Window
-
-    ranked = ev.withColumn(
-        "rk", F.row_number().over(Window.orderBy("event_id")) - 1
-    )
-    n = ev.count()
-    batched = ranked.withColumn(
-        "b", F.expr(f"(rk * {N_HH_BATCHES}) div {n}")
+    # deterministic batch split — round-robin on event_id (a pure
+    # per-row expression: no global row_number window, no count job).
+    # The MG guarantee + exact recount make the FINAL output invariant
+    # to how events are split into micro-batches, so any deterministic
+    # split is valid; this one is map-only at any scale.
+    batched = ev.withColumn(
+        "b", F.pmod(F.col("event_id"), F.lit(N_HH_BATCHES))
     ).withColumn("bucket", F.pmod(F.col("user_id"), F.lit(N_BUCKETS)))
 
     work = tempfile.mkdtemp(prefix="mlwss_hh_stream_")

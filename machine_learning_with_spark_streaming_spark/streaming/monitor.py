@@ -197,21 +197,19 @@ def q_cusum_monitor_stream(spark, sf_dir):
     )
     ref_mad = {r["event_type"]: (r["ref"], r["mad"]) for r in refs}
 
-    # globally ranked distinct days -> N_MONITOR_BATCHES staged ranges
-    from pyspark.sql import Window
-
-    days = (
-        daily.select("day")
-        .distinct()
-        .withColumn(
-            "rk", F.row_number().over(Window.orderBy("day")) - 1
-        )
+    # distinct days -> N_MONITOR_BATCHES contiguous day ranges. The day
+    # domain is calendar-bounded (<= a few thousand rows at any SF), so
+    # the rank->batch mapping is built driver-side from the collected
+    # distinct days and broadcast back — no global row_number window
+    # (the r3 scale-killer shape this staging used to share).
+    day_vals = sorted(r["day"] for r in daily.select("day").distinct().collect())
+    n_days = len(day_vals)
+    assert n_days <= 100_000, f"day domain unexpectedly large: {n_days}"
+    day_map = spark.createDataFrame(
+        [(d, rk * N_MONITOR_BATCHES // n_days) for rk, d in enumerate(day_vals)],
+        "day date, b long",
     )
-    n_days = days.count()
-    batched = daily.join(days, "day").withColumn(
-        "b",
-        F.expr(f"(rk * {N_MONITOR_BATCHES}) div {n_days}").cast("long"),
-    )
+    batched = daily.join(F.broadcast(day_map), "day")
 
     work = tempfile.mkdtemp(prefix="mlwss_cusum_mon_")
     stage = f"{work}/stage"

@@ -107,6 +107,9 @@ def q_transitions_stream(spark, sf_dir):
 
     from pyspark.sql import Window
 
+    from machine_learning_with_spark_streaming_spark.operators.sampling import (
+        range_shard_assignment,
+    )
     from machine_learning_with_spark_streaming_spark.streaming.examples import (
         stage_ordered_files,
     )
@@ -117,13 +120,15 @@ def q_transitions_stream(spark, sf_dir):
         "event_id",
         "event_type",
     )
-    ranked = ev.withColumn(
-        "__rk", F.row_number().over(Window.orderBy("us", "event_id")) - 1
-    )
-    n = ev.count()
-    batched = ranked.withColumn(
-        "__b",
-        F.expr(f"(__rk * {N_TRANSITION_BATCHES}) div {n}").cast("int"),
+    # time-range batch split via exact broadcast percentile boundaries
+    # on ``us`` (range_shard_assignment: one distributed aggregate + a
+    # map-only assignment — no global row_number window). Batches are
+    # monotone in event time (ties never straddle a boundary) and the
+    # stateful update sorts within each batch, so every user's events
+    # are still visited in (us, event_id) order — emissions identical
+    # to the old rank split.
+    batched = range_shard_assignment(ev, "us", N_TRANSITION_BATCHES).withColumnRenamed(
+        "shard", "__b"
     )
 
     work = tempfile.mkdtemp(prefix="mlwss_trans_stream_")
