@@ -298,11 +298,13 @@ EXTENDED += [
     "s27_store_schema_evolution",
 ]
 
-# Added round 11: the signature shapes through the SQL front door.
+# Added round 11: the signature shapes through the SQL front door, and
+# the histogram-bucketed AUC (score-cardinality-independent window).
 EXTENDED += [
     "sql_rollup_grand_total",
     "sql_qc_verdict",
     "sql_abc_classify",
+    "ml_auc_bucketed",
 ]
 
 

@@ -72,3 +72,72 @@ def test_sql_abc_matches_dataframe_form(spark, sf_dir, oracle_con):
         for r in q_abc(spark, sf_dir).collect()
     }
     assert sql_rows == w1_rows
+
+
+# ---------------------------------------------- histogram-bucketed AUC
+
+
+def test_auc_bucketed_bounds_window_input_on_continuous_scores(spark):
+    """Near-continuous scores (all distinct): auc_rank's histogram has
+    one row per score, the bucketed form's is capped by range/width —
+    and with bins wide enough to merge nothing's ORDER, the rank-sum
+    identity keeps the same AUC."""
+    from machine_learning_with_spark_streaming_spark.ml.metrics import (
+        auc_rank,
+        auc_rank_bucketed,
+    )
+    from pyspark.sql import functions as F
+
+    n = 5000
+    # scores 0..n-1 (all distinct); positives are the top 10%
+    df = spark.range(n).select(
+        F.col("id").cast("long").alias("score_e6"),
+        (F.col("id") >= n - n // 10).cast("int").alias("y"),
+    )
+    exact = auc_rank(df).collect()[0]
+    # bin width 1: identical grouping -> identical AUC
+    same = auc_rank_bucketed(df, bin_w_e6=1).collect()[0]
+    assert (same["n_pos"], same["n_neg"], same["auc_e6"]) == (
+        exact["n_pos"],
+        exact["n_neg"],
+        exact["auc_e6"],
+    )
+    # wide bins: the histogram the window sorts is capped at range/width
+    binned = auc_rank_bucketed(df, bin_w_e6=100)
+    row = binned.collect()[0]
+    assert row["n_pos"] == exact["n_pos"] and row["n_neg"] == exact["n_neg"]
+    # perfectly separable in units of 100 -> AUC still ~1 (ties only
+    # inside bins; positives occupy the top bins exclusively except one
+    # boundary bin), so bucketed AUC is within one bin's tie mass
+    assert abs(row["auc_e6"] - exact["auc_e6"]) < 2_000
+
+
+def test_auc_bucketed_partition_invariant_and_engine_deterministic(spark):
+    """The bucketed statistic is a pure function of (data, bin width):
+    repartitioning the input must not move it by a single ppm."""
+    from machine_learning_with_spark_streaming_spark.ml.metrics import (
+        auc_rank_bucketed,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(3000).select(
+        (F.xxhash64("id") % 1_000_000).alias("score_e6"),
+        (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(3)) == 0).cast("int").alias("y"),
+    )
+    a = auc_rank_bucketed(df).collect()[0]
+    b = auc_rank_bucketed(df.repartition(17)).collect()[0]
+    c = auc_rank_bucketed(df.coalesce(1)).collect()[0]
+    assert tuple(a) == tuple(b) == tuple(c)
+
+
+def test_auc_bucketed_single_class_is_null(spark):
+    from machine_learning_with_spark_streaming_spark.ml.metrics import (
+        auc_rank_bucketed,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id").alias("score_e6"), F.lit(1).alias("y")
+    )
+    row = auc_rank_bucketed(df).collect()[0]
+    assert row["auc_e6"] is None and row["n_neg"] == 0

@@ -167,6 +167,11 @@ QUERIES = [
     "sql_q3_shipping_priority",
     "f13_variant_props",
     "s27_store_schema_evolution",
+    # round-11 additions
+    "ml_auc_bucketed",
+    "sql_rollup_grand_total",
+    "sql_qc_verdict",
+    "sql_abc_classify",
 ]
 
 
