@@ -149,3 +149,152 @@ def _register_s25():
 
 
 _register_s25()
+
+
+# ----------------------------------------------- distributed xlsx scan
+
+
+class _XlsxPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class XlsxDataSource(DataSource):
+    """``spark.read.format("mlwss_xlsx")`` — a DISTRIBUTED Excel scan
+    (VERDICT r10 item 4): option ``path`` is a directory of ``*.xlsx``
+    workbooks, planning lists the files (one ``InputPartition`` each),
+    and every partition parses its workbook EXECUTOR-side with the
+    stdlib zip+XML parser in ``sources/xlsx.py`` (reference reads
+    workbooks driver-side via pandas+openpyxl,
+    ``packages/myFileClass.py:117-120`` / ``pipeline/lib.py:92-101`` —
+    fine for one lookup file, a driver bottleneck for a corpus).
+
+    Options: ``sheet`` (index or name, default 0), ``header``
+    ("true"/"false", default true: first row of every file is a header
+    and is skipped). Schema is caller-supplied; cells map positionally
+    and coerce to the field type (xlsx numerics surface as floats, so
+    integer fields re-truncate; extra columns are ignored, missing ones
+    are NULL)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "mlwss_xlsx"
+
+    def reader(self, schema):
+        return _XlsxReader(schema, self.options)
+
+
+class _XlsxReader(DataSourceReader):
+    def __init__(self, schema, options):
+        self.schema = schema
+        self.path = options["path"]
+        sheet = options.get("sheet", "0")
+        self.sheet: int | str = int(sheet) if sheet.lstrip("-").isdigit() else sheet
+        self.header = options.get("header", "true").lower() == "true"
+
+    def partitions(self):
+        files = sorted(
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if f.endswith(".xlsx")
+        )
+        return [_XlsxPartition(p) for p in files]
+
+    def read(self, partition):
+        # executor-side import: keep the parser off the plan/pickle path
+        from machine_learning_with_spark_streaming_spark.sources.xlsx import read_xlsx_rows
+
+        fields = self.schema.fields
+        n = len(fields)
+
+        def coerce(v, dt):
+            if v is None:
+                return None
+            t = dt.typeName()
+            if t in ("long", "integer", "short", "byte"):
+                return int(v)
+            if t in ("double", "float"):
+                return float(v)
+            if t == "boolean":
+                return bool(v)
+            if t == "string":
+                return v if isinstance(v, str) else str(v)
+            return v
+
+        rows = read_xlsx_rows(partition.path, self.sheet)
+        if self.header and rows:
+            rows = rows[1:]
+        for r in rows:
+            padded = list(r[:n]) + [None] * (n - len(r))
+            yield tuple(coerce(v, f.dataType) for v, f in zip(padded, fields))
+
+
+_S2D_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM orders WHERE o_orderkey % 10 = 7
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _register_s2_distributed():
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
+
+    from machine_learning_with_spark_streaming_spark.registry import register
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+
+    @register("s2_xlsx_distributed", oracle=_S2D_ORACLE)
+    def q_xlsx_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """S2 at corpus scale: stage a deterministic orders slice as 4
+        xlsx workbooks, scan them back through the mlwss_xlsx Python
+        DataSource (one partition per file, stdlib parse executor-side)
+        and aggregate — money summed as exact cents so the xlsx number
+        round-trip is hash-certifiable against the parquet oracle."""
+        import tempfile
+
+        from machine_learning_with_spark_streaming_spark.sources.xlsx import write_xlsx
+
+        spark.dataSource.register(XlsxDataSource)
+
+        rows = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 10 == 7)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .collect()
+        )
+        work = tempfile.mkdtemp(prefix="mlwss_s2d_")
+        n_files = 4
+        header = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+        buckets: list[list[list]] = [[header] for _ in range(n_files)]
+        for r in rows:
+            buckets[r["o_orderkey"] % n_files].append(
+                [r["o_orderkey"], r["o_orderstatus"], r["o_totalprice"]]
+            )
+        for i, b in enumerate(buckets):
+            write_xlsx(os.path.join(work, f"{i:02d}.xlsx"), b)
+
+        back = (
+            spark.read.format("mlwss_xlsx")
+            .schema("o_orderkey long, o_orderstatus string, o_totalprice double")
+            .option("path", work)
+            .option("header", "true")
+            .load()
+        )
+        return (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                .alias("price_cents"),
+            )
+            .orderBy("o_orderstatus")
+        )
+
+
+_register_s2_distributed()

@@ -141,3 +141,59 @@ def test_auc_bucketed_single_class_is_null(spark):
     )
     row = auc_rank_bucketed(df).collect()[0]
     assert row["auc_e6"] is None and row["n_neg"] == 0
+
+
+# ------------------------------------------------ distributed xlsx scan
+
+
+def test_xlsx_datasource_partitions_per_file_and_coerces(spark, tmp_path):
+    """mlwss_xlsx plans one InputPartition per workbook, skips headers,
+    truncates xlsx floats back into integer fields, and NULL-pads
+    missing trailing cells."""
+    from machine_learning_with_spark_streaming_spark.sources.pydatasource import (
+        XlsxDataSource,
+    )
+    from machine_learning_with_spark_streaming_spark.sources.xlsx import write_xlsx
+
+    spark.dataSource.register(XlsxDataSource)
+    d = str(tmp_path / "books")
+    import os
+
+    os.makedirs(d)
+    write_xlsx(f"{d}/a.xlsx", [["k", "name", "v"], [1, "x", 1.5], [2, "y", 2.5]])
+    # second file: a row with a missing trailing cell
+    write_xlsx(f"{d}/b.xlsx", [["k", "name", "v"], [3, "z"]])
+    df = (
+        spark.read.format("mlwss_xlsx")
+        .schema("k long, name string, v double")
+        .option("path", d)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2
+    rows = {r["k"]: (r["name"], r["v"]) for r in df.collect()}
+    assert rows == {1: ("x", 1.5), 2: ("y", 2.5), 3: ("z", None)}
+    # integer field came back as int despite xlsx storing numerics as floats
+    assert all(isinstance(k, int) for k in rows)
+
+
+def test_xlsx_datasource_sheet_by_name_and_no_header(spark, tmp_path):
+    from machine_learning_with_spark_streaming_spark.sources.pydatasource import (
+        XlsxDataSource,
+    )
+    from machine_learning_with_spark_streaming_spark.sources.xlsx import write_xlsx
+
+    spark.dataSource.register(XlsxDataSource)
+    d = str(tmp_path / "books2")
+    import os
+
+    os.makedirs(d)
+    write_xlsx(f"{d}/only.xlsx", [[10, "a"], [20, "b"]], sheet_name="Data")
+    df = (
+        spark.read.format("mlwss_xlsx")
+        .schema("k long, name string")
+        .option("path", d)
+        .option("sheet", "Data")
+        .option("header", "false")
+        .load()
+    )
+    assert sorted((r["k"], r["name"]) for r in df.collect()) == [(10, "a"), (20, "b")]
