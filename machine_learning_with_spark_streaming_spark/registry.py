@@ -94,6 +94,8 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.operators.depthhist",
     "machine_learning_with_spark_streaming_spark.operators.fisher",
     "machine_learning_with_spark_streaming_spark.operators.sqlfront",
+    # r11 additions — keep behind everything already queued
+    "machine_learning_with_spark_streaming_spark.sources.fetchlake",
 ]
 
 

@@ -197,3 +197,59 @@ def test_xlsx_datasource_sheet_by_name_and_no_header(spark, tmp_path):
         .load()
     )
     assert sorted((r["k"], r["name"]) for r in df.collect()) == [(10, "a"), (20, "b")]
+
+
+# ---------------------------------------------- manifest fetch-to-lake
+
+
+def test_fetch_manifest_to_lake_side_outputs_failures(spark, tmp_path):
+    """file:// and plain-path URIs fetch executor-side; a dead URI lands
+    in the error side output with the exception text, not a job kill;
+    blank lines and # comments in the manifest are skipped."""
+    import os
+
+    from machine_learning_with_spark_streaming_spark.sources.fetchlake import (
+        fetch_manifest_to_lake,
+    )
+
+    store = tmp_path / "store"
+    os.makedirs(store)
+    (store / "a.bin").write_bytes(b"\x00\x01payload")
+    (store / "b.txt").write_text("hello")
+    manifest = tmp_path / "m.txt"
+    manifest.write_text(
+        f"# comment\n\n{store}/a.bin\nfile://{store}/b.txt\n{store}/nope.bin\n"
+    )
+    data, errors = fetch_manifest_to_lake(
+        spark, str(manifest), str(tmp_path / "lake")
+    )
+    got = {r["uri"].split("/")[-1]: bytes(r["payload"]) for r in data.collect()}
+    assert got == {"a.bin": b"\x00\x01payload", "b.txt": b"hello"}
+    errs = errors.collect()
+    assert len(errs) == 1
+    assert errs[0]["uri"].endswith("nope.bin")
+    assert "FileNotFoundError" in errs[0]["err"]
+    # the lake copies persist past the call — downstream reads hit parquet
+    assert spark.read.parquet(str(tmp_path / "lake" / "data")).count() == 2
+
+
+def test_fetch_datasource_one_partition_per_uri(spark, tmp_path):
+    import os
+
+    from machine_learning_with_spark_streaming_spark.sources.fetchlake import (
+        FetchDataSource,
+    )
+
+    spark.dataSource.register(FetchDataSource)
+    store = tmp_path / "s"
+    os.makedirs(store)
+    paths = []
+    for i in range(5):
+        p = store / f"f{i}.txt"
+        p.write_text(str(i))
+        paths.append(str(p))
+    manifest = tmp_path / "m.txt"
+    manifest.write_text("\n".join(paths))
+    df = spark.read.format("mlwss_fetch").option("manifest", str(manifest)).load()
+    assert df.rdd.getNumPartitions() == 5
+    assert df.filter("fetched").count() == 5
