@@ -191,3 +191,137 @@ def q_manifest_fetch_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# --------------------------------------------- publish lake -> store
+
+
+_SAFE_RESOURCE = r"^[A-Za-z0-9][A-Za-z0-9._-]*$"
+
+
+def publish_lake_to_store(df: DataFrame, store_dir: str) -> DataFrame:
+    """K6's push direction, generically (reference
+    `packages/mySPClass.py:189-250` uploads pipeline outputs to the
+    remote store): publish a lake relation of ``(resource, payload)``
+    rows as files under ``store_dir``, EXECUTOR-side, and return one
+    outcome row per resource — ``(resource, n_bytes, md5, published,
+    err)`` — so failures are data (K8 parity), never a job kill.
+
+    Contract per row: ``resource`` must match ``[A-Za-z0-9._-]+`` and
+    not start with a dot — anything else (separators, traversal, empty)
+    is REJECTED before any byte is written; accepted payloads land via
+    write-to-temp + ``os.replace`` so a concurrent reader never sees a
+    torn file (the WAP swap at file grain). The md5 is computed from
+    the bytes actually written, so the outcome manifest doubles as an
+    integrity receipt the caller can verify against the source.
+
+    Scale shape: one Arrow ``mapInPandas`` pass over the lake relation
+    — per-partition fan-out to the shared store exactly like a blob-
+    store uploader; no driver-side loop, no collect."""
+    import hashlib
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("resource", StringType()),
+            StructField("n_bytes", LongType()),
+            StructField("md5", StringType()),
+            StructField("published", BooleanType()),
+            StructField("err", StringType()),
+        ]
+    )
+
+    def publish(batches):
+        import os as _os
+        import re as _re
+        import uuid as _uuid
+
+        import pandas as _pd
+
+        pat = _re.compile(_SAFE_RESOURCE)
+        for pdf in batches:
+            out = []
+            for resource, payload in zip(pdf["resource"], pdf["payload"]):
+                if resource is None or not pat.match(str(resource)):
+                    out.append((resource, None, None, False, "unsafe resource name"))
+                    continue
+                try:
+                    data = bytes(payload) if payload is not None else b""
+                    tmp = _os.path.join(
+                        store_dir, f".tmp-{_uuid.uuid4().hex}-{resource}"
+                    )
+                    with open(tmp, "wb") as fh:
+                        fh.write(data)
+                    _os.replace(tmp, _os.path.join(store_dir, str(resource)))
+                    out.append(
+                        (
+                            resource,
+                            len(data),
+                            hashlib.md5(data).hexdigest(),
+                            True,
+                            None,
+                        )
+                    )
+                except Exception as exc:  # noqa: BLE001 — outcome row contract
+                    out.append(
+                        (resource, None, None, False, f"{type(exc).__name__}: {exc}"[:500])
+                    )
+            yield _pd.DataFrame(
+                out, columns=["resource", "n_bytes", "md5", "published", "err"]
+            )
+
+    return df.select("resource", "payload").mapInPandas(publish, out_schema)
+
+
+_K6_ORACLE = """
+SELECT 'doc_' || doc_id || '.txt' AS resource,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS md5,
+       TRUE AS published
+FROM documents WHERE doc_id % 5 = 2
+UNION ALL
+SELECT '../escape.txt', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), FALSE
+ORDER BY resource
+"""
+
+
+@register("k6_publish_store", oracle=_K6_ORACLE)
+def q_publish_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 re-expressed generically: publish a documents slice from the
+    lake to a store directory executor-side (atomic per-file swap), a
+    planted path-traversal resource rejected as an outcome row, and the
+    integrity receipt (bytes + md5 of what was WRITTEN) hash-certified
+    against the source-of-truth oracle."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="mlwss_k6_")
+    store = os.path.join(work, "store")
+    os.makedirs(store)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 2)
+        .select(
+            F.concat(F.lit("doc_"), F.col("doc_id"), F.lit(".txt")).alias("resource"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+    )
+    bad = spark.createDataFrame(
+        [("../escape.txt", bytearray(b"nope"))], "resource string, payload binary"
+    )
+    outcome = (
+        publish_lake_to_store(docs.unionByName(bad), store)
+        .select("resource", "n_bytes", "md5", "published")
+        .orderBy("resource")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return outcome

@@ -253,3 +253,40 @@ def test_fetch_datasource_one_partition_per_uri(spark, tmp_path):
     df = spark.read.format("mlwss_fetch").option("manifest", str(manifest)).load()
     assert df.rdd.getNumPartitions() == 5
     assert df.filter("fetched").count() == 5
+
+
+def test_publish_lake_to_store_writes_files_and_rejects_traversal(spark, tmp_path):
+    """Accepted resources land as files whose bytes match the receipt;
+    the traversal name is rejected BEFORE any write (no file appears
+    anywhere), and no temp files are left behind."""
+    import hashlib
+    import os
+
+    from machine_learning_with_spark_streaming_spark.sources.fetchlake import (
+        publish_lake_to_store,
+    )
+
+    store = tmp_path / "store"
+    os.makedirs(store)
+    df = spark.createDataFrame(
+        [
+            ("a.txt", bytearray(b"alpha")),
+            ("b.bin", bytearray(b"\x00\xff")),
+            ("../evil.txt", bytearray(b"x")),
+            ("sub/dir.txt", bytearray(b"x")),
+            (".hidden", bytearray(b"x")),
+        ],
+        "resource string, payload binary",
+    )
+    rows = {r["resource"]: r for r in publish_lake_to_store(df, str(store)).collect()}
+    assert rows["a.txt"]["published"] and rows["b.bin"]["published"]
+    for bad in ("../evil.txt", "sub/dir.txt", ".hidden"):
+        assert not rows[bad]["published"]
+        assert rows[bad]["err"] == "unsafe resource name"
+    assert (store / "a.txt").read_bytes() == b"alpha"
+    assert (store / "b.bin").read_bytes() == b"\x00\xff"
+    assert rows["a.txt"]["md5"] == hashlib.md5(b"alpha").hexdigest()
+    assert rows["b.bin"]["n_bytes"] == 2
+    # nothing escaped the store root; nothing else was created
+    assert sorted(os.listdir(store)) == ["a.txt", "b.bin"]
+    assert not (tmp_path / "evil.txt").exists()
