@@ -305,6 +305,7 @@ EXTENDED += [
     "sql_qc_verdict",
     "sql_abc_classify",
     "ml_auc_bucketed",
+    "ml_pr_bucketed",
 ]
 
 

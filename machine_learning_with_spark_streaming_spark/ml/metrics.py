@@ -522,3 +522,91 @@ def q_auc_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return auc_rank_bucketed(scored)
+
+
+def pr_curve_bucketed(
+    scored: DataFrame,
+    label_col: str = "y",
+    score_col: str = "score_e6",
+    bin_w_e6: int = AUC_BIN_W_E6,
+) -> DataFrame:
+    """PR curve over fixed-width score bins — ``pr_curve``'s 100 TB
+    form: thresholds are the bin LOWER EDGES (``lo + ((s-lo) div w)·w``
+    — every row in a bin scores >= its edge, so sweeping edges is
+    exactly ``pr_curve`` run on the edge-snapped scores), which caps
+    both the cumulative window's input AND the emitted curve at
+    range/width rows regardless of score cardinality."""
+    lo = scored.agg(F.min(score_col).alias("__lo"))
+    snapped = scored.crossJoin(F.broadcast(lo)).select(
+        F.col(label_col),
+        (
+            F.col("__lo")
+            + F.expr(f"({score_col} - __lo) div {bin_w_e6}") * F.lit(bin_w_e6)
+        )
+        .cast("long")
+        .alias("__edge"),
+    )
+    return pr_curve(snapped, label_col=label_col, score_col="__edge")
+
+
+_PR_BUCKETED_ORACLE = f"""
+WITH w0(w, b) AS (VALUES
+  {_w0_values()}
+),
+scored AS (
+  SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+         CAST(round(
+           (list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                             w0.w) + w0.b) * 1e6, 0) AS BIGINT) AS score_e6
+  FROM embeddings, w0
+),
+lo AS (SELECT min(score_e6) AS lo FROM scored),
+snapped AS (
+  SELECT y, lo + ((score_e6 - lo) // {AUC_BIN_W_E6}) * {AUC_BIN_W_E6} AS s
+  FROM scored, lo
+),
+g AS (
+  SELECT s, count(*) AS n, sum(y) AS np FROM snapped GROUP BY 1
+),
+cum AS (
+  SELECT s,
+         sum(n) OVER (ORDER BY s DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS predp,
+         sum(np) OVER (ORDER BY s DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         (SELECT sum(np) FROM g) AS p
+  FROM g
+)
+SELECT CAST(s AS BIGINT) AS threshold_e6,
+       CAST(tp AS BIGINT) AS tp,
+       CAST(predp - tp AS BIGINT) AS fp,
+       CAST(p - tp AS BIGINT) AS fn,
+       CAST((tp * 1000000) // predp AS BIGINT) AS prec_ppm,
+       CAST((tp * 1000000) // p AS BIGINT) AS rec_ppm
+FROM cum ORDER BY 1
+"""
+
+
+@register("ml_pr_bucketed", oracle=_PR_BUCKETED_ORACLE)
+def q_pr_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed PR curve of the frozen logreg class-0 margin — the
+    curve stays readable (and the window bounded) at any corpus size:
+    one row per occupied fixed-width score bin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    wdf = spark.createDataFrame(
+        [LOGREG_WEIGHTS[0]], "class int, w array<double>, b double"
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(wdf))
+        .select(
+            F.when(F.col("label") == 0, 1).otherwise(0).alias("y"),
+            F.round(
+                (dot(as_double_array("embedding"), F.col("w")) + F.col("b"))
+                * E6,
+                0,
+            )
+            .cast("long")
+            .alias("score_e6"),
+        )
+    )
+    return pr_curve_bucketed(scored)

@@ -290,3 +290,34 @@ def test_publish_lake_to_store_writes_files_and_rejects_traversal(spark, tmp_pat
     # nothing escaped the store root; nothing else was created
     assert sorted(os.listdir(store)) == ["a.txt", "b.bin"]
     assert not (tmp_path / "evil.txt").exists()
+
+
+def test_pr_curve_bucketed_is_pr_curve_of_snapped_scores(spark):
+    """Edge-snapping then pr_curve equals pr_curve_bucketed by
+    construction; recall is monotone decreasing in threshold and the
+    curve row count is capped by range/width."""
+    from machine_learning_with_spark_streaming_spark.ml.metrics import (
+        pr_curve,
+        pr_curve_bucketed,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).select(
+        (F.xxhash64("id") % 100_000).alias("score_e6"),
+        (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(4)) == 0).cast("int").alias("y"),
+    )
+    w = 10_000
+    curve = pr_curve_bucketed(df, bin_w_e6=w).collect()
+    assert 0 < len(curve) <= (200_000 // w) + 1
+    lo = df.agg(F.min("score_e6")).first()[0]
+    snapped = df.select(
+        "y",
+        (F.lit(lo) + ((F.col("score_e6") - lo) / w).cast("long") * w)
+        .cast("long")
+        .alias("score_e6"),
+    )
+    # snapped scores are non-negative-shifted so int-div == floor here
+    direct = pr_curve(snapped).collect()
+    assert [tuple(r) for r in curve] == [tuple(r) for r in direct]
+    recs = [r["rec_ppm"] for r in curve]
+    assert recs == sorted(recs, reverse=True)

@@ -169,6 +169,7 @@ QUERIES = [
     "s27_store_schema_evolution",
     # round-11 additions
     "ml_auc_bucketed",
+    "ml_pr_bucketed",
     "sql_rollup_grand_total",
     "sql_qc_verdict",
     "sql_abc_classify",
