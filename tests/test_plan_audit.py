@@ -48,6 +48,12 @@ DOUBLE_OUTPUT_ALLOWLIST = {
     "a2_a3_groupby_concat_dim": ["value_sum"],
     "a5_grouping_sets": ["total_price"],
     "a5_rollup_grand_total": ["total_price"],
+    # r11: SQL-text fronts of already-allowlisted queries — identical
+    # expressions to a5_rollup_grand_total / v3_qc_verdict /
+    # w1_abc_classify; swept green at sf0.1 --shuffle 5 on registration
+    "sql_rollup_grand_total": ["total_price"],
+    "sql_qc_verdict": ["baseline_value", "new_value", "pct_diff"],
+    "sql_abc_classify": ["cum_percent", "revenue"],
     "a6_latest_snapshot": ["total_price"],
     "dedup_containment": ["cont_a_in_b", "cont_b_in_a"],
     "dedup_embedding_cosine": ["cos"],
