@@ -96,6 +96,8 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.operators.sqlfront",
     # r11 additions — keep behind everything already queued
     "machine_learning_with_spark_streaming_spark.sources.fetchlake",
+    "machine_learning_with_spark_streaming_spark.operators.kmv",
+    "machine_learning_with_spark_streaming_spark.ml.calibration",
 ]
 
 

@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from tests.conftest import assert_matches_oracle
 
 
@@ -321,3 +323,125 @@ def test_pr_curve_bucketed_is_pr_curve_of_snapped_scores(spark):
     assert [tuple(r) for r in curve] == [tuple(r) for r in direct]
     recs = [r["rec_ppm"] for r in curve]
     assert recs == sorted(recs, reverse=True)
+
+
+# --------------------------------------------------- KMV set algebra
+
+
+def test_kmv_set_ops_matches_oracle(spark, sf_dir, oracle_con):
+    from machine_learning_with_spark_streaming_spark.operators.kmv import _KMV_ORACLE, q_kmv_set_ops
+
+    df = q_kmv_set_ops(spark, sf_dir)
+    assert "CartesianProduct" not in _plan(df)
+    assert_matches_oracle(df, oracle_con, _KMV_ORACLE)
+
+
+def test_kmv_sketch_invariant_to_shards_and_partitioning(spark):
+    """k smallest is k smallest: NSHARDS (the phase-1 fan-out) and the
+    input partitioning must not change a single sketch row."""
+    from machine_learning_with_spark_streaming_spark.operators.kmv import kmv_sketch
+
+    df = spark.range(5000).select(
+        (F.col("id") % 3).cast("string").alias("grp"), F.col("id").alias("uid")
+    )
+    base = sorted(
+        tuple(r) for r in kmv_sketch(df, "grp", "uid", k=32, nshards=64).collect()
+    )
+    for variant in (
+        kmv_sketch(df, "grp", "uid", k=32, nshards=7),
+        kmv_sketch(df.repartition(13, "uid"), "grp", "uid", k=32, nshards=64),
+    ):
+        assert sorted(tuple(r) for r in variant.collect()) == base
+    per_key = {}
+    for grp, _h in base:
+        per_key[grp] = per_key.get(grp, 0) + 1
+    assert all(v == 32 for v in per_key.values())
+
+
+def test_kmv_unsaturated_sketch_is_exact(spark):
+    """Below k distinct ids the estimator must return EXACT counts —
+    including the intersection (rho over an exact union)."""
+    from machine_learning_with_spark_streaming_spark.operators.kmv import (
+        kmv_pair_estimates,
+        kmv_sketch,
+    )
+
+    rows = [("a", i) for i in range(20)] + [("b", i) for i in range(10, 40)]
+    df = spark.createDataFrame(rows, "key string, uid long")
+    out = kmv_pair_estimates(kmv_sketch(df, "key", "uid")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["est_a"], r["est_b"]) == (20, 30)
+    assert r["est_union"] == 40 and r["est_common"] == 10
+    assert r["jaccard_ppm"] == 10 * 1_000_000 // 40
+
+
+def test_kmv_estimate_within_bound_when_saturated(spark):
+    """k=64 on 1000-distinct keys: the (k-1)/u_k estimate lands within
+    the ~3/sqrt(k) relative band (38% at k=64; observed ~5%)."""
+    from machine_learning_with_spark_streaming_spark.operators.kmv import (
+        kmv_pair_estimates,
+        kmv_sketch,
+    )
+
+    rows = [("a", i) for i in range(1000)] + [("b", i) for i in range(500, 1500)]
+    df = spark.createDataFrame(rows, "key string, uid long")
+    r = kmv_pair_estimates(kmv_sketch(df, "key", "uid")).collect()[0]
+    for est, truth in ((r["est_a"], 1000), (r["est_b"], 1000), (r["est_union"], 1500)):
+        assert abs(est - truth) / truth < 0.38, (est, truth)
+
+
+# ------------------------------------------------ binned calibration
+
+
+def test_calibration_bins_matches_oracle(spark, sf_dir, oracle_con):
+    from machine_learning_with_spark_streaming_spark.ml.calibration import (
+        _CALIBRATION_ORACLE,
+        q_calibration_bins,
+    )
+
+    df = q_calibration_bins(spark, sf_dir)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert_matches_oracle(df, oracle_con, _CALIBRATION_ORACLE)
+    # all-BIGINT surface: the exactness contract is no doubles at all
+    assert all(f.dataType.simpleString() == "bigint" for f in df.schema.fields)
+
+
+def test_calibration_total_row_is_ece_of_curve(spark):
+    from machine_learning_with_spark_streaming_spark.ml.calibration import calibration_bins
+
+    df = spark.range(4000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(2)) == 0).cast("int").alias("y"),
+        (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(4_000_001)) - 2_000_000)
+        .cast("long")
+        .alias("margin_e6"),
+    )
+    rows = {r["bin"]: r for r in calibration_bins(df).collect()}
+    curve = [r for b, r in rows.items() if b >= 0]
+    total = rows[-1]
+    n = sum(r["n"] for r in curve)
+    assert total["n"] == n == 4000
+    assert total["n_pos"] == sum(r["n_pos"] for r in curve)
+    assert total["gap_e6"] == sum(r["n"] * r["gap_e6"] for r in curve) // n
+
+
+def test_calibration_perfectly_calibrated_input_has_near_zero_ece(spark):
+    """y drawn to match the algebraic-sigmoid probability bin-for-bin
+    (deterministic hash draw): every bin's gap collapses, so ECE is
+    small while a miscalibrated scorer's is not."""
+    from machine_learning_with_spark_streaming_spark.ml.calibration import calibration_bins
+
+    base = spark.range(20000).select(
+        (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(4_000_001)) - 2_000_000)
+        .cast("long")
+        .alias("margin_e6"),
+        F.pmod(F.xxhash64("id", F.lit(11)), F.lit(1_000_000)).alias("u"),
+    )
+    p = F.expr("500000 + (margin_e6 * 500000) div (1000000 + abs(margin_e6))")
+    good = base.select((F.col("u") < p).cast("int").alias("y"), "margin_e6")
+    bad = base.select(F.lit(1).alias("y"), "margin_e6")
+    ece_good = {r["bin"]: r for r in calibration_bins(good).collect()}[-1]["gap_e6"]
+    ece_bad = {r["bin"]: r for r in calibration_bins(bad).collect()}[-1]["gap_e6"]
+    assert ece_good < 25_000  # < 2.5 pp from a 20k hash draw
+    assert ece_bad > 10 * ece_good

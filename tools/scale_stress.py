@@ -173,6 +173,8 @@ QUERIES = [
     "sql_rollup_grand_total",
     "sql_qc_verdict",
     "sql_abc_classify",
+    "a24_kmv_set_ops",
+    "ml_calibration_bins",
 ]
 
 
