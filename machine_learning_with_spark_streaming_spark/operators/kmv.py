@@ -60,14 +60,27 @@ SALT = "#kmv0"
 
 
 def kmv_sketch(
-    df: DataFrame, key_col: str, id_col: str, k: int = K, nshards: int = NSHARDS
+    df: DataFrame,
+    key_col: str | list[str],
+    id_col: str,
+    k: int = K,
+    nshards: int = NSHARDS,
 ) -> DataFrame:
-    """(key, h) — the k smallest 40-bit md5-gate hashes of the key's
-    distinct ``id_col`` set, via the two-phase bounded-window k-min."""
+    """(key…, h) — the k smallest 40-bit md5-gate hashes of each key's
+    distinct ``id_col`` set, via the two-phase bounded-window k-min.
+    A single key column is aliased to ``key``; a list keeps its names
+    (the grouping grain of a partial-sketch table, e.g. (key, day))."""
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    out_keys = ["key"] if isinstance(key_col, str) else keys
+    sel = (
+        [F.col(key_col).alias("key")]
+        if isinstance(key_col, str)
+        else [F.col(c) for c in keys]
+    )
     hashed = (
         df.filter(F.col(id_col).isNotNull())
         .select(
-            F.col(key_col).alias("key"),
+            *sel,
             (
                 md5_hash60(F.concat(F.col(id_col).cast("string"), F.lit(SALT)))
                 % F.lit(M)
@@ -75,14 +88,31 @@ def kmv_sketch(
         )
         .distinct()
     )
-    phase1 = Window.partitionBy("key", F.col("h") % F.lit(nshards)).orderBy("h")
-    phase2 = Window.partitionBy("key").orderBy("h")
+    phase1 = Window.partitionBy(
+        *out_keys, F.col("h") % F.lit(nshards)
+    ).orderBy("h")
+    phase2 = Window.partitionBy(*out_keys).orderBy("h")
     return (
         hashed.withColumn("rn1", F.row_number().over(phase1))
         .filter(F.col("rn1") <= k)
         .withColumn("rn", F.row_number().over(phase2))
         .filter(F.col("rn") <= k)
-        .select("key", "h")
+        .select(*out_keys, "h")
+    )
+
+
+def kmv_merge(partials: DataFrame, group_cols: list[str], k: int = K) -> DataFrame:
+    """Merge partial sketches up to a coarser grain: the k smallest of
+    the unioned hash sets IS the KMV sketch of the unioned id sets
+    (every month-top-k hash is a day-top-k hash of its day — the
+    composability that makes the sketch a rollup-tree citizen). The
+    re-rank window input is bounded by |children|·k rows per group."""
+    dedup = partials.select(*group_cols, "h").distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        dedup.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(*group_cols, "h")
     )
 
 
@@ -230,3 +260,98 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     events = load_table(spark, sf_dir, "events")
     return kmv_pair_estimates(kmv_sketch(events, "event_type", "user_id"))
+
+
+# ------------------------------------------------ day→month rollup
+
+_KMV_ROLLUP_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT event_type AS key,
+         CAST(date_trunc('month', ts) AS DATE) AS month,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '{SALT}'), 1, 15))::BIGINT
+           % {M} AS h
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+r AS (
+  SELECT key, month, h,
+         row_number() OVER (PARTITION BY key, month ORDER BY h) AS rn
+  FROM h
+),
+s AS (
+  SELECT key, month, count(*) AS cnt, max(h) AS kth
+  FROM r WHERE rn <= {K} GROUP BY 1, 2
+),
+days AS (
+  SELECT event_type AS key, CAST(date_trunc('month', ts) AS DATE) AS month,
+         count(DISTINCT CAST(ts AS DATE)) AS n_days,
+         count(DISTINCT user_id) AS exact_users
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT s.key, s.month,
+       CAST(days.n_days AS BIGINT) AS n_days,
+       CAST(CASE WHEN cnt < {K} THEN cnt
+                 ELSE ({K - 1} * {M}) // kth END AS BIGINT) AS est_users,
+       CAST(days.exact_users AS BIGINT) AS exact_users,
+       CAST(abs((CASE WHEN cnt < {K} THEN cnt
+                      ELSE ({K - 1} * {M}) // kth END) - days.exact_users)
+            * 1000000 // days.exact_users AS BIGINT) AS err_ppm
+FROM s JOIN days ON days.key = s.key AND days.month = s.month
+ORDER BY 1, 2
+"""
+
+
+@register("a25_kmv_reaggregate", oracle=_KMV_ROLLUP_ORACLE)
+def q_kmv_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly distinct users per event type from MERGED day-level KMV
+    partials — a21_hll_reaggregate's rollup shape with an estimator
+    both engines replay EXACTLY, so the hash certifies the merge path
+    itself (the oracle computes the month sketch directly; k-min
+    composability makes merged-partials equal direct by construction,
+    and any merge bug breaks the hash). The exact column is the a21
+    audit pass; err_ppm pins the estimator's actual error in-row."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    daily = kmv_sketch(
+        events.select(
+            F.col("event_type").alias("key"),
+            F.to_date("ts").alias("day"),
+            "user_id",
+        ),
+        ["key", "day"],
+        "user_id",
+    )
+    monthly = kmv_merge(
+        daily.withColumn(
+            "month", F.date_trunc("month", "day").cast("date")
+        ),
+        ["key", "month"],
+    )
+    stats = monthly.groupBy("key", "month").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("h").alias("kth")
+    )
+    audit = events.groupBy(
+        F.col("event_type").alias("key"),
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+    ).agg(
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return (
+        stats.join(audit, ["key", "month"])
+        .select(
+            "key",
+            "month",
+            F.col("n_days").cast("long"),
+            _est(F.col("cnt"), "kth", K).cast("long").alias("est_users"),
+            F.col("exact_users").cast("long"),
+            F.expr(
+                f"abs({_est_sql('cnt', 'kth', K)} - exact_users) * 1000000"
+                " div exact_users"
+            )
+            .cast("long")
+            .alias("err_ppm"),
+        )
+        .orderBy("key", "month")
+    )

@@ -98,6 +98,7 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.sources.fetchlake",
     "machine_learning_with_spark_streaming_spark.operators.kmv",
     "machine_learning_with_spark_streaming_spark.ml.calibration",
+    "machine_learning_with_spark_streaming_spark.streaming.kmv_stream",
 ]
 
 

@@ -445,3 +445,77 @@ def test_calibration_perfectly_calibrated_input_has_near_zero_ece(spark):
     ece_bad = {r["bin"]: r for r in calibration_bins(bad).collect()}[-1]["gap_e6"]
     assert ece_good < 25_000  # < 2.5 pp from a 20k hash draw
     assert ece_bad > 10 * ece_good
+
+
+def test_kmv_rollup_merge_equals_direct_sketch(spark):
+    """k-min composability: merging day partials must reproduce the
+    direct month sketch row-for-row (the identity the a25 oracle
+    certifies cross-engine; here proven engine-side on synthetic data
+    where users deliberately span many days)."""
+    from machine_learning_with_spark_streaming_spark.operators.kmv import kmv_merge, kmv_sketch
+
+    rows = [
+        ("a", f"2024-01-{(i % 28) + 1:02d}", i % 300) for i in range(3000)
+    ] + [("b", f"2024-02-{(i % 28) + 1:02d}", i % 150) for i in range(1500)]
+    df = spark.createDataFrame(rows, "key string, day string, uid long").select(
+        "key", F.to_date("day").alias("day"), "uid"
+    )
+    daily = kmv_sketch(df, ["key", "day"], "uid", k=32)
+    merged = kmv_merge(
+        daily.withColumn("month", F.date_trunc("month", "day").cast("date")),
+        ["key", "month"],
+        k=32,
+    )
+    direct = kmv_sketch(
+        df.withColumn("month", F.date_trunc("month", "day").cast("date")),
+        ["key", "month"],
+        "uid",
+        k=32,
+    )
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
+        tuple(r) for r in direct.select("key", "month", "h").collect()
+    )
+
+
+def test_kmv_merge_idempotent(spark):
+    from machine_learning_with_spark_streaming_spark.operators.kmv import kmv_merge, kmv_sketch
+
+    df = spark.range(500).select(
+        F.lit("k").alias("key"), F.col("id").alias("uid")
+    )
+    sk = kmv_sketch(df, "key", "uid", k=16)
+    twice = kmv_merge(sk.unionByName(sk), ["key"], k=16)
+    assert sorted(tuple(r) for r in twice.collect()) == sorted(
+        tuple(r) for r in sk.collect()
+    )
+
+
+def test_kmv_stream_state_is_batching_invariant(spark, sf_dir, oracle_con):
+    """The registered 4-batch run's FINAL version must equal the batch
+    KMV of all events (oracle certifies every prefix; this pins the
+    engine-side identity explicitly too)."""
+    from machine_learning_with_spark_streaming_spark.operators.kmv import _est, kmv_sketch
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+    from machine_learning_with_spark_streaming_spark.streaming.kmv_stream import (
+        _KMV_STREAM_ORACLE,
+        q_kmv_distinct_stream,
+    )
+
+    out = q_kmv_distinct_stream(spark, sf_dir)
+    assert_matches_oracle(out, oracle_con, _KMV_STREAM_ORACLE)
+    final = {
+        (r["key"],): (r["sketch_rows"], r["est_users"])
+        for r in out.collect()
+        if r["version"] == 4
+    }
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
+    )
+    batch = (
+        kmv_sketch(events, "event_type", "user_id")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("h").alias("kth"))
+        .select("key", "cnt", _est(F.col("cnt"), "kth", 64).alias("est"))
+    )
+    for r in batch.collect():
+        assert final[(r["key"],)] == (r["cnt"], r["est"])

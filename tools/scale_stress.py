@@ -175,6 +175,8 @@ QUERIES = [
     "sql_abc_classify",
     "a24_kmv_set_ops",
     "ml_calibration_bins",
+    "a25_kmv_reaggregate",
+    "s11_kmv_distinct_stream",
 ]
 
 
