@@ -99,6 +99,7 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.operators.kmv",
     "machine_learning_with_spark_streaming_spark.ml.calibration",
     "machine_learning_with_spark_streaming_spark.streaming.kmv_stream",
+    "machine_learning_with_spark_streaming_spark.operators.ppjoin",
 ]
 
 

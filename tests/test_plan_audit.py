@@ -60,6 +60,10 @@ DOUBLE_OUTPUT_ALLOWLIST = {
     "dedup_incremental_minhash": ["jaccard"],
     "dedup_minhash_lsh": ["jaccard"],
     "dedup_ngram_jaccard": ["jaccard"],
+    # r11: same exact-verify jaccard expression as dedup_ngram_jaccard
+    # through the lossless prefix-filtered candidate path; swept green
+    # at sf0.01 and sf0.1 --shuffle 5 on registration
+    "dedup_jaccard_prefix_filter": ["jaccard"],
     # rounded cosine vs the k=32 frozen artifact; swept green at sf0.01
     # and sf0.1 --shuffle 5 (r7). The fixed-k demo form was deregistered
     # in r8 (quadratic pair join — see ivf.py:q_semdedup_fixed_k_demo).

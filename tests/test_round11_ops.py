@@ -519,3 +519,62 @@ def test_kmv_stream_state_is_batching_invariant(spark, sf_dir, oracle_con):
     )
     for r in batch.collect():
         assert final[(r["key"],)] == (r["cnt"], r["est"])
+
+
+# -------------------------------------- prefix-filtered Jaccard join
+
+
+def test_prefix_filter_equals_inverted_index_pairs(spark, sf_dir):
+    """Lossless pruning: identical (id_a, id_b, jaccard) rows as the
+    plain inverted-index path on the duplicated corpus."""
+    from machine_learning_with_spark_streaming_spark.operators.dedup import (
+        corpus_with_duplicates,
+        jaccard_pairs,
+    )
+    from machine_learning_with_spark_streaming_spark.operators.ppjoin import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    corpus = corpus_with_duplicates(spark, sf_dir)
+    base = sorted(tuple(r) for r in jaccard_pairs(corpus).collect())
+    pref = sorted(
+        tuple(r) for r in prefix_filtered_jaccard_pairs(corpus).collect()
+    )
+    assert pref == base and len(base) > 0
+
+
+def test_prefix_filter_shrinks_candidates(spark, sf_dir):
+    from machine_learning_with_spark_streaming_spark.operators.dedup import (
+        corpus_with_duplicates,
+        jaccard_candidates,
+        shingle_table,
+    )
+    from machine_learning_with_spark_streaming_spark.operators.ppjoin import prefix_candidates
+
+    sh = shingle_table(corpus_with_duplicates(spark, sf_dir))
+    full = jaccard_candidates(sh).count()
+    pref = prefix_candidates(sh, 0.8).count()
+    assert pref < full / 10, (pref, full)
+
+
+def test_prefix_filter_recall_on_skewed_df_corpus(spark):
+    """Near-dup pairs whose shared shingles are dominated by one hot
+    boilerplate shingle: the stop-shingle cut path can drop such pairs
+    (documented recall caveat); the prefix filter must NOT — its
+    prefixes favor rare shingles but the theorem guarantees a shared
+    prefix element for every qualifying pair."""
+    from machine_learning_with_spark_streaming_spark.operators.ppjoin import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    boiler = "terms of service apply to all users always"
+    rows = []
+    for i in range(30):
+        body = f"unique text block number {i} says thing {i * 7} and {i * 13}"
+        rows.append((2 * i, f"{boiler} {body}"))
+        rows.append((2 * i + 1, f"{boiler} {body}"))  # exact near-dup
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = prefix_filtered_jaccard_pairs(df).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    for i in range(30):
+        assert (2 * i, 2 * i + 1) in found

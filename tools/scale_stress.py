@@ -177,6 +177,7 @@ QUERIES = [
     "ml_calibration_bins",
     "a25_kmv_reaggregate",
     "s11_kmv_distinct_stream",
+    "dedup_jaccard_prefix_filter",
 ]
 
 
