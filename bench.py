@@ -306,6 +306,13 @@ EXTENDED += [
     "sql_abc_classify",
     "ml_auc_bucketed",
     "ml_pr_bucketed",
+    # KMV sketch family (exact-certified estimators), calibration, and
+    # the lossless prefix-filtered Jaccard join
+    "a24_kmv_set_ops",
+    "a25_kmv_reaggregate",
+    "ml_calibration_bins",
+    "s11_kmv_distinct_stream",
+    "dedup_jaccard_prefix_filter",
 ]
 
 
