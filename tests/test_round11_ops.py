@@ -578,3 +578,39 @@ def test_prefix_filter_recall_on_skewed_df_corpus(spark):
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     for i in range(30):
         assert (2 * i, 2 * i + 1) in found
+
+
+def test_bloom_write_size_delta_and_dictionary_interaction(spark, sf_dir):
+    """The filter bytes must land when dictionary encoding is off, and
+    parquet-mr must SKIP them for fully dict-encoded chunks (the
+    documented small-scale trap)."""
+    import glob
+    import os
+    import tempfile
+
+    from machine_learning_with_spark_streaming_spark.schemas import load_table
+    from machine_learning_with_spark_streaming_spark.sources.bloomwrite import write_with_bloom
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).coalesce(1)
+    w = tempfile.mkdtemp(prefix="mlwss_k13t_")
+
+    def size(p):
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(p, "part-*.parquet"))
+        )
+
+    li.write.mode("overwrite").option(
+        "parquet.enable.dictionary", "false"
+    ).parquet(f"{w}/plain")
+    write_with_bloom(li, f"{w}/bloom", ["l_orderkey"])
+    assert size(f"{w}/bloom") > size(f"{w}/plain")
+
+    li.write.mode("overwrite").parquet(f"{w}/dict_plain")
+    write_with_bloom(li, f"{w}/dict_bloom", ["l_orderkey"], dictionary=True)
+    assert size(f"{w}/dict_bloom") == size(f"{w}/dict_plain")
+
+    back = spark.read.parquet(f"{w}/bloom")
+    assert back.count() == li.count()

@@ -178,6 +178,7 @@ QUERIES = [
     "a25_kmv_reaggregate",
     "s11_kmv_distinct_stream",
     "dedup_jaccard_prefix_filter",
+    "k13_bloom_filtered_write",
 ]
 
 
