@@ -101,6 +101,7 @@ _QUERY_MODULES = [
     "machine_learning_with_spark_streaming_spark.streaming.kmv_stream",
     "machine_learning_with_spark_streaming_spark.operators.ppjoin",
     "machine_learning_with_spark_streaming_spark.sources.bloomwrite",
+    "machine_learning_with_spark_streaming_spark.operators.curation_v5",
 ]
 
 

@@ -614,3 +614,23 @@ def test_bloom_write_size_delta_and_dictionary_interaction(spark, sf_dir):
 
     back = spark.read.parquet(f"{w}/bloom")
     assert back.count() == li.count()
+
+
+def test_curation_v5_funnel_monotone_and_dedup_cuts(spark, sf_dir, oracle_con):
+    from machine_learning_with_spark_streaming_spark.operators.curation_v5 import (
+        _V5_ORACLE,
+        q_curation_v5,
+    )
+
+    df = q_curation_v5(spark, sf_dir)
+    assert_matches_oracle(df, oracle_con, _V5_ORACLE)
+    rows = {r["stage"]: r for r in df.collect()}
+    a, b = rows["1_ingested"], rows["2_near_dedup"]
+    # injected near/exact copies must be cut, never grown
+    assert b["n_docs"] < a["n_docs"]
+    assert b["word_mass"] < a["word_mass"]
+    assert 0 < b["est_vocab"] <= a["est_vocab"]
+    assert all(
+        f.dataType.simpleString() in ("bigint", "string")
+        for f in df.schema.fields
+    )

@@ -179,6 +179,7 @@ QUERIES = [
     "s11_kmv_distinct_stream",
     "dedup_jaccard_prefix_filter",
     "k13_bloom_filtered_write",
+    "pipeline_curation_v5",
 ]
 
 
