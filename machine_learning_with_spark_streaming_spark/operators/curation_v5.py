@@ -47,6 +47,11 @@ def _stage_row(name: str, docs: DataFrame) -> DataFrame:
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.count(F.lit(1)).cast("long").alias("word_mass"),
     )
+    # Corpus-global sketch: the constant key folds away, so kmv_sketch's
+    # phase-2 window runs partitionless (WindowExec warns) — its input
+    # is structurally capped at NSHARDS*k = 4096 rows by the phase-1
+    # per-shard rank filter, so the single-partition sort is bounded by
+    # construction regardless of corpus size.
     vocab = (
         kmv_sketch(words.select(F.lit("all").alias("k0"), "w"), "k0", "w")
         .groupBy("key")
@@ -57,8 +62,19 @@ def _stage_row(name: str, docs: DataFrame) -> DataFrame:
 
 
 def curation_funnel_v5(corpus: DataFrame) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
     pairs = prefix_filtered_jaccard_pairs(corpus)
-    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    # drops is tiny (one id per dropped doc) but its lineage is the
+    # whole prefix-filter machinery; `kept` feeds BOTH stage-2 rows
+    # (mass + vocab), so without the persist the pair subtree executes
+    # per consumer — measured 3x replication (and 3 concurrent shingle
+    # shuffles) at 64x docs.
+    drops = (
+        pairs.select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     kept = corpus.join(drops, "doc_id", "left_anti")
     return (
         _stage_row("1_ingested", corpus)

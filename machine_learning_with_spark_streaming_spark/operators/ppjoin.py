@@ -113,13 +113,23 @@ def prefix_filtered_jaccard_pairs(
         StorageLevel.MEMORY_AND_DISK
     )
     cand = prefix_candidates(sh_tab, threshold)
+    # The verify joins MUST shuffle: Catalyst's size estimate for the
+    # not-yet-materialized persisted shingle table reads small, and the
+    # auto-chosen BuildRight broadcast then ships the FULL per-doc
+    # shingle arrays — measured OOM at 64x docs when a consumer
+    # replicates this subtree. Both sides are corpus-sized at scale;
+    # sort-merge is the only plan that survives 100 TB.
     return (
         cand.join(
-            sh_tab.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            sh_tab.select(
+                F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+            ).hint("merge"),
             "id_a",
         )
         .join(
-            sh_tab.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            sh_tab.select(
+                F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+            ).hint("merge"),
             "id_b",
         )
         .withColumn(
