@@ -138,6 +138,18 @@ _STALE_CERTS: dict[str, int] = {
     # but has never been driver-certified, so it already sorts first.
     "s11_cusum_monitor_stream": 10,
     "s11_heavy_hitters_stream": 10,
+    # r11 merge-hinted the exact-verify joins in dedup.py (jaccard /
+    # minhash-LSH / containment): the auto-chosen BuildRight broadcast
+    # of the persisted shingle table is the 64x-docs OOM class found in
+    # pipeline_curation_v5 (see operators/ppjoin.py). Values unchanged,
+    # plans changed — re-certify every registered consumer.
+    "dedup_ngram_jaccard": 10,
+    "dedup_minhash_lsh": 10,
+    "dedup_containment": 10,
+    "dedup_minhash_calibration": 10,
+    "dedup_connected_components": 10,
+    "dedup_canonical_keeper": 10,
+    "dedup_cluster_stats": 10,
 }
 
 

@@ -175,17 +175,30 @@ def jaccard_pairs(
     ``persist_shingles`` materializes the regex-heavy shingle table once
     (MEMORY_AND_DISK) instead of recomputing it per consumer subtree; on
     a cluster pipeline, write it to a temp table instead."""
-    # shingle arrays are array_distinct, so the exploded rows are unique
+    # shingle arrays are array_distinct, so the exploded rows are unique.
+    # Verify joins below carry hint("merge"): Catalyst's size estimate
+    # for the un-materialized persisted shingle table reads small and
+    # the auto-chosen BuildRight broadcast ships full per-doc shingle
+    # arrays — the r11 64x-docs OOM class (see operators/ppjoin.py).
+    # Both sides are corpus-sized at 100 TB; shuffle-hash shuffles
+    # without sorting either side (64x: broadcast 43.1 s + OOM when
+    # replicated, sort-merge 77.7 s, shuffle-hash 41.2 s).
     sh_tab = shingle_table(df, text_col, id_col, n)
     if persist_shingles:
         sh_tab = sh_tab.persist(StorageLevel.MEMORY_AND_DISK)
     cand = jaccard_candidates(sh_tab, max_shingle_df)
     return (
         cand.join(
-            sh_tab.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+            sh_tab.select(
+                F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+            ).hint("shuffle_hash"),
+            "id_a",
         )
         .join(
-            sh_tab.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+            sh_tab.select(
+                F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+            ).hint("shuffle_hash"),
+            "id_b",
         )
         .withColumn(
             "jaccard",
@@ -296,10 +309,16 @@ def minhash_lsh_pairs(
     # exact-Jaccard verification of the candidate pairs only
     verified = (
         cand.join(
-            sh_tab.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+            sh_tab.select(
+                F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+            ).hint("shuffle_hash"),
+            "id_a",
         )
         .join(
-            sh_tab.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+            sh_tab.select(
+                F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+            ).hint("shuffle_hash"),
+            "id_b",
         )
         .withColumn(
             "jaccard",
@@ -768,10 +787,16 @@ def containment_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     return (
         cand.join(
-            sh_tab.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+            sh_tab.select(
+                F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+            ).hint("shuffle_hash"),
+            "id_a",
         )
         .join(
-            sh_tab.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+            sh_tab.select(
+                F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+            ).hint("shuffle_hash"),
+            "id_b",
         )
         .filter((F.size("sh_a") > 0) & (F.size("sh_b") > 0))
         .withColumn("cont_a_in_b", inter / F.size("sh_a"))
