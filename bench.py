@@ -423,6 +423,13 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout: stdout summary still carries the headline
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    # Driver contract: ONE JSON line carrying the FULL per-query map —
+    # entries are only ever ADDED across rounds, never removed or renamed.
+    # The line has outgrown the driver's 2,000-char stdout tail since r5,
+    # so key ORDER puts the headline summary fields (slowest-10, errors,
+    # value_all, value, sf) at the END of the line where the tail keeps
+    # them readable; the identical full map is also committed per-round as
+    # bench_full.json for repo-artifact regression diffs.
     out: dict[str, object] = {
         "metric": "headline_total_sec",
         "unit": "sec",
@@ -432,25 +439,22 @@ def main() -> None:
         # "regressions" in r6/r7/r9 that quiesced re-measurement
         # erased; the median bounds that noise structurally
         "timing": "headline_median_of_3",
-        "value": total,
-        "value_all": round(sum(timings.values()), 3),
         "n_benched": len(timings),
-        "queries": slowest,
         "full": "bench_full.json",
+        "queries": timings,
+        "slowest": slowest,
+        "value_all": round(sum(timings.values()), 3),
+        "value": total,
         "sf": _sf_from_dir(SF_DIR),
     }
     if errors:
-        # cap so a mass failure can't push the line past the 2,000-char tail
+        # keep errors tail-visible but bounded (before the closing numbers)
+        out = dict(out)
+        vals = {k: out.pop(k) for k in ("value_all", "value", "sf")}
         out["errors"] = {k: errors[k][:80] for k in list(errors)[:5]}
         out["n_errors"] = len(errors)
-    line = json.dumps(out)
-    if len(line) >= 1900:  # never let the summary itself overflow the tail
-        out.pop("errors", None)
-        line = json.dumps(out)
-    if len(line) >= 1900:
-        out["queries"] = dict(list(slowest.items())[:3])
-        line = json.dumps(out)
-    print(line)
+        out.update(vals)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
