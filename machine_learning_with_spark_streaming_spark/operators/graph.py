@@ -438,20 +438,45 @@ def triangle_count(edges: DataFrame, persist_edges: bool = True) -> DataFrame:
     )
 
 
+def order_part_pairs(lineitem: DataFrame) -> DataFrame:
+    """One ``(a, b)`` row (``a < b``) per distinct part pair per order.
+
+    r11 rewrite (guide §2.3/§2.4): the original self-join formulation
+    (``li.distinct()`` then ``li ⋈ li ON l_orderkey``) scanned lineitem
+    twice and shuffled three times — once for the row-level distinct on
+    (orderkey, partkey), once more per join side to co-partition on
+    orderkey alone, then again for the consumer's pair-level aggregate.
+    Orders are tiny (≤7 lines in TPC-H-shaped data), so the pair
+    enumeration is a per-group in-memory problem: ONE scan feeds ONE
+    groupBy(orderkey) whose map-side-combined ``collect_set`` dedups
+    parts per order, and the a<b pairs are generated from the sorted
+    array with higher-order functions — no second scan, no join, and
+    the only remaining exchanges are the orderkey agg plus whatever the
+    consumer aggregates by. Pair multiset is identical by construction
+    (sorted distinct parts per order → all i<j combinations)."""
+    parts = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select("ps")
+    )
+    pairs = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b)))"
+            )
+        )
+    ).alias("p")
+    return parts.select(pairs).select("p.a", "p.b")
+
+
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Distinct co-purchase part pairs (same order, ``a < b``) — the
-    market-basket graph. The pair join is per-order (bounded by order
-    size², ~7 lines max in TPC-H-shaped data), never cross-order."""
-    li = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("pa"), li.alias("pb")
-    return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa.l_partkey") < F.col("pb.l_partkey"))
-        .select(
-            F.col("pa.l_partkey").alias("a"), F.col("pb.l_partkey").alias("b")
-        )
-        .distinct()
-    )
+    market-basket graph. Pair generation is per-order (bounded by order
+    size², ~7 lines max in TPC-H-shaped data), never cross-order; see
+    ``order_part_pairs`` for the one-scan/two-exchange shape."""
+    return order_part_pairs(lineitem).distinct()
 
 
 _TRIANGLE_ORACLE = """
@@ -543,16 +568,21 @@ def pagerank_integer(
         F.col("a").alias("u"), F.col("b").alias("v")
     ).unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
     deg = directed.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # r11 (guide §2.4): (u, v, deg(u)) is static across iterations — join
+    # degrees onto the edge list ONCE, outside the loop, so each round is
+    # one join + one partial-sum instead of two joins + one partial-sum.
+    # ``r div deg`` is computed from the same operands, so the integer
+    # iterates (and the k10 bit-exact certification) are unchanged.
+    directed_deg = directed.join(deg, "u")
     if checkpoint_each_round:
-        directed = directed.persist(StorageLevel.MEMORY_AND_DISK)
+        directed_deg = directed_deg.persist(StorageLevel.MEMORY_AND_DISK)
         deg = deg.persist(StorageLevel.MEMORY_AND_DISK)
     ranks = deg.select(
         "u", F.lit(PAGERANK_SCALE).cast("long").alias("r")
     )
     for _ in range(iterations):
         contrib = (
-            directed.join(ranks, "u")
-            .join(deg, "u")
+            directed_deg.join(ranks, "u")
             .select("v", F.expr("r div deg").alias("c"))
         )
         ranks = (
@@ -573,7 +603,7 @@ def pagerank_integer(
             ranks = ranks.localCheckpoint(eager=True)
     if checkpoint_each_round:
         # the eager final checkpoint no longer references these
-        directed.unpersist()
+        directed_deg.unpersist()
         deg.unpersist()
     return ranks.select(F.col("u").alias("node"), F.col("r").alias("rank_micros"))
 

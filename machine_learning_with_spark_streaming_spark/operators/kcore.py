@@ -42,14 +42,15 @@ def repeat_copurchase_edges(lineitem: DataFrame, min_orders: int = 2) -> DataFra
     co-purchase graph is a union of order-cliques whose k-core collapses
     in one round; repeat pairs carry actual signal. Pair join is
     per-order (bounded by order size²), never cross-order."""
-    li = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("pa"), li.alias("pb")
+    from machine_learning_with_spark_streaming_spark.operators.graph import order_part_pairs
+
+    # r11: per-order pair enumeration from a sorted collect_set array
+    # (one lineitem scan, one orderkey exchange) replaces the
+    # li ⋈ li self-join — see order_part_pairs. Per-order pair multiset
+    # is identical, so the ≥ min_orders multiplicity cut is unchanged.
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa.l_partkey") < F.col("pb.l_partkey"))
-        .groupBy(
-            F.col("pa.l_partkey").alias("a"), F.col("pb.l_partkey").alias("b")
-        )
+        order_part_pairs(lineitem)
+        .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("__m"))
         .filter(F.col("__m") >= min_orders)
         .select("a", "b")
