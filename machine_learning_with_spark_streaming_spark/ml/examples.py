@@ -23,6 +23,7 @@ from machine_learning_with_spark_streaming_spark.functions.ml_artifacts import (
 from machine_learning_with_spark_streaming_spark.functions.vectors import as_double_array, dot
 from machine_learning_with_spark_streaming_spark.registry import register
 from machine_learning_with_spark_streaming_spark.schemas import load_table
+from machine_learning_with_spark_streaming_spark.streaming.tuning import start_and_await
 
 # ------------------------------------------------------------- serving path
 
@@ -258,9 +259,8 @@ def q_logreg_stream(spark, sf_dir):
         stream.writeStream.foreachBatch(_score_sink)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    start_and_await(q, spark)
     return (
         spark.read.parquet(preds)
         .groupBy(F.col("prediction").cast("int").alias("prediction"))

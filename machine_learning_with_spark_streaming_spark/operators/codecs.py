@@ -47,6 +47,7 @@ from pyspark.sql.types import (
 
 from machine_learning_with_spark_streaming_spark.registry import register
 from machine_learning_with_spark_streaming_spark.schemas import load_table
+from machine_learning_with_spark_streaming_spark.streaming.tuning import start_and_await
 
 # ------------------------------------------------------------------- BMP
 
@@ -1148,9 +1149,8 @@ def q_image_near_dup_stream(spark, sf_dir):
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", f"{work}/ckpt_{uuid.uuid4().hex[:8]}")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    start_and_await(q, spark)
     det = (
         spark.read.schema(
             "asset_id long, match_id long, hamming int, batch_id long"

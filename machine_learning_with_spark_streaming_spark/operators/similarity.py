@@ -704,6 +704,7 @@ from machine_learning_with_spark_streaming_spark.operators.text import (  # noqa
     CHUNK_SIZE as _CHUNK_SIZE,
     CHUNK_STRIDE as _CHUNK_STRIDE,
 )
+from machine_learning_with_spark_streaming_spark.streaming.tuning import start_and_await
 
 _H60 = "('0x' || substr(md5({w}), 1, 15))::BIGINT"
 _RAG_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -1038,9 +1039,8 @@ def q_ann_serving_stream(spark, sf_dir):
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", f"{work}/ckpt_{uuid.uuid4().hex[:8]}")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    start_and_await(q, spark)
     res = spark.read.parquet(out_dir).localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return res.orderBy("query_id", "rank")

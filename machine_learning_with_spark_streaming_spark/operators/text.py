@@ -34,6 +34,7 @@ from machine_learning_with_spark_streaming_spark.operators.dedup import (
 )
 from machine_learning_with_spark_streaming_spark.registry import register
 from machine_learning_with_spark_streaming_spark.schemas import load_table
+from machine_learning_with_spark_streaming_spark.streaming.tuning import start_and_await
 
 # Marker ("stopword") lists per language. Deterministic, tiny — literal
 # arrays in the plan, no lookup table needed.
@@ -2113,9 +2114,8 @@ def q_datasheet_stream(spark, sf_dir):
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", f"{work}/ckpt_{uuid.uuid4().hex[:8]}")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    start_and_await(q, spark)
     final = finalize_datasheet(
         spark.read.parquet(sketch_dir)
     ).orderBy("metric").localCheckpoint(eager=True)

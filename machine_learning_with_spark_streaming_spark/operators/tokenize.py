@@ -35,6 +35,7 @@ from machine_learning_with_spark_streaming_spark.functions.bpe_artifacts import 
 from machine_learning_with_spark_streaming_spark.operators.dedup import normalize_text
 from machine_learning_with_spark_streaming_spark.registry import register
 from machine_learning_with_spark_streaming_spark.schemas import load_table
+from machine_learning_with_spark_streaming_spark.streaming.tuning import start_and_await
 
 
 #: Greedy longest-match IS ordered regex alternation: at each position a
@@ -275,9 +276,8 @@ def q_tokenize_stream(spark, sf_dir):
         .outputMode("complete")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    start_and_await(q, spark)
     mem = spark.table(sink).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
     shutil.rmtree(work, ignore_errors=True)

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from machine_learning_with_spark_streaming_spark.registry import register
 from machine_learning_with_spark_streaming_spark.schemas import load_table
 from machine_learning_with_spark_streaming_spark.streaming.pipeline import windowed_event_aggregate
+from machine_learning_with_spark_streaming_spark.streaming.tuning import start_and_await
 
 
 def stage_ordered_files(parts, out_dir: str) -> str:
@@ -221,9 +222,8 @@ def q_stateful_running_totals(spark, sf_dir):
         .outputMode("update")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    start_and_await(q, spark)
     # update-mode sink holds one row per (key, batch-with-updates); the
     # final state per key is the row with the highest running count.
     mem = spark.table(sink).localCheckpoint(eager=True)  # detach from sink
@@ -274,9 +274,8 @@ def q_tumbling_window_stream(spark, sf_dir):
         .outputMode("update")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    start_and_await(q, spark)
     mem = spark.table(sink).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
     shutil.rmtree(work, ignore_errors=True)
@@ -342,9 +341,8 @@ def q_stream_dedup_stream(spark, sf_dir):
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    start_and_await(q, spark)
     mem = spark.table(sink).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
     shutil.rmtree(work, ignore_errors=True)
@@ -432,9 +430,8 @@ def q_interval_join_stream(spark, sf_dir):
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    start_and_await(q, spark)
     mem = spark.table(sink).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
     shutil.rmtree(work, ignore_errors=True)
@@ -499,9 +496,8 @@ def q_upsert_latest_stream(spark, sf_dir):
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    start_and_await(q, spark)
     out = (
         spark.read.parquet(target)
         .select(
@@ -574,9 +570,8 @@ def q_stream_static_join_stream(spark, sf_dir):
         .outputMode("complete")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    start_and_await(q, spark)
     mem = spark.table(sink).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
     shutil.rmtree(work, ignore_errors=True)
@@ -707,9 +702,8 @@ def q_left_outer_join_stream(spark, sf_dir):
         .outputMode("append")
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    start_and_await(q, spark)
     mem = spark.table(sink).filter(F.col("user_id") >= 0).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
     shutil.rmtree(work, ignore_errors=True)
@@ -776,9 +770,8 @@ def q_full_outer_join_stream(spark, sf_dir):
         .outputMode("append")
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    start_and_await(q, spark)
     mem = spark.table(sink).filter(F.col("user_id") >= 0).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
     shutil.rmtree(work, ignore_errors=True)
@@ -861,9 +854,8 @@ def q_pack_stream(spark, sf_dir):
         .outputMode("update")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    start_and_await(q, spark)
     mem = spark.table(sink).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
     shutil.rmtree(work, ignore_errors=True)
@@ -969,9 +961,8 @@ def q_incremental_dedup_stream(spark, sf_dir):
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", f"{work}/ckpt_{uuid.uuid4().hex[:8]}")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    start_and_await(q, spark)
     kept = (
         spark.read.schema("doc_id long, batch_id long")
         .parquet(out_dir)
@@ -1034,9 +1025,8 @@ def q_session_window_stream(spark, sf_dir):
         .outputMode("append")
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    start_and_await(q, spark)
     mem = spark.table(sink).filter(F.col("user_id") >= 0).localCheckpoint(
         eager=True
     )
@@ -1178,9 +1168,8 @@ def q_late_data_stream(spark, sf_dir):
         .outputMode("append")
         .option("checkpointLocation", f"{work}/ckpt")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    start_and_await(q, spark)
     mem = spark.table(sink).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
     shutil.rmtree(work, ignore_errors=True)
@@ -1279,9 +1268,8 @@ def q_jdbc_upsert_stream(spark, sf_dir):
         .writeStream.foreachBatch(sink)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    start_and_await(q, spark)
     final = (
         read_table(spark, url, table, properties=props)
         .select(
@@ -1457,9 +1445,8 @@ def q_drift_monitor_stream(spark, sf_dir):
         .writeStream.foreachBatch(sink)
         .option("checkpointLocation", f"{work}/ckpt_{uuid.uuid4().hex[:8]}")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    start_and_await(q, spark)
     out = (
         spark.read.schema("n_rows long, psi double, batch_id long")
         .parquet(out_dir)

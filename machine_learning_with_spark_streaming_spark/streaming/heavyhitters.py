@@ -45,6 +45,7 @@ from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from machine_learning_with_spark_streaming_spark.registry import register
 from machine_learning_with_spark_streaming_spark.schemas import load_table
+from machine_learning_with_spark_streaming_spark.streaming.tuning import start_and_await
 
 MG_K = 128  # counters per bucket; must be >= 1/phi for the guarantee
 HH_PHI_DEN = 125  # heavy hitter <=> count * 125 >= n  (phi = 1/125)
@@ -167,9 +168,8 @@ def q_heavy_hitters_stream(spark, sf_dir):
         .outputMode("update")
         .option("checkpointLocation", f"{work}/ckpt")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    start_and_await(q, spark)
     candidates = (
         spark.table(sink).select("user_id").distinct().localCheckpoint(eager=True)
     )

@@ -40,6 +40,7 @@ from machine_learning_with_spark_streaming_spark.operators.kmv import (
 )
 from machine_learning_with_spark_streaming_spark.registry import register
 from machine_learning_with_spark_streaming_spark.schemas import load_table
+from machine_learning_with_spark_streaming_spark.streaming.tuning import start_and_await
 
 _NB = 4  # staged micro-batches
 
@@ -124,9 +125,8 @@ def q_kmv_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    start_and_await(q, spark)
 
     outs = []
     for ver in range(1, _NB + 1):

@@ -27,6 +27,7 @@ from machine_learning_with_spark_streaming_spark.sources.timetravel import (
     read_asof,
     write_snapshot,
 )
+from machine_learning_with_spark_streaming_spark.streaming.tuning import start_and_await
 
 _CUT = "1998-01-01"
 
@@ -124,9 +125,8 @@ def q_merge_into_stream(spark, sf_dir):
         stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", f"{work}/ckpt")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    start_and_await(q, spark)
 
     parts = []
     for ver in (1, 2, 3, 4):

@@ -44,6 +44,7 @@ from machine_learning_with_spark_streaming_spark.operators.windows import (
 )
 from machine_learning_with_spark_streaming_spark.registry import register
 from machine_learning_with_spark_streaming_spark.schemas import load_table
+from machine_learning_with_spark_streaming_spark.streaming.tuning import start_and_await
 
 N_MONITOR_BATCHES = 3
 
@@ -234,9 +235,8 @@ def q_cusum_monitor_stream(spark, sf_dir):
         .outputMode("update")
         .option("checkpointLocation", f"{work}/ckpt")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    start_and_await(q, spark)
     out = spark.table(sink).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
     shutil.rmtree(work, ignore_errors=True)

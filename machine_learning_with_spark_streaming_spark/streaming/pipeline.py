@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from machine_learning_with_spark_streaming_spark.streaming.tuning import start_and_await
 
 
 def windowed_event_aggregate(
@@ -177,9 +178,8 @@ def run_available_now(
         .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    start_and_await(q, stream_df.sparkSession)
 
 
 def stream_stream_interval_join(

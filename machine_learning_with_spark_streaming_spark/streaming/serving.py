@@ -44,6 +44,7 @@ from machine_learning_with_spark_streaming_spark.operators.ivf import (
 from machine_learning_with_spark_streaming_spark.operators.similarity import TOP_K
 from machine_learning_with_spark_streaming_spark.registry import register
 from machine_learning_with_spark_streaming_spark.schemas import load_table
+from machine_learning_with_spark_streaming_spark.streaming.tuning import start_and_await
 
 N_SERVE_QUERIES = 12
 QUERIES_PER_BATCH = 4
@@ -207,9 +208,8 @@ def q_ivf_serving_stream(spark, sf_dir):
         .writeStream.foreachBatch(sink)
         .option("checkpointLocation", f"{work}/ckpt_{uuid.uuid4().hex[:8]}")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    start_and_await(q, spark)
     out = (
         spark.read.schema(
             "n_queries long, n_hits long, recall_permille long, batch_id long"

@@ -35,6 +35,7 @@ from pyspark.sql.types import (
 from machine_learning_with_spark_streaming_spark.registry import register
 from machine_learning_with_spark_streaming_spark.schemas import load_table
 from machine_learning_with_spark_streaming_spark.operators.transitions import _S24_ORACLE
+from machine_learning_with_spark_streaming_spark.streaming.tuning import start_and_await
 
 N_TRANSITION_BATCHES = 3
 
@@ -158,9 +159,8 @@ def q_transitions_stream(spark, sf_dir):
         .outputMode("update")
         .option("checkpointLocation", f"{work}/ckpt")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    start_and_await(q, spark)
 
     pairs = (
         spark.table(sink)
