@@ -217,14 +217,27 @@ def minhash_signatures(
     num_hashes: int = 16,
     n: int = SHINGLE_N,
 ) -> DataFrame:
-    """MinHash signature per doc: ``min(xxhash64(shingle, seed_i))`` for
-    each of ``num_hashes`` seeds — computed in one pass over exploded
-    shingles (one aggregate, no per-hash scan)."""
+    """MinHash signature per doc: ``min(xxhash64(xxhash64(shingle), seed_i))``
+    for each of ``num_hashes`` seeds — computed in one pass over exploded
+    shingles (one aggregate, no per-hash scan).
+
+    r11 (guide §1.2 "per-task work"): the shingle STRING (~25 bytes,
+    variable length) is hashed exactly once; the ``num_hashes`` seeded
+    draws re-hash the resulting 8-byte long, which is a short fixed-width
+    xxhash round instead of a string traversal — 16x fewer string hashes
+    for identical statistical behavior (a seeded hash of a uniform
+    64-bit value is as uniform as a seeded hash of the string; the same
+    derivation jaccard_candidates already uses for its index key).
+    Signature VALUES differ from the pre-r11 family; nothing certified
+    depends on them — banding only gates candidate RECALL, which the
+    exhaustive-truth test (tests/test_dedup.py band-probe recall) and
+    the exact-oracle pair certs pin, and the verify step keeps
+    precision at 1.0 by construction."""
     sh = shingle_table(df, text_col, id_col, n).select(
         "id", F.explode("sh").alias("shingle")
-    )
+    ).select("id", F.xxhash64("shingle").alias("hs"))
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("hs"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("id").agg(*mins)
@@ -267,10 +280,14 @@ def minhash_lsh_pairs(
     sh_tab = shingle_table(df, text_col, id_col, n)
     if persist_shingles:
         sh_tab = sh_tab.persist(StorageLevel.MEMORY_AND_DISK)
-    exploded = sh_tab.select("id", F.explode("sh").alias("shingle"))
+    # hash each shingle string once; seeded draws re-hash the 8-byte
+    # long (16x fewer string traversals — see minhash_signatures)
+    exploded = sh_tab.select("id", F.explode("sh").alias("shingle")).select(
+        "id", F.xxhash64("shingle").alias("hs")
+    )
     sig = exploded.groupBy("id").agg(
         *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            F.min(F.xxhash64(F.col("hs"), F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -1048,10 +1065,16 @@ def minhash_band_table(
         )
     rows = num_hashes // bands
     tab = sh_tab if sh_tab is not None else shingle_table(df, text_col, id_col, n)
-    exploded = tab.select("id", F.explode("sh").alias("shingle"))
+    # hash each shingle string once; seeded draws re-hash the 8-byte
+    # long (16x fewer string traversals — see minhash_signatures). MUST
+    # stay family-identical to minhash_lsh_pairs/minhash_signatures:
+    # incremental probes join this band table against batch signatures.
+    exploded = tab.select("id", F.explode("sh").alias("shingle")).select(
+        "id", F.xxhash64("shingle").alias("hs")
+    )
     sig = exploded.groupBy("id").agg(
         *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            F.min(F.xxhash64(F.col("hs"), F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
