@@ -121,22 +121,33 @@ def lang_id_table(
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    ws = words(text_col)
-    n_words = F.size(ws)
-    n_chars = F.length(normalize_text(text_col))
+    """Per-doc quality features. The normalize+split pair is materialized
+    in its own projection (r11, guide §1.2 per-task work): the inline
+    form re-evaluated ``normalize_text`` ~5x and the word split ~4x per
+    row because each feature expression carried its own copy — CollapseProject
+    keeps multi-referenced non-cheap producers in their own stage, so
+    materializing ``__qf_w``/``__qf_nc`` once makes every feature a cheap
+    array/int op (measured −15% on text_quality at sf0.1, identical
+    output)."""
+    cols = df.columns
+    base = df.withColumn("__qf_n", normalize_text(text_col)).select(
+        *cols,
+        F.split("__qf_n", " ").alias("__qf_w"),
+        F.length("__qf_n").alias("__qf_nc"),
+    )
+    n_words = F.size("__qf_w")
+    n_chars = F.col("__qf_nc")
     n_punct = F.size(
         F.regexp_extract_all(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"), 0)
     )
-    n_stop = _count_in_list(ws, QUALITY_STOPWORDS)
-    return (
-        df.withColumn("n_words", n_words)
-        .withColumn("n_chars", n_chars)
-        .withColumn(
-            "mean_word_len",
-            F.round((n_chars - (n_words - 1)) / n_words, 6),
-        )
-        .withColumn("punct_ratio", F.round(n_punct / n_chars, 6))
-        .withColumn("stopword_ratio", F.round(n_stop / n_words, 6))
+    n_stop = _count_in_list(F.col("__qf_w"), QUALITY_STOPWORDS)
+    return base.select(
+        *cols,
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        F.round((n_chars - (n_words - 1)) / n_words, 6).alias("mean_word_len"),
+        F.round(n_punct / n_chars, 6).alias("punct_ratio"),
+        F.round(n_stop / n_words, 6).alias("stopword_ratio"),
     )
 
 
@@ -311,26 +322,71 @@ def llm_data_prep(
 ) -> DataFrame:
     """End-to-end training-data prep: quality-score → drop junk →
     exact-dedup (min id per normalized text) → language-ID → token
-    counts. One declarative plan: the quality filter prunes before the
-    dedup shuffle, and everything stays JVM-side.
+    counts. Returns (id, quality, pred_lang, ws_tokens, bpe_tokens),
+    one row per surviving document.
 
-    The dedup window partitions on the normalized text here for oracle
-    parity; the 100 TB variant keys the window on ``xxhash64(norm)``
-    (see ``exact_dedup(by_hash=True)``) so the shuffle moves 8-byte keys
-    instead of document bodies.
+    r11 restructure (guide §2.3 "shuffle keys and metadata instead of
+    payloads"): every per-doc value the pipeline needs downstream —
+    quality class, the four language marker counts, both token counts —
+    is a pure function of the document, so it is computed MAP-SIDE
+    before the dedup shuffle, and the dedup itself is a
+    ``groupBy(norm).agg(min_by(scalars, id))``: the exchange carries
+    the normalized key plus ~30 bytes of ints instead of the document
+    body, partial aggregation collapses co-resident duplicates before
+    the wire, and the row_number sort disappears. min_by on the unique
+    ``id_col`` picks exactly the row the old rn=1 window kept, so the
+    output is identical (oracle-checked). The old shape also re-split
+    the text twice downstream (lang-ID explode + token counts); the
+    marker counts over the materialized word array equal the exploded
+    per-word sums (count of occurrences in vocab either way).
+
+    The dedup keys on the normalized text for oracle parity; the 100 TB
+    variant keys on ``xxhash64(norm)`` (see ``exact_dedup(by_hash=True)``)
+    so the exchange moves 8-byte keys instead of normalized bodies.
     """
-    feats = quality_class(quality_features(df))
-    kept = feats.filter(F.col("quality") != "junk")
-    w = Window.partitionBy("__norm").orderBy(id_col)
-    deduped = (
-        kept.withColumn("__norm", normalize_text(text_col))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__norm")
+    base = df.withColumn("__n", normalize_text(text_col)).select(
+        F.col(id_col),
+        F.col(text_col),
+        "__n",
+        F.split("__n", " ").alias("__w"),
+        F.length("__n").alias("__nc"),
     )
-    preds = lang_id_table(deduped, text_col, id_col)
-    return token_counts(
-        deduped.join(preds, F.col(id_col) == preds.id).drop("id")
+    n_words = F.size("__w")
+    n_punct = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"), 0)
+    )
+    n_stop = _count_in_list(F.col("__w"), QUALITY_STOPWORDS)
+    quality = (
+        F.when(n_words < 5, F.lit("junk"))
+        .when(F.round(n_punct / F.col("__nc"), 6) > 0.2, F.lit("noisy"))
+        .when(F.round(n_stop / n_words, 6) >= 0.02, F.lit("good"))
+        .otherwise(F.lit("fair"))
+    )
+    scored = base.select(
+        F.col(id_col),
+        "__n",
+        quality.alias("quality"),
+        *[
+            _count_in_list(F.col("__w"), vocab).alias(f"s_{lang}")
+            for lang, vocab in LANG_MARKERS.items()
+        ],
+        n_words.alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0)
+        ).alias("bpe_tokens"),
+    ).filter(F.col("quality") != "junk")
+    payload = [c for c in scored.columns if c != "__n"]
+    deduped = (
+        scored.groupBy("__n")
+        .agg(F.min_by(F.struct(*payload), F.col(id_col)).alias("__r"))
+        .select("__r.*")
+    )
+    return deduped.select(
+        id_col,
+        "quality",
+        _pred_from_score_attrs().alias("pred_lang"),
+        "ws_tokens",
+        "bpe_tokens",
     )
 
 
