@@ -32,32 +32,51 @@ SEED_MOD = 97
 
 
 def bfs_distances(
-    edges: DataFrame, seeds: DataFrame, max_hops: int = MAX_HOPS
+    edges: DataFrame,
+    seeds: DataFrame | None = None,
+    max_hops: int = MAX_HOPS,
+    seed_pred=None,
 ) -> DataFrame:
-    """(node, dist) for every node reachable from ``seeds`` within
+    """(node, dist) for every node reachable from the seed set within
     ``max_hops`` over an undirected ``(a < b)`` edge table; nodes of
-    the graph NOT reached get dist = -1. ``seeds`` has column `node`
-    (seeds not present in the graph are ignored)."""
+    the graph NOT reached get dist = -1. Seeds are given either as a
+    DataFrame with column `node` (seeds absent from the graph are
+    ignored) or as ``seed_pred``, a boolean Column over `node` applied
+    to the graph's own node set — the predicate form skips the
+    separate seed derivation + semi-join when the seed set is defined
+    BY a predicate anyway (r11, guide §2.4).
+
+    r11 checkpoint diet (guide §1.2 — each eager localCheckpoint is a
+    full materialization job): only the per-round FRONTIER is
+    checkpointed. The visited set is a union of already-checkpointed
+    layers, so checkpointing it again materialized a growing table
+    max_hops times for no lineage benefit — the anti-join now reads
+    the union of the flat layer RDDs directly."""
+    from functools import reduce
+
     adj = edges.select(F.col("a").alias("z"), F.col("b").alias("x")).unionAll(
         edges.select(F.col("b").alias("z"), F.col("a").alias("x"))
     )
     nodes = adj.select(F.col("z").alias("node")).distinct().localCheckpoint()
-    frontier = (
-        nodes.join(seeds, "node", "left_semi").localCheckpoint()
-    )
-    visited = frontier.withColumn("dist", F.lit(0).cast("int"))
+    if seed_pred is not None:
+        # cheap filter over the materialized node RDD — no extra job
+        frontier = nodes.filter(seed_pred)
+    else:
+        frontier = nodes.join(seeds, "node", "left_semi").localCheckpoint()
+    layers = [frontier.withColumn("dist", F.lit(0).cast("int"))]
+    visited_ids = frontier.select("node")
     for r in range(1, max_hops + 1):
         nxt = (
             frontier.join(adj, frontier.node == adj.z)
             .select(F.col("x").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(visited_ids, "node", "left_anti")
             .localCheckpoint()
         )
-        visited = visited.unionByName(
-            nxt.withColumn("dist", F.lit(r).cast("int"))
-        ).localCheckpoint()
+        layers.append(nxt.withColumn("dist", F.lit(r).cast("int")))
+        visited_ids = visited_ids.unionByName(nxt.select("node"))
         frontier = nxt
+    visited = reduce(lambda a, b: a.unionByName(b), layers)
     return nodes.join(visited, "node", "left").select(
         "node", F.coalesce("dist", F.lit(-1)).cast("int").alias("dist")
     )
@@ -111,12 +130,12 @@ def q_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     edges = copurchase_edges(li).persist()
     try:
-        seeds = (
-            edges.select(F.col("a").alias("node"))
-            .unionAll(edges.select(F.col("b").alias("node")))
-            .distinct()
-            .filter(F.col("node") % SEED_MOD == 0)
+        # seed set == nodes satisfying the mod predicate, so apply it to
+        # the BFS's own node table instead of re-deriving (union +
+        # distinct over the edge list) and semi-joining it back — one
+        # distinct pass and one checkpoint job fewer (r11, guide §2.4)
+        return bfs_histogram(
+            bfs_distances(edges, seed_pred=F.col("node") % SEED_MOD == 0)
         )
-        return bfs_histogram(bfs_distances(edges, seeds))
     finally:
         edges.unpersist()

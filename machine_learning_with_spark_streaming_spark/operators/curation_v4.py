@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from machine_learning_with_spark_streaming_spark.registry import register
 from machine_learning_with_spark_streaming_spark.schemas import load_table
@@ -29,15 +30,26 @@ MAX_SYL_PER_10W = 15  # syllables*10 <= words*15, i.e. density <= 1.5
 
 
 def curation_funnel(docs: DataFrame) -> DataFrame:
-    """(stage, n_docs, word_mass) for ingested → readable → canonical."""
-    counts = doc_reading_counts(docs)
+    """(stage, n_docs, word_mass) for ingested → readable → canonical.
+
+    r11 (guide §1.2/§2.4): the stage union used to re-evaluate the
+    regex-heavy reading-count pass once per branch (3x) and the shingle
+    fingerprint twice (both sides of the keeper semi-join) — 4 regex
+    passes + 2 shingle passes per run. Now the counts materialize ONCE
+    (persist — the ``persist_shingles`` house pattern; cluster analog is
+    a temp-table write), and the keeper election is a single
+    ``min_by(words, doc_id)`` aggregate per fingerprint (the row with
+    the min doc_id IS the keeper, so its words value is identical to
+    the old semi-join's) — one shingle pass, no self-join."""
+    counts = doc_reading_counts(docs).persist(StorageLevel.MEMORY_AND_DISK)
     gated = counts.filter(
         (F.col("words") >= MIN_WORDS)
         & (F.col("syllables") * 10 <= F.col("words") * MAX_SYL_PER_10W)
     )
     fp = fingerprint(gated.select("doc_id", "text", "words"))
-    keeper = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-    kept = fp.join(keeper, ["fingerprint", "doc_id"], "left_semi")
+    canon = fp.groupBy("fingerprint").agg(
+        F.min_by("words", "doc_id").alias("words")
+    )
 
     def stage(name: str, df: DataFrame) -> DataFrame:
         return df.agg(
@@ -49,7 +61,7 @@ def curation_funnel(docs: DataFrame) -> DataFrame:
     return (
         stage("1_ingested", counts)
         .unionByName(stage("2_readable", gated))
-        .unionByName(stage("3_canonical", kept))
+        .unionByName(stage("3_canonical", canon))
         .orderBy("stage")
     )
 

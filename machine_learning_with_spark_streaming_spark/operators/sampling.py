@@ -1267,6 +1267,7 @@ def epoch_shuffle(
     epoch: int,
     n_shards: int = EPOCH_SHARDS,
     key_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic per-epoch global shuffle order for training readers:
     every epoch is a different reproducible permutation of the corpus,
@@ -1281,13 +1282,20 @@ def epoch_shuffle(
     At 100 TB pick ``n_shards`` ∝ corpus/executor-memory (e.g. one
     shard ≈ 1M docs): the only non-map stage is a per-shard sort, each
     bounded by shard size — corpus-size-independent per-task memory.
+
+    ``keep_cols`` rides extra per-row columns through the shard window
+    (shard/pos values are a pure function of ``key_col`` and unchanged)
+    so a consumer that needs both the order AND row attributes avoids
+    re-joining the order table back onto an expensive upstream —
+    r11, guide §2.4: the join was a second full evaluation of the
+    producer's plan.
     """
     h = md5_hash60(
         F.concat(F.col(key_col).cast("string"), F.lit(f"#ep{epoch}"))
     )
     w = Window.partitionBy("shard").orderBy("h", key_col)
     return (
-        df.select(F.col(key_col), h.alias("h"))
+        df.select(F.col(key_col), *[F.col(c) for c in keep_cols], h.alias("h"))
         .withColumn("shard", (F.col("h") % n_shards).cast("int"))
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .select(
@@ -1295,6 +1303,7 @@ def epoch_shuffle(
             F.col(key_col),
             "shard",
             "pos",
+            *[F.col(c) for c in keep_cols],
         )
     )
 
@@ -1501,7 +1510,9 @@ def q_eval_holdout(spark, sf_dir):
     (`decontaminate_benchmark`, `sample_group_split`); this query
     certifies their COMPOSITION — the clean-set boundary feeding the
     split gate."""
-    from machine_learning_with_spark_streaming_spark.operators.dedup import decontaminate
+    from machine_learning_with_spark_streaming_spark.operators.dedup import (
+        contamination_report,
+    )
     from machine_learning_with_spark_streaming_spark.schemas import load_table
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -1509,11 +1520,26 @@ def q_eval_holdout(spark, sf_dir):
     )
     corpus = docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
     bench = docs.filter(F.col("doc_id") % _EVAL_MOD == 0)
-    clean = decontaminate(corpus, bench)
+    # r11 (guide §1.2/§2.4): the old form derived ``contaminated`` by
+    # anti-joining corpus against ``clean`` — whose plan EMBEDS the whole
+    # decontamination, so the dominant cost (normalize + split + 3-gram
+    # + md5 over every corpus doc) executed twice, once per population.
+    # Compute the tiny contaminated-id set ONCE, cut the lineage so both
+    # populations reuse the same materialized set, and derive clean/
+    # contaminated as cheap anti/semi joins of the parquet scan against
+    # it. Populations are byte-identical: decontaminate() was exactly
+    # "corpus anti-join hits" already.
+    # explicit broadcast: a checkpointed RDD scan reports the default
+    # (pessimistic) size estimate, which would demote these tiny-right-
+    # side joins to sort-merge and shuffle the corpus text
+    hits = F.broadcast(
+        contamination_report(corpus, bench)
+        .select(F.col("id").alias("__cid"))
+        .localCheckpoint(eager=False)
+    )
+    clean = corpus.join(hits, F.col("doc_id") == F.col("__cid"), "left_anti")
     contaminated = corpus.join(
-        clean.select(F.col("doc_id").alias("__k")),
-        F.col("doc_id") == F.col("__k"),
-        "left_anti",
+        hits, F.col("doc_id") == F.col("__cid"), "left_semi"
     )
 
     aggs = [

@@ -2542,12 +2542,18 @@ def q_llm_data_prep_v3(spark, sf_dir):
             ),
         )
     )
+    # r11 (guide §2.4): joining the epoch-order table back onto
+    # ``survivors`` re-evaluated the CDC segment-dedup plan a second
+    # time (both join inputs embedded it). ``keep_cols`` rides
+    # (toks, source) through the shard window instead — shard/pos are a
+    # pure function of doc_id, so values are identical — and the join
+    # (plus the duplicate CDC pass) disappears from the plan.
     shuf = epoch_shuffle(
-        survivors, epoch=0, n_shards=PREP_V3_SHARDS
-    ).select("doc_id", "shard", "pos")
+        survivors, epoch=0, n_shards=PREP_V3_SHARDS,
+        keep_cols=("toks", "source"),
+    )
     return (
-        survivors.join(shuf, "doc_id")
-        .groupBy("source", "shard")
+        shuf.groupBy("source", "shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("toks").cast("long").alias("sum_tokens"),
