@@ -35,7 +35,10 @@ from pyspark.sql.types import (
 from machine_learning_with_spark_streaming_spark.registry import register
 from machine_learning_with_spark_streaming_spark.schemas import load_table
 from machine_learning_with_spark_streaming_spark.operators.transitions import _S24_ORACLE
-from machine_learning_with_spark_streaming_spark.streaming.tuning import start_and_await
+from machine_learning_with_spark_streaming_spark.streaming.tuning import (
+    python_stateful_partitions,
+    start_and_await,
+)
 
 N_TRANSITION_BATCHES = 3
 
@@ -160,7 +163,9 @@ def q_transitions_stream(spark, sf_dir):
         .option("checkpointLocation", f"{work}/ckpt")
         .trigger(availableNow=True)
     )
-    start_and_await(q, spark)
+    # 1500 user groups: per-group Python/Arrow work dominates the batch,
+    # so run under the python-stateful partition sizing (r11, guide §4)
+    start_and_await(q, spark, partitions=python_stateful_partitions())
 
     pairs = (
         spark.table(sink)

@@ -52,27 +52,55 @@ def stream_state_partitions() -> int:
     return max(2, min(4, cpus))
 
 
-def start_and_await(writer, spark: SparkSession):
+def python_stateful_partitions() -> int:
+    """State-store partition count for PYTHON-stateful micro-batch runs
+    (``applyInPandasWithState``) whose group count is large.
+
+    The default ``stream_state_partitions`` sizing (min(4, cpus)) was
+    measured on JVM-only stateful aggregates, where per-partition state
+    commits dominate and fewer partitions win. A Python-grouped stream
+    with many groups is bounded by PER-GROUP Python/Arrow work instead,
+    which parallelizes with the partition count: measured on
+    s11_transitions_stream (1500 user groups, sf0.1) the 3-batch run is
+    6.3 s at 4 partitions vs 3.5 s at 16 (r11, guide §4 — the Python
+    boundary is the cost; more workers amortize it). Cluster sizing
+    follows the same rule as the env override: groups-per-partition
+    times per-group cost is the batch critical path, so size to Python
+    worker throughput, floored by the JVM-state commit overhead.
+    ``$SPARK_GRAFT_STREAM_SHUFFLE`` still overrides both defaults.
+    """
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    if env:
+        return max(1, int(env))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return max(2, min(16, cpus))
+
+
+def start_and_await(writer, spark: SparkSession, partitions: int | None = None):
     """Start a ``DataStreamWriter`` under the stream-state partition
     sizing and block until the run completes (the repo's micro-batch
     runs all use ``trigger(availableNow=True)``). The partition count is
     captured by the query at start, so the scope only needs to cover
     start-to-termination; the session value is restored for the batch
-    post-processing that follows."""
-    with stream_shuffle(spark):
+    post-processing that follows. ``partitions`` overrides the default
+    JVM-state sizing (see ``python_stateful_partitions``)."""
+    with stream_shuffle(spark, partitions):
         q = writer.start()
         q.awaitTermination()
     return q
 
 
 @contextmanager
-def stream_shuffle(spark: SparkSession) -> Iterator[None]:
+def stream_shuffle(
+    spark: SparkSession, partitions: int | None = None
+) -> Iterator[None]:
     """Scope ``spark.sql.shuffle.partitions`` to the stream-state sizing
     for the duration of a micro-batch run; always restores the previous
     session value (batch plans outside the stream are untouched)."""
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
-    spark.conf.set(key, str(stream_state_partitions()))
+    n = partitions if partitions is not None else stream_state_partitions()
+    spark.conf.set(key, str(n))
     try:
         yield
     finally:
