@@ -46,7 +46,16 @@ def curation_funnel(docs: DataFrame) -> DataFrame:
         (F.col("words") >= MIN_WORDS)
         & (F.col("syllables") * 10 <= F.col("words") * MAX_SYL_PER_10W)
     )
-    fp = fingerprint(gated.select("doc_id", "text", "words"))
+    # NULL fingerprints (normalized text with <3 whitespace tokens — an
+    # empty shingle array) are NOT canonical docs: the pre-r11 semi-join
+    # and the DuckDB oracle both drop them (no shingle rows → no
+    # fingerprint group), so the min_by election must skip the NULL
+    # group too (r12, ADVICE). Unreachable behind the words>=40 gate for
+    # space-tokenized text, but hyphen/punctuation-glued tokens can pass
+    # the gate with <3 whitespace tokens.
+    fp = fingerprint(gated.select("doc_id", "text", "words")).filter(
+        F.col("fingerprint").isNotNull()
+    )
     canon = fp.groupBy("fingerprint").agg(
         F.min_by("words", "doc_id").alias("words")
     )

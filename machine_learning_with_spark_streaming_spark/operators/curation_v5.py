@@ -42,10 +42,27 @@ def _stage_row(name: str, docs: DataFrame) -> DataFrame:
     words = docs.select(
         "doc_id", F.explode(F.split(normalize_text("text"), " ")).alias("w")
     ).filter(F.col("w") != "")
-    mass = words.agg(
+    # r12 (guide §1.2/§2.3): the mass row needs only per-doc word
+    # COUNTS, so it reads the non-exploded corpus — size(filter(split))
+    # per row, no word-row explosion, no second corpus-sized explode
+    # evaluation per stage (the explode now runs once, for the KMV
+    # sketch). Identical values: sum(per-doc count) == count of word
+    # rows, and count_distinct over docs with >=1 word == the exploded
+    # countDistinct(doc_id) (NULL when() rows are ignored by
+    # count_distinct, NULL sizes by sum — the NULL-text doc contributes
+    # nothing either way).
+    per_doc = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(normalize_text("text"), " "), lambda w: w != "")
+        ).alias("__nw"),
+    )
+    mass = per_doc.agg(
         F.lit(name).alias("stage"),
-        F.countDistinct("doc_id").cast("long").alias("n_docs"),
-        F.count(F.lit(1)).cast("long").alias("word_mass"),
+        F.count_distinct(F.when(F.col("__nw") > 0, F.col("doc_id")))
+        .cast("long")
+        .alias("n_docs"),
+        F.coalesce(F.sum("__nw"), F.lit(0)).cast("long").alias("word_mass"),
     )
     # Corpus-global sketch: the constant key folds away, so kmv_sketch's
     # phase-2 window runs partitionless (WindowExec warns) — its input

@@ -1290,6 +1290,12 @@ def epoch_shuffle(
     r11, guide §2.4: the join was a second full evaluation of the
     producer's plan.
     """
+    internal = {key_col, "h", "shard", "pos", "epoch"}
+    clash = internal.intersection(keep_cols)
+    if clash:
+        # a colliding keep_col would silently shadow the shard/pos
+        # machinery (or raise an ambiguous-column error downstream)
+        raise ValueError(f"keep_cols collide with internal columns: {sorted(clash)}")
     h = md5_hash60(
         F.concat(F.col(key_col).cast("string"), F.lit(f"#ep{epoch}"))
     )

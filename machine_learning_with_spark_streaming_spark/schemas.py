@@ -124,25 +124,72 @@ def _scan_spread(
     if name not in SPREAD_TABLES:
         return df
     par = spark.sparkContext.defaultParallelism
-    cur = df.rdd.getNumPartitions()
-    if 2 * cur >= par:
-        return df  # splittable input — cluster path, leave the scan alone
-    import math
+    # r12 hardening (ADVICE/VERDICT item): the spread DECISION is pure
+    # metadata — cache it per (path, mtime, size, parallelism) so repeat
+    # loads skip both the plan→RDD conversion (df.rdd) and the pyarrow
+    # footer read, and make the metadata read directory-aware (a table
+    # on a cluster is a directory of files; the single-file assumption
+    # would raise IsADirectoryError exactly in the few-huge-files case
+    # the spread targets). Any metadata failure falls back to no spread
+    # — the scan is still correct, just narrow.
     import os
 
-    n_rows = pq_file_rows(path)
-    # one task per ~512 rows or ~1 MB, capped at the session parallelism
-    # and floored at the scan's own count — enough per-task volume that
-    # tiny tables do not fan out into near-empty tasks
-    target = min(
-        par,
-        max(
-            cur,
-            math.ceil(n_rows / 512),
-            math.ceil(os.path.getsize(path) / (1 << 20)),
-        ),
-    )
-    return df.repartition(target) if target > cur else df
+    try:
+        st = os.stat(path)
+        cache_key = (os.path.abspath(path), st.st_mtime_ns, st.st_size, par)
+    except OSError:
+        return df
+    target = _SPREAD_CACHE.get(cache_key)
+    if target is None:
+        import math
+
+        try:
+            n_rows, n_bytes = _parquet_meta(path)
+            cur = df.rdd.getNumPartitions()
+        except Exception:
+            _SPREAD_CACHE[cache_key] = 0
+            return df
+        if 2 * cur >= par:
+            # splittable input — cluster path, leave the scan alone
+            target = 0
+        else:
+            # one task per ~512 rows or ~1 MB, capped at the session
+            # parallelism and floored at the scan's own count — enough
+            # per-task volume that tiny tables do not fan out into
+            # near-empty tasks
+            target = min(
+                par,
+                max(
+                    cur,
+                    math.ceil(n_rows / 512),
+                    math.ceil(n_bytes / (1 << 20)),
+                ),
+            )
+            if target <= cur:
+                target = 0
+        _SPREAD_CACHE[cache_key] = target
+    return df.repartition(target) if target else df
+
+
+#: (abspath, mtime_ns, size, parallelism) -> repartition width (0 = none)
+_SPREAD_CACHE: dict[tuple, int] = {}
+
+
+def _parquet_meta(path: str) -> tuple[int, int]:
+    """(n_rows, n_bytes) for a parquet file OR directory of files."""
+    import os
+
+    if os.path.isdir(path):
+        rows = size = 0
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                fp = os.path.join(root, fn)
+                rows += pq_file_rows(fp)
+                size += os.path.getsize(fp)
+        return rows, size
+    return pq_file_rows(path), os.path.getsize(path)
 
 
 def pq_file_rows(path: str) -> int:

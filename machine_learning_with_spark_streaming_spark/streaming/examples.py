@@ -1439,6 +1439,8 @@ def q_drift_monitor_stream(spark, sf_dir):
     nbins = _DRIFT_STREAM_BINS
 
     def sink(batch_df, batch_id):
+        from pyspark.sql import Window as _W
+
         ss = batch_df.sparkSession
         bgrid = ss.createDataFrame(baseline_rows, "bin int, bc long")
         counts = (
@@ -1449,19 +1451,26 @@ def q_drift_monitor_stream(spark, sf_dir):
         joined = F.broadcast(bgrid).join(counts, "bin", "left").select(
             "bin", "bc", F.coalesce("c", F.lit(0)).alias("c")
         )
-        n_batch = joined.agg(F.sum("c")).collect()[0][0]
-        p_b = (F.col("c") + 1) / F.lit(float(n_batch + nbins))
+        # r12 (guide §1.2 — job-count diet): the batch total rides a
+        # global window over the 16 bin rows instead of a driver
+        # collect, and the verdict write is the one materializing job —
+        # the per-batch collect + eager-checkpoint jobs are gone (3
+        # jobs/batch -> 1). Arithmetic identical: n_batch is an exact
+        # long either way, and (c+1)/CAST(n_batch+16 AS DOUBLE) is the
+        # same IEEE division the collected literal produced.
+        joined = joined.withColumn("n_batch", F.sum("c").over(_W.partitionBy()))
+        p_b = (F.col("c") + 1) / (F.col("n_batch") + F.lit(nbins)).cast("double")
         p_base = (F.col("bc") + 1) / F.lit(float(n_base + nbins))
         verdict = (
             joined.select(
-                F.round((p_b - p_base) * F.log(p_b / p_base), 6).alias("t")
+                "n_batch",
+                F.round((p_b - p_base) * F.log(p_b / p_base), 6).alias("t"),
             )
             .agg(
-                F.lit(int(n_batch)).cast("long").alias("n_rows"),
+                F.max("n_batch").cast("long").alias("n_rows"),
                 (F.round(F.sum("t"), 6) + F.lit(0.0)).alias("psi"),
             )
             .withColumn("batch_id", F.lit(batch_id))
-            .localCheckpoint(eager=True)
         )
         prev = ss.conf.get("spark.sql.sources.partitionOverwriteMode")
         ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

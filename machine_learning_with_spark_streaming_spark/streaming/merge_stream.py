@@ -24,7 +24,7 @@ from machine_learning_with_spark_streaming_spark.registry import register
 from machine_learning_with_spark_streaming_spark.schemas import load_table
 from machine_learning_with_spark_streaming_spark.sources.timetravel import (
     merge_into_snapshot,
-    read_asof,
+    resolve_asof_many,
     write_snapshot,
 )
 from machine_learning_with_spark_streaming_spark.streaming.tuning import start_and_await
@@ -128,9 +128,12 @@ def q_merge_into_stream(spark, sf_dir):
     )
     start_and_await(q, spark)
 
+    # one log read resolves all four as-ofs (r12, guide §1.2 — was one
+    # resolve job per version over the same KB-sized log)
+    resolved = resolve_asof_many(spark, base, [1, 2, 3, 4])
     parts = []
     for ver in (1, 2, 3, 4):
-        _v, snap = read_asof(spark, base, ver)
+        snap = spark.read.parquet(os.path.join(base, f"v={resolved[ver]}"))
         parts.append(
             snap.agg(
                 F.lit(ver).cast("int").alias("version"),
