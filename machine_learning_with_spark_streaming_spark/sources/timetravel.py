@@ -230,14 +230,21 @@ def _register_k10():
         report = expire_snapshots(spark, base, keep_last=2)
 
         # invariants, asserted not returned: newest still readable,
-        # purged history unresolvable
-        v, snap = read_asof(spark, base, 99)
-        assert v == 4 and snap.count() == report[-1][2]
-        try:
-            resolve_asof(spark, base, 2)
-            raise AssertionError("purged version must not resolve")
-        except ValueError:
-            pass
+        # purged history unresolvable. r12 (guide §1.2): ONE read of the
+        # rewritten log answers both resolve questions (resolve only
+        # consults the log, so "no version <= 2 in the log" IS
+        # "resolve_asof(2) raises"); was 3 jobs (resolve 99 + resolve 2
+        # + count), now 2 (log read + count).
+        kept_versions = [
+            int(r["version"])
+            for r in spark.read.parquet(f"{base}_log").select("version").collect()
+        ]
+        assert max(kept_versions) == 4
+        assert not [v for v in kept_versions if v <= 2], (
+            "purged version must not resolve"
+        )
+        snap = spark.read.parquet(os.path.join(base, "v=4"))
+        assert snap.count() == report[-1][2]
 
         return spark.createDataFrame(
             [(v, s, n) for v, s, n in report],
