@@ -454,8 +454,20 @@ def order_part_pairs(lineitem: DataFrame) -> DataFrame:
     the only remaining exchanges are the orderkey agg plus whatever the
     consumer aggregates by. Pair multiset is identical by construction
     (sorted distinct parts per order → all i<j combinations)."""
+    # r12 (guide §2.4/§2.5): hash-repartition on the GROUP KEY before the
+    # aggregate. The local testdata parquet is single-row-group, so the
+    # scan is one task and the groupBy's map-side partial collect_set —
+    # plus nothing else — ran single-threaded before the exchange; keyed
+    # repartition shares the groupBy's exchange (same key, same count ⇒
+    # no extra node) while moving the per-order set-build and pair
+    # explosion onto the full session width. Interleaved A/B at sf0.1:
+    # edge build 1.4-1.6 s -> 0.85-1.2 s. Width comes from the session's
+    # shuffle-partition conf (the count the groupBy exchange would use
+    # anyway), so cluster sizing is whatever the deployment sets.
+    n_parts = int(lineitem.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     parts = (
         lineitem.select("l_orderkey", "l_partkey")
+        .repartition(n_parts, "l_orderkey")
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
         .select("ps")
