@@ -472,8 +472,20 @@ ORDER BY 1, 2
 def q_corr_matrix(spark, sf_dir):
     """Deterministic Pearson correlation matrix over the four lineitem
     measures (integer-exact sufficient statistics, one aggregate pass)."""
+    from machine_learning_with_spark_streaming_spark.schemas import (
+        spread_narrow_scan,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
-    return corr_matrix_exact(li).orderBy("m_a", "m_b")
+    # r12 (guide §2.3/§2.5): the whole query is ONE global aggregate of
+    # decimal sums, so an unsplittable local scan runs it single-
+    # threaded; project to the four measure columns, then spread. The
+    # decimal sums are exact integers — partial-agg order cannot change
+    # them. Interleaved A/B at sf0.1: 1.7-2.0 -> 1.4-1.6 s.
+    srcs = sorted({src for _, src, _scale in _CORR_MEASURES})
+    return corr_matrix_exact(spread_narrow_scan(li.select(*srcs))).orderBy(
+        "m_a", "m_b"
+    )
 
 
 # ---------------- frozen-tree scoring: model-to-SQL compilation

@@ -34,8 +34,15 @@ def equi_depth_histogram(
     """(g, bin, lo, hi, n_rows): ~equal-mass bins per group over the
     value-collapsed count relation; a distinct value's rows never
     split across bins."""
+    # r12 (guide §2.4/§2.5): hash-repartition on the GROUP KEY before the
+    # aggregate — shares the groupBy's exchange (same keys, same count ⇒
+    # no extra node) while moving the high-cardinality (g, v) hash build
+    # off the single task an unsplittable local scan gets. Interleaved
+    # A/B at sf0.1: 1.8-2.3 -> 1.4-1.7 s; values identical.
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     counts = (
         df.select(F.col(group_col).alias("g"), value_cents.alias("v"))
+        .repartition(n_parts, "g", "v")
         .groupBy("g", "v")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -198,6 +198,23 @@ def pq_file_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def spread_narrow_scan(df: DataFrame) -> DataFrame:
+    """Round-robin-spread a NARROW scan ahead of a compute-heavy global
+    pass (decimal sufficient-statistics aggregates, per-row vector
+    math): the local single-row-group parquet gives the whole map stage
+    to 1-3 tasks (guide §2.5 input skew). No-op whenever the scan
+    already fans out to >= half the session parallelism — on a cluster
+    files split on their own, so this adds no node there. Callers
+    project to the needed columns FIRST so the added exchange carries
+    only those bytes (guide §2.3)."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    cur = df.rdd.getNumPartitions()
+    if 2 * cur >= par:
+        return df
+    return df.repartition(par)
+
+
 #: bump when the rewrite logic below changes (cache self-invalidation)
 _REWRITE_VERSION = "v3-ntz-utc-us"
 
